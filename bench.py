@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a count-style action (collect) so the
+full plan executes; timings exclude session startup and the first
+warm-up run of the flagship query (JVM/codegen warm-up), matching
+how a resident engine would serve queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_hdfs_practise_spark import plans  # noqa: E402
+from hive_hdfs_practise_spark.session import get_spark  # noqa: E402
+
+# Headline set: scan-agg, multi-join, selective filter, window,
+# dedup (exact + LSH), similarity, text — the operator classes that
+# dominate at scale. (Quadratic verifier queries like
+# dedup_ngram_jaccard are deliberately excluded: they are correctness
+# oracles, not scale-path operators.)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "sales_by_year_month",
+    "sales_rollup",
+    "monthly_sales_ranked",
+    "events_sessionize",
+    "events_dedup_latest",
+    "events_hourly_tumbling",
+    "heartbeat_liveness",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_brute_cosine",
+    "text_quality_score",
+    "text_lang_id",
+    "word_freq_topk",
+    "chunks_ordered_reassembly",
+    "replication_audit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warm-up: JVM + codegen + parquet footer caches
+    plans.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = plans.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

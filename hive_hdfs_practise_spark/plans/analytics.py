@@ -1,0 +1,243 @@
+"""Dashboard analytics queries (SURVEY.md §2.4/2.5/2.6).
+
+The reference computes these CLIENT-SIDE: the sales dashboard
+fetches the entire order table into the browser and aggregates with
+nested JS loops (``Chart.vue:88-111,182-190``). Pushing them into
+the engine is the flagship "old way vs engine" win — the transfer
+shrinks from |orders| rows to |years|×12.
+
+Group-by keys are typed year()/month() expressions, not string
+prefixes — at scale these align with date-partitioned storage and
+prune partitions, unlike the reference's LIKE-on-string dates
+(``DatabaseAccessor.py:107``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import table
+from .registry import register
+
+
+def _orders_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+
+
+@register(
+    "sales_by_year_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           round(sum(o_totalprice), 2)         AS total_sales,
+           count(*)                            AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def sales_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: monthly sales — the bar-chart aggregation
+    (``Chart.vue:96-111``) as a native hash aggregate."""
+    return (
+        _orders_ym(spark, sf_dir)
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "sales_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           round(sum(o_totalprice), 2)         AS total_sales
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 in one operator: ROLLUP produces (year,month) buckets,
+    yearly subtotals (month NULL) and the grand total in a single
+    shuffle — subsumes the pie chart's re-sum (``Chart.vue:182-190``).
+    """
+    return (
+        _orders_ym(spark, sf_dir)
+        .rollup("o_year", "o_month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"))
+    )
+
+
+@register(
+    "max_monthly_sales",
+    oracle="""
+    SELECT round(max(total_sales), 2) AS max_monthly_sales
+    FROM (
+        SELECT round(sum(o_totalprice), 2) AS total_sales
+        FROM orders
+        GROUP BY year(o_orderdate), month(o_orderdate)
+    )
+    """,
+)
+def max_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: max over the grouped result (the chart's axis-scaling
+    value, ``Chart.vue:153-158``)."""
+    return (
+        _orders_ym(spark, sf_dir)
+        .groupBy("o_year", "o_month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"))
+        .agg(F.round(F.max("total_sales"), 2).alias("max_monthly_sales"))
+    )
+
+
+@register(
+    "monthly_sales_ranked",
+    oracle="""
+    SELECT o_year, o_month, total_sales, month_rank
+    FROM (
+        SELECT o_year, o_month, total_sales,
+               CAST(row_number() OVER (PARTITION BY o_year ORDER BY total_sales DESC, o_month)
+                    AS INTEGER) AS month_rank
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS o_month,
+                   round(sum(o_totalprice), 2)         AS total_sales
+            FROM orders GROUP BY 1, 2
+        )
+    )
+    WHERE month_rank <= 3
+    """,
+)
+def monthly_sales_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window surface (ABSENT in the reference; nearest analog
+    is the ORDER BY+LIMIT leaderboard): top-3 months per year via
+    row_number() over a year partition — the ranked-view form of the
+    口碑榜 leaderboard."""
+    monthly = (
+        _orders_ym(spark, sf_dir)
+        .groupBy("o_year", "o_month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"))
+    )
+    w = Window.partitionBy("o_year").orderBy(F.desc("total_sales"), F.asc("o_month"))
+    return (
+        monthly.withColumn("month_rank", F.row_number().over(w))
+        .filter(F.col("month_rank") <= 3)
+    )
+
+
+@register(
+    "sales_pivot_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS status_O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS status_F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS status_P
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sales_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: yearly sales broken out by order status. Explicit value
+    list keeps it a single-pass aggregate (no values-discovery job)."""
+    return (
+        _orders_ym(spark, sf_dir)
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_year",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("status_O"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("status_F"),
+            F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("status_P"),
+        )
+    )
+
+
+@register("customer_count", oracle="SELECT count(*) AS n_customers FROM customer")
+def customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the client-side ``res.data.length`` count
+    (``MovieList.vue:91``) as an engine aggregate."""
+    return table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "paginate_by_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn > 100 AND rn <= 150
+    """,
+)
+def paginate_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-paged variant: window row_number BETWEEN page bounds — the
+    stable-pagination form (same page contents regardless of
+    partitioning), vs the LIMIT/OFFSET form in ``part_list_search``."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "set_ops_status_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_ops_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (ABSENT in the reference — provided for
+    engine completeness): customers with both open and finished
+    orders but no pending ones. INTERSECT/EXCEPT plan as left-semi /
+    left-anti joins in Catalyst."""
+    o = table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    pend_c = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return open_c.intersect(fin_c).exceptAll(pend_c.distinct())
+
+
+@register(
+    "semi_anti_join_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+                   AND o2.o_orderstatus = 'P')
+    """,
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (§2.3, ABSENT in reference): EXISTS / NOT
+    EXISTS as left_semi + left_anti — no row duplication, the build
+    side reduces to distinct keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    pend = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(pend, c.c_custkey == pend.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )

@@ -1,0 +1,297 @@
+"""Deduplication queries over ``documents`` — the training-data-
+pipeline extension surface (exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine).
+
+Scale design (the point of each variant):
+- exact:        one hash-groupBy shuffle; the hash key (md5) is
+                computed map-side so the shuffle carries 32 bytes +
+                ids, not document bodies.
+- ngram-jaccard: brute-force pairwise — quadratic, but blocked by a
+                cheap key (lang) so block sizes bound the n² term.
+                This is the ORACLE-CHECKABLE ground truth; at 100 TB
+                you never run it globally — it's the verifier for
+                candidate pairs produced by LSH.
+- minhash-lsh:  the scale path — shingle → 128-perm signature →
+                16 bands × 8 rows → bucket join. Cost is linear in
+                corpus size + candidate pairs; only signatures
+                (128×8B) shuffle, never documents.
+- simhash:      64→32-bit fingerprint; near-dup = small Hamming
+                distance. Signature build is one scan; the pair
+                stage here is blocked brute-force (the scale path
+                buckets by 4 rotated bit-chunks — pigeonhole: any
+                pair within distance 3 shares one chunk).
+- embedding:    cosine ≥ τ within label blocks (at scale: LSH/IVF
+                buckets from ``similarity/``, not labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import simhash as sh
+from ..functions import text as tx
+from ..functions import vectors as vec
+from ..sources.catalog import table
+from .registry import register
+
+SHINGLE_K = 5
+JACCARD_THRESHOLD = 0.7
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(tx.content_hash(F.col("text"), normalize=False).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after case/whitespace normalization — catches the
+    trivial near-dups (copy-paste with reflowed whitespace)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(tx.content_hash(F.col("text"), normalize=True).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS n_union
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+    FROM pairs
+    WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs: exact Jaccard over character
+    5-gram shingle sets, blocked by lang. Quadratic within blocks —
+    the verifier, not the scale path (see dedup_minhash_lsh)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    n_inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    n_union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - n_inter
+    jac = F.round(n_inter.cast("double") / n_union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+N_PERM = 128
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the 100 TB scale path.
+
+    Pipeline (all narrow until the bucket join):
+      1. shingle: distinct char 5-grams per doc (array column, no
+         explode);
+      2. signature: 128 minhashes — ``hash(shingle, i)`` seeds i=0..127
+         act as the permutation family, ``array_min`` per seed;
+      3. banding: 16 bands × 8 rows, band key = hash(slice);
+      4. candidate pairs: posexplode bands → shuffle on (band, key)
+         — ONLY (doc_id, band_hash) shuffles, never text;
+      5. verify: exact Jaccard on the candidates (same formula as
+         dedup_ngram_jaccard), keep pairs ≥ 0.7.
+
+    Detection probability at j=0.9 with b=16, r=8:
+    1-(1-0.9^8)^16 ≈ 0.9999. No SQL oracle (Spark's murmur3 seed
+    family has no DuckDB equivalent) — the brute-force
+    dedup_ngram_jaccard carries the value-level check of the same
+    output contract; unit tests assert LSH ⊆ brute-force and recall
+    on planted dups.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.hash(s, i))),
+    )
+    banded = (
+        d.withColumn("sig", sig)
+        .select(
+            "doc_id",
+            "shingles",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                    lambda b: F.hash(F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
+                )
+            ).alias("band", "band_key"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    jac = F.round(n_inter.cast("double") / n_union, 6)
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+HAMMING_THRESHOLD = 6
+
+
+def _simhash_sql(dialect: str) -> str:
+    toks = sh.tokens_expr(dialect)
+    sigs = sh.token_sigs_expr(dialect, "tokens")
+    return toks, sigs, sh.simhash_expr(dialect, "tok_sigs")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {sh.tokens_expr('duckdb')} AS tokens FROM documents
+    ), sigs AS (
+        SELECT doc_id, lang, {sh.token_sigs_expr('duckdb', 'tokens')} AS tok_sigs FROM toks
+    ), hashes AS (
+        SELECT doc_id, lang, {sh.simhash_expr('duckdb', 'tok_sigs')} AS simhash FROM sigs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({sh.hamming_expr('duckdb', 'a.simhash', 'b.simhash')} AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {sh.hamming_expr('duckdb', 'a.simhash', 'b.simhash')} <= {HAMMING_THRESHOLD}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit md5-nibble simhash (see
+    ``functions/simhash.py`` — one generator emits both dialects, so
+    this probabilistic-looking operator is still exactly oracle-
+    checked), pairs within Hamming distance ≤ 6, lang-blocked."""
+    d = table(spark, sf_dir, "documents")
+    hashes = (
+        d.withColumn("tokens", F.expr(sh.tokens_expr("spark")))
+        .withColumn("tok_sigs", F.expr(sh.token_sigs_expr("spark", "tokens")))
+        .select("doc_id", "lang", F.expr(sh.simhash_expr("spark", "tok_sigs")).alias("simhash"))
+    )
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    hamming = F.expr(sh.hamming_expr("spark", "a.simhash", "b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+COSINE_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ within label blocks
+    (labels stand in for LSH buckets at test scale; the unblocked
+    scale path is ``similarity/knn.py``'s LSH bucketing). Cosine is
+    a zip_with/aggregate fold in doubles — JVM-side, same fold order
+    as DuckDB's list_cosine_similarity."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec.as_double(F.col("embedding")).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(vec.cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

@@ -1,0 +1,211 @@
+"""Event-stream queries — batch forms of the streaming surface
+(SURVEY.md §2.10) over the ``events`` table.
+
+The reference's only genuinely stateful code is the GreilFS
+heartbeat/liveness loop (``Server/managers.py:44-62``,
+``Client/managers.py:22-37``). Its semantics — per-key last-seen
+tracking with a silence timeout — are expressed here in batch form
+(same plan works incrementally under Structured Streaming; the
+streaming variants live in ``streaming/heartbeat.py`` and are
+exercised by tests with ``Trigger.availableNow``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import table
+from .registry import register
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (1h). In streaming form this is
+    ``withWatermark('ts', ...).groupBy(window('ts', '1 hour'), ...)``
+    — identical results on complete data; the batch form uses
+    date_trunc so the oracle matches scalar-for-scalar."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "heartbeat_liveness",
+    oracle="""
+    WITH beats AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    last_seen AS (
+        SELECT user_id AS node, max(ts) AS last_ts, count(*) AS n_beats
+        FROM beats GROUP BY user_id
+    ), horizon AS (SELECT max(ts) AS now_ts FROM beats)
+    SELECT node, last_ts, n_beats,
+           CASE WHEN last_ts < now_ts - INTERVAL 72 HOURS THEN 'Dead' ELSE 'Alive' END AS status
+    FROM last_seen, horizon
+    """,
+)
+def heartbeat_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 liveness monitor, batch form: per-node last-seen + timeout
+    classification (node ≙ user_id, timeout scaled from the
+    reference's 25 s silence threshold, ``Server/managers.py:54``,
+    to the testdata's event cadence).
+
+    The watermark horizon is max(ts) — a scalar aggregate joined
+    back via a 1-row broadcast cross join, not a driver collect.
+    Streaming form: ``streaming/heartbeat.py`` keeps the same state
+    per key with ``applyInPandasWithState`` timeouts.
+    """
+    e = table(spark, sf_dir, "events")
+    last_seen = e.groupBy(F.col("user_id").alias("node")).agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_beats")
+    )
+    horizon = e.agg(F.max("ts").alias("now_ts"))
+    return (
+        last_seen.join(F.broadcast(horizon))
+        .select(
+            "node",
+            "last_ts",
+            "n_beats",
+            F.when(
+                F.col("last_ts") < F.col("now_ts") - F.expr("INTERVAL 72 HOURS"),
+                F.lit("Dead"),
+            )
+            .otherwise(F.lit("Alive"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) in batch form: the
+    lag-gap-flag + running-sum idiom. One shuffle on user_id serves
+    both window functions and the final per-session aggregate.
+    Streaming equivalent: ``session_window('ts', '30 minutes')``.
+
+    Ordering tie-break on (ts, event_id) keeps lag() deterministic
+    when two events share a timestamp.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new_session").over(run))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+        )
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
+    FROM (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup by key: the standard CDC/compaction
+    primitive (row_number() = 1 per key, ordered by recency). At
+    scale this is one shuffle on the key; AQE handles skewed keys."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "events_sliding_rate",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS events_last_hour
+    FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-rate: per-user count of errors in the trailing
+    hour (RANGE interval window) — the alerting-style sliding window
+    from §2.10's mapping table."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )

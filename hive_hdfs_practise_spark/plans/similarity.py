@@ -1,0 +1,181 @@
+"""Similarity-search queries over ``embeddings``.
+
+Brute-force top-k is the correctness baseline (oracle-checked); the
+LSH-bucketed variant is the scale path — at 100 TB you never score
+all N vectors per query, you score one bucket's worth. Both keep
+vector math in JVM higher-order functions (no UDF, no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors as vec
+from ..sources.catalog import table
+from .registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+@register(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+         scored AS (
+           SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+           FROM embeddings e, q
+           WHERE e.vec_id <> {QUERY_VEC_ID}
+         )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: broadcast the 1-row query vector against all
+    candidates, score with a zip_with/aggregate dot-product fold,
+    TakeOrderedAndProject for the top-k (no global sort — each
+    partition keeps k rows). This plan shape is exactly how a scoped
+    ANN verify pass runs at scale."""
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(vec.as_double(F.col("embedding")).alias("qv"))
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+N_PLANES = 8
+
+
+def _hyperplanes_df(spark: SparkSession, dim: int):
+    """Deterministic pseudo-random hyperplanes: component c of plane p
+    is derived from md5(p:c) → uniform in [-1, 1). No RNG state, so
+    the bucketing is reproducible across runs/engines."""
+    rows = []
+    import hashlib
+
+    for p in range(N_PLANES):
+        comps = []
+        for c in range(dim):
+            h = hashlib.md5(f"{p}:{c}".encode()).hexdigest()
+            comps.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        rows.append((p, comps))
+    return spark.createDataFrame(rows, "plane_id INT, plane ARRAY<DOUBLE>")
+
+
+@register("knn_lsh_bucketed")
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (SimHash-for-vectors):
+
+      1. 8 deterministic hyperplanes → 8 sign bits → 256 buckets;
+      2. probe = the query vector's bucket;
+      3. exact cosine ONLY within the probe bucket, top-k.
+
+    At scale the signature step is one narrow map over the corpus
+    (persisted/bucketed by signature), and each query touches
+    ~N/256 of the data; multi-probe (flip lowest-margin bits) trades
+    recall vs cost. No oracle — recall is probabilistic by design;
+    unit tests assert bucket determinism and that returned
+    neighbors are a subset of the brute-force ranking.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").head()[0])
+    planes = _hyperplanes_df(spark, dim)
+
+    # bucket id: fold the ordered sign bits into an int (bit p =
+    # sign(v · plane_p), bits ordered by plane_id).
+    def bucket_of(bits):
+        return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+    with_bits = (
+        e.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "embedding",
+            "plane_id",
+            F.when(
+                vec.dot(vec.as_double(F.col("embedding")), F.col("plane")) >= 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                lambda s: s["bit"],
+            ).alias("bits")
+        )
+        .withColumn("bucket", bucket_of(F.col("bits")))
+        .drop("bits")
+    )
+    probe = (
+        with_bits.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("bucket").alias("probe_bucket"),
+            vec.as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    return (
+        with_bits.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("probe_bucket"))
+        .select(
+            "vec_id",
+            F.round(
+                vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH comps AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    )
+    SELECT label,
+           CAST(count(*) / 64 AS BIGINT) AS n_vectors,
+           round(sqrt(sum(c * c)), 6) AS centroid_norm
+    FROM comps
+    GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) — the IVF coarse-
+    quantizer build step. posexplode → (label, dim) partial means →
+    reassemble; emitted as (label, n, ||centroid||) for the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    comps = (
+        e.select(
+            "label", F.posexplode(vec.as_double(F.col("embedding"))).alias("i0", "x")
+        )
+        .groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(F.avg("x").alias("c"))
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            (F.count(F.lit(1)) / 64).cast("bigint").alias("n_vectors"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+        )
+    )

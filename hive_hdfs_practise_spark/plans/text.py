@@ -1,0 +1,204 @@
+"""Text-analysis queries over ``documents`` (training-data-pipeline
+surface: token stats, quality scoring, language ID, fingerprinting,
+word frequencies).
+
+Every expression is a JVM-side built-in composition from
+``functions/text.py``; the oracle strings restate the identical
+computation in DuckDB (both engines implement md5, instr, regexp
+counts and higher-order list functions with matching semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..sources.catalog import table
+from .registry import register
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, len(text) AS text_len,
+               regexp_extract_all(trim(text), '\S+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id, text_len, n_chars,
+           len(tokens) AS n_tokens,
+           round(CAST(coalesce(list_sum([len(t) for t in tokens]), 0) AS DOUBLE)
+                 / greatest(len(tokens), 1), 4) AS mean_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenization)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            total_len.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(trim(text), '\S+')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish segmentation (letter
+    runs / digit runs / single symbols) — the cheap LLM-token-count
+    proxy, one regexp_count scan."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        tx.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+    )
+
+
+def _quality_oracle() -> str:
+    """DuckDB restatement of functions/text.py::quality_score."""
+    stop_list = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS tokens,
+               regexp_extract_all(lower(trim(text)), '\S+') AS ltokens,
+               len(text) AS n,
+               len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CASE WHEN len(tokens) > 0
+                    THEN CAST(coalesce(list_sum([len(t) for t in tokens]), 0) AS DOUBLE) / len(tokens)
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN len(ltokens) > 0
+                    THEN CAST(len(list_filter(ltokens, t -> t IN ({stop_list}))) AS DOUBLE) / len(ltokens)
+                    ELSE 0.0 END AS sw_ratio,
+               CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n ELSE 0.0 END AS p_ratio,
+               CASE WHEN n > 0 THEN CAST(n_digit AS DOUBLE) / n ELSE 0.0 END AS d_ratio
+        FROM toks
+    )
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (CASE WHEN sw_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - least(p_ratio * 5.0, 1.0))
+               + 0.2 * (1.0 - least(d_ratio * 5.0, 1.0)), 4) AS quality
+    FROM feat
+    """
+
+
+@register("text_quality_score", oracle=_quality_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (Gopher/C4-rule spirit): mean
+    token length window + stopword presence + punctuation/digit
+    density penalties → [0,1]."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    score_sql = {}
+    for lang, markers in tx.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_sql[lang] = (
+            f"len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'), t -> t IN ({lst})))"
+        )
+    score_sql["zh"] = "len(regexp_extract_all(text, '[一-鿿]')) * 3"
+    cols = ",\n               ".join(f"{sql} AS s_{lang}" for lang, sql in sorted(score_sql.items()))
+    names = [f"s_{lang}" for lang in sorted(score_sql)]
+    top = f"greatest({', '.join(names)})"
+    case = "'und'"
+    for lang in reversed(tx.LANG_PRIORITY):
+        case = f"CASE WHEN s_{lang} = top THEN '{lang}' ELSE {case} END"
+    return f"""
+    WITH scores AS (
+        SELECT doc_id, lang AS lang_label,
+               {cols}
+        FROM documents
+    ), top AS (
+        SELECT *, {top} AS top FROM scores
+    )
+    SELECT doc_id, lang_label,
+           CASE WHEN top > 0 THEN {case} ELSE 'und' END AS lang_pred
+    FROM top
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-stopword/CJK-codepoint scoring with a
+    deterministic argmax (chained CASE, tie priority zh>en>de>es>fr)
+    — the n-gram-heuristic stand-in for a real fastText model, kept
+    oracle-expressible."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
+           list_min([md5(substring(text, x, 5))
+                     for x in generate_series(1, greatest(len(text) - 4, 0))]) AS min_shingle_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized content hash + min-shingle
+    hash (1-permutation MinHash — robust to local edits the way a
+    rolling-hash winnow is)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.content_hash(F.col("text")).alias("content_md5"),
+        tx.minhash_fingerprint(F.col("text"), 5).alias("min_shingle_md5"),
+    )
+
+
+@register(
+    "word_freq_topk",
+    oracle=r"""
+    SELECT word, n
+    FROM (
+        SELECT t.word AS word, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, t.word) AS rn
+        FROM documents, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS t(word)
+        GROUP BY t.word
+    )
+    WHERE rn <= 20
+    """,
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word frequencies, top 20 (explode → two-stage
+    hash aggregate; partial aggregation caps the shuffle at
+    |vocab| × partitions, not |tokens|)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )

@@ -1,0 +1,67 @@
+"""Table catalog over the driver-provided parquet testdata.
+
+Reference parity: the reference's only "catalog" is three Hive text
+tables created by ``Codes/database_init/create_table.sql:1-39`` and
+scanned via Impala (``DatabaseAccessor.py:94-115``). Here the
+canonical storage is Parquet (columnar — min/max row-group skipping,
+column pruning for free) and the catalog is a thin loader; at cluster
+scale these would be ``saveAsTable``-managed tables with partition
+columns, see ``sources/tsv.py`` for the ingest path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+# parquet reader rejects. Reading with an explicit LongType schema takes the
+# raw INT64 nanos (works regardless of session conf — important because the
+# driver supplies its own SparkSession), then integer-div to micros. The
+# truncation matches DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) semantics, so
+# oracles stay value-exact.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table (S1). Plain ``spark.read.parquet`` so Catalyst
+    can push filters/projections into the scan."""
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can be written in
+    either DataFrame or SQL form (same Catalyst plan either way)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
