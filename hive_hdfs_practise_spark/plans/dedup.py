@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..dedup import minhash as mh
 from ..functions import simhash as sh
 from ..functions import text as tx
 from ..functions import vectors as vec
@@ -132,6 +133,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 128 permutations in 16 bands × 8 rows. Detection probability
+# 1-(1-j^8)^16 ≈ 0.9999 at j=0.9. Band length r=8 matters as much as
+# recall: r=4 was measured to EXPLODE candidate counts 1000× on a
+# shared-vocabulary corpus (mid-Jaccard pairs collide at j^4 per
+# band → quadratic bucket joins); r=8 keeps buckets near-singleton
+# while exact verification downstream removes any false positives.
 N_PERM = 128
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -153,31 +160,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          dedup_ngram_jaccard), keep pairs ≥ 0.7.
 
     Detection probability at j=0.9 with b=16, r=8:
-    1-(1-0.9^8)^16 ≈ 0.9999. No SQL oracle (Spark's murmur3 seed
+    1-(1-0.9^8)^16 ≈ 0.9999. No SQL oracle (the xxhash64/permutation
     family has no DuckDB equivalent) — the brute-force
     dedup_ngram_jaccard carries the value-level check of the same
     output contract; unit tests assert LSH ⊆ brute-force and recall
-    on planted dups.
+    on planted dups. Signature construction hashes each shingle
+    once (see ``dedup/minhash.py``).
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.hash(s, i))),
-    )
-    banded = (
-        d.withColumn("sig", sig)
-        .select(
-            "doc_id",
-            "shingles",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                    lambda b: F.hash(F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
-                )
-            ).alias("band", "band_key"),
-        )
+    sigs = mh.minhash_signature_df(d, ["doc_id"], "shingles", N_PERM)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias(
+            "band", "band_key"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -188,30 +186,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    # verify candidates against exact shingle Jaccard. The joins
+    # carry raw text and shingling happens AFTER both joins, so the
+    # (expensive) shingle arrays are built only for rows that
+    # survived candidate matching — the candidate set is tiny
+    # relative to the corpus, and AQE broadcasts it.
+    docs = table(spark, sf_dir, "documents")
+    txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    sh_a = tx.char_shingles(F.col("text_a"), SHINGLE_K)
+    sh_b = tx.char_shingles(F.col("text_b"), SHINGLE_K)
+    n_inter = F.size(F.array_intersect(sh_a, sh_b))
+    n_union = F.size(sh_a) + F.size(sh_b) - n_inter
     jac = F.round(n_inter.cast("double") / n_union, 6)
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(txt_a, "doc_a")
+        .join(txt_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
 HAMMING_THRESHOLD = 6
-
-
-def _simhash_sql(dialect: str) -> str:
-    toks = sh.tokens_expr(dialect)
-    sigs = sh.token_sigs_expr(dialect, "tokens")
-    return toks, sigs, sh.simhash_expr(dialect, "tok_sigs")
 
 
 @register(
