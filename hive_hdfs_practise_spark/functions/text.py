@@ -41,23 +41,35 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams via transform over an index
-    sequence — no explode, stays one row per document."""
-    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
-    )
+    sequence — no explode, stays one row per document.
+
+    NB: texts shorter than k yield an EMPTY array. The guard is
+    required because Spark's ``sequence(1, 0)`` produces the
+    DESCENDING sequence [1, 0] (DuckDB's generate_series(1,0) is
+    empty) — without it short texts get phantom shingles."""
+    n = F.length(col) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (space-joined)."""
+    """Distinct word k-grams (space-joined); fewer than k tokens →
+    empty array (same sequence(1,0) guard as char_shingles)."""
     toks = tokens(col)
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    n = F.size(toks) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Quality / stats -------------------------------------------------------------

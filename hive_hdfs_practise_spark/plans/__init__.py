@@ -18,3 +18,5 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import chunks  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
+from . import streaming_plans  # noqa: F401,E402

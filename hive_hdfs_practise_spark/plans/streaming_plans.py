@@ -1,0 +1,62 @@
+"""Genuine Structured Streaming plans run via Trigger.availableNow.
+
+These execute a real streaming query (micro-batch engine, streaming
+state, watermark) over the events parquet as a bounded stream and
+return the sink table. Rows-only checks (the micro-batch engine's
+semantics aren't ANSI-SQL-expressible per se) — but their BATCH
+twins in plans/events.py are fully oracle-checked, and unit tests
+assert stream == batch on complete data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import _EVENTS_RAW_SCHEMA
+from ..streaming.heartbeat import liveness_transitions
+from ..streaming.windows import run_available_now, tumbling_counts
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file-stream source requires a DIRECTORY; stage a link to the
+    # (read-only) events parquet under /tmp once per sf_dir.
+    import os
+
+    stage = f"/tmp/spark_graft_stream/{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register("stream_hourly_tumbling")
+def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_hourly_tumbling plan executed BY THE STREAMING
+    ENGINE: readStream → watermark → window agg → availableNow →
+    memory sink. On bounded input this must equal the batch twin
+    (asserted in tests/test_streaming.py)."""
+    stream = _events_stream(spark, sf_dir)
+    out = tumbling_counts(stream, "1 hour", "2 hours")
+    return run_available_now(out, "stream_hourly_tumbling", "complete").select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@register("stream_liveness_transitions")
+def stream_liveness_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 as a real stateful stream: applyInPandasWithState over
+    per-node heartbeats (node ≙ user_id), emitting Alive/Dead
+    transitions. Event-time timeouts (72 h, matching the batch twin
+    heartbeat_liveness) — deterministic on bounded input: every node
+    emits its initial Alive; nodes silent >72 h before the final
+    watermark emit Dead."""
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("node"), F.col("ts").alias("event_ts")
+    )
+    out = liveness_transitions(stream, timeout_ms=72 * 3600 * 1000, time_mode="event")
+    return run_available_now(out, "stream_liveness_transitions", "append")

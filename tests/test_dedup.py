@@ -1,0 +1,117 @@
+"""Dedup operator tests with PLANTED duplicates (the driver corpus
+has none at small SF, so recall is asserted on fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.dedup.minhash import lsh_bands, minhash_signature_df
+from hive_hdfs_practise_spark.functions import text as tx
+from hive_hdfs_practise_spark import plans
+
+BASE = (
+    "spark shuffles data across the cluster when a wide dependency requires "
+    "repartitioning by key and the optimizer cannot avoid the exchange"
+)
+NEAR = BASE.replace("cluster", "cluster nodes")  # tiny edit → high jaccard
+FAR = "completely different text about storage replication and heartbeats"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),
+        (1, BASE, "en", "s1", len(BASE)),        # exact dup of 0
+        (2, NEAR, "en", "s2", len(NEAR)),        # near dup of 0
+        (3, FAR, "en", "s3", len(FAR)),
+        (4, "  " + BASE.upper() + "  ", "en", "s4", len(BASE)),  # normalized dup
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+
+
+class TestExact:
+    def test_exact_groups(self, docs):
+        g = (
+            docs.groupBy(tx.content_hash(F.col("text"), normalize=False).alias("h"))
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .collect()
+        )
+        groups = {frozenset(r.ids) for r in g}
+        assert frozenset({0, 1}) in groups  # exact dups collapse
+        assert frozenset({4}) in groups     # case/space variant does NOT
+
+    def test_normalized_catches_case_and_space(self, docs):
+        g = (
+            docs.groupBy(tx.content_hash(F.col("text"), normalize=True).alias("h"))
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .collect()
+        )
+        groups = {frozenset(r.ids) for r in g}
+        assert frozenset({0, 1, 4}) in groups
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self, docs):
+        d = docs.select("doc_id", tx.char_shingles(F.col("text"), 5).alias("shingles"))
+        sigs = {r.doc_id: r.sig for r in minhash_signature_df(d, ["doc_id"]).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+        # near-dup signatures agree on most permutations (j≈0.95)
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / len(sigs[0])
+        assert agree > 0.7
+
+    def test_bands_collide_for_near_dups(self, docs):
+        d = docs.select("doc_id", tx.char_shingles(F.col("text"), 5).alias("shingles"))
+        sigs = minhash_signature_df(d, ["doc_id"])
+        bands = {
+            r.doc_id: r.b
+            for r in sigs.select(
+                "doc_id", lsh_bands(F.col("sig"), 16, 8).alias("b")
+            ).collect()
+        }
+        assert any(x == y for x, y in zip(bands[0], bands[2]))  # ≥1 shared band
+        assert not any(x == y for x, y in zip(bands[0], bands[3]))
+
+    def test_lsh_pairs_subset_of_bruteforce(self, spark, tmp_path):
+        # LSH candidates (verified ≥ threshold) ⊆ brute-force pairs on
+        # the driver corpus at sf0.001, restricted to same-lang blocks
+        # (brute force blocks by lang; LSH is global).
+        sf = "/root/testdata/sf0.001"
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+        }
+        brute = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+        }
+        langs = dict(
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "lang")
+            .rdd.map(lambda r: (r.doc_id, r.lang))
+            .collect()
+        )
+        lsh_same_lang = {p for p in lsh if langs[p[0]] == langs[p[1]]}
+        assert lsh_same_lang == brute  # same threshold, full recall here
+
+
+class TestSimhash:
+    def test_near_dups_have_small_hamming(self, spark, docs):
+        docs.createOrReplaceTempView("documents")
+        from hive_hdfs_practise_spark.functions import simhash as sh
+
+        hashes = (
+            docs.withColumn("tokens", F.expr(sh.tokens_expr("spark")))
+            .withColumn("tok_sigs", F.expr(sh.token_sigs_expr("spark", "tokens")))
+            .select(
+                "doc_id",
+                F.expr(sh.simhash_expr("spark", "tok_sigs")).alias("simhash"),
+            )
+        )
+        h = {r.doc_id: r.simhash for r in hashes.collect()}
+        assert h[0] == h[1]  # identical text → identical simhash
+        assert bin(h[0] ^ h[2]).count("1") <= 6   # near dup → small distance
+        assert bin(h[0] ^ h[3]).count("1") > 6    # unrelated → large

@@ -1,0 +1,70 @@
+"""Driver-contract tests: entry smoke, registry consistency, and the
+sf0.001 oracle sweep (the cheap version of tools/check_oracle.py so
+plain pytest catches parity regressions)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# quadratic verifier + slow-by-design queries excluded from the
+# in-test sweep (covered by tools/check_oracle.py pre-commit)
+SWEEP_SKIP = {"dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh"}
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.schema) == 10
+
+
+def test_every_oracle_has_query():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 40
+
+
+def test_queries_callable_shape(spark):
+    df = E.queries()["customer_count"](spark, SF)
+    assert df.collect()[0].n_customers > 0
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(E.oracle_sql()) - SWEEP_SKIP)
+)
+def test_oracle_parity(spark, name):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sdf = E.queries()[name](spark, SF)
+    res = con.execute(E.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(sdf.columns) == sorted(ocols), "column names must match"
+    assert len(srows) == len(orows), "row count mismatch"
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            (
+                tuple(
+                    round(r[i], 9) if isinstance(r[i], float) else r[i]
+                    for i in order
+                )
+                for r in rows
+            ),
+            key=repr,
+        )
+
+    assert norm(srows, sdf.columns) == norm(orows, ocols)

@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force kNN against numpy ground
+truth; LSH bucketing determinism + subset property."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark import plans
+from hive_hdfs_practise_spark.functions import vectors as vec
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestVectorFunctions:
+    def test_cosine_matches_numpy(self, spark):
+        a, b = [1.0, 2.0, 3.0], [-1.0, 0.5, 2.0]
+        df = spark.createDataFrame([(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+        got = df.select(vec.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+        want = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(got - want) < 1e-12
+
+    def test_zero_vector_cosine_is_zero(self, spark):
+        df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+        assert df.select(vec.cosine(F.col("a"), F.col("b"))).collect()[0][0] == 0.0
+
+    def test_normalize_unit_norm(self, spark):
+        df = spark.createDataFrame([([3.0, 4.0],)], "a ARRAY<DOUBLE>")
+        out = df.select(vec.norm(vec.normalize(F.col("a"))).alias("n")).collect()[0].n
+        assert abs(out - 1.0) < 1e-12
+
+
+class TestKnn:
+    def test_brute_force_matches_numpy(self, spark, emb):
+        rows = emb.collect()
+        M = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        q = M[0]
+        scores = {
+            vid: float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in M.items()
+            if vid != 0
+        }
+        want = [v for v, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+        got = [r.vec_id for r in plans.QUERIES["knn_brute_cosine"](spark, SF).collect()]
+        assert got == want
+
+    def test_lsh_results_subset_of_brute_ranking(self, spark, emb):
+        got = plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()
+        brute = {
+            r.vec_id: r.cosine
+            for r in plans.QUERIES["knn_brute_cosine"](spark, SF).collect()
+        }
+        # every LSH hit scores exactly what brute force scores it
+        rows = emb.collect()
+        M = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        q = M[0]
+        for r in got:
+            want = float(np.dot(M[r.vec_id], q) / (np.linalg.norm(M[r.vec_id]) * np.linalg.norm(q)))
+            assert abs(r.cosine - round(want, 6)) < 1e-6
+
+    def test_lsh_bucketing_deterministic(self, spark):
+        a = {r.vec_id for r in plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()}
+        b = {r.vec_id for r in plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()}
+        assert a == b

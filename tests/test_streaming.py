@@ -1,0 +1,82 @@
+"""Structured Streaming tests (SURVEY.md §2.10): stream == batch on
+bounded data; liveness transitions with a planted dead node."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark import plans
+from hive_hdfs_practise_spark.sources.catalog import table
+from hive_hdfs_practise_spark.streaming.heartbeat import (
+    liveness_snapshot,
+    liveness_transitions,
+)
+from hive_hdfs_practise_spark.streaming.windows import (
+    run_available_now,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestStreamBatchParity:
+    def test_stream_tumbling_equals_batch(self, spark):
+        stream_rows = {
+            (r.window_start, r.event_type, r.n_events, r.total_value)
+            for r in plans.QUERIES["stream_hourly_tumbling"](spark, SF).collect()
+        }
+        batch_rows = {
+            (r.window_start, r.event_type, r.n_events, r.total_value)
+            for r in plans.QUERIES["events_hourly_tumbling"](spark, SF).collect()
+        }
+        assert stream_rows == batch_rows
+
+    def test_batch_tumbling_builder_on_static_df(self, spark):
+        ev = table(spark, SF, "events")
+        got = tumbling_counts(ev).collect()
+        assert len(got) > 0
+        assert all(r.window_end > r.window_start for r in got)
+
+
+class TestLiveness:
+    @pytest.fixture()
+    def staged(self, spark, tmp_path):
+        rows = [
+            ("dn1", "2024-01-01 00:00:00"),
+            ("dn1", "2024-01-01 00:00:20"),
+            ("dn1", "2024-01-01 00:00:40"),
+            ("dn2", "2024-01-01 00:00:00"),
+            # dn2 goes silent: > 25 s before dn1's last beat
+            ("dn1", "2024-01-01 00:01:00"),
+        ]
+        df = spark.createDataFrame(rows, "node STRING, ts STRING").select(
+            "node", F.to_timestamp("ts").alias("event_ts")
+        )
+        path = str(tmp_path / "beats")
+        df.coalesce(1).write.parquet(path)
+        return path
+
+    def test_snapshot_classifies_silent_node_dead(self, spark, staged):
+        beats = spark.read.parquet(staged)
+        status = {r.node: r.status for r in liveness_snapshot(beats, 25).collect()}
+        assert status == {"dn1": "Alive", "dn2": "Dead"}
+
+    def test_stream_transitions_event_time(self, spark, staged):
+        stream = spark.readStream.schema("node STRING, event_ts TIMESTAMP").parquet(
+            staged
+        )
+        out = liveness_transitions(stream, timeout_ms=25_000, time_mode="event")
+        got = run_available_now(out, "t_liveness_fixture", "append").collect()
+        by_node = {}
+        for r in got:
+            by_node.setdefault(r.node, []).append(r.status)
+        # both nodes come alive; dn2's silence crosses the event-time
+        # timeout when the watermark reaches dn1's last beat
+        assert by_node["dn1"] == ["Alive"]
+        assert by_node["dn2"] == ["Alive", "Dead"]
+
+    def test_stream_plan_runs_on_driver_corpus(self, spark):
+        rows = plans.QUERIES["stream_liveness_transitions"](spark, SF).collect()
+        assert len(rows) >= 15  # every node emits at least its Alive
+        assert {r.status for r in rows} <= {"Alive", "Dead"}

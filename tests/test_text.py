@@ -1,0 +1,80 @@
+"""Text-analysis function tests: deterministic values on known
+inputs (the oracle check covers engine parity; these pin semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.functions import text as tx
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+class TestTokens:
+    def test_token_count_ignores_extra_whitespace(self, spark):
+        assert _one(spark, "  a  b\t c\n", tx.token_count(F.col("text"))) == 3
+
+    def test_empty_string_zero_tokens(self, spark):
+        assert _one(spark, "", tx.token_count(F.col("text"))) == 0
+
+    def test_bpe_ish_segments(self, spark):
+        # "Hi, there! 42" → Hi , there ! 42
+        assert _one(spark, "Hi, there! 42", tx.bpe_ish_token_count(F.col("text"))) == 5
+
+
+class TestShingles:
+    def test_char_shingles_distinct_and_count(self, spark):
+        got = _one(spark, "abcabc", tx.char_shingles(F.col("text"), 3))
+        assert sorted(got) == ["abc", "bca", "cab"]
+
+    def test_short_text_no_shingles(self, spark):
+        assert _one(spark, "ab", tx.char_shingles(F.col("text"), 5)) == []
+
+
+class TestLangId:
+    def test_english(self, spark):
+        assert _one(spark, "the cat and the dog is here", tx.lang_id(F.col("text"))) == "en"
+
+    def test_german(self, spark):
+        assert _one(spark, "der hund und die katze ist nicht da", tx.lang_id(F.col("text"))) == "de"
+
+    def test_chinese_codepoints_dominate(self, spark):
+        assert _one(spark, "这是一个中文句子", tx.lang_id(F.col("text"))) == "zh"
+
+    def test_no_markers_und(self, spark):
+        assert _one(spark, "xyzzy plugh 12345", tx.lang_id(F.col("text"))) == "und"
+
+
+class TestQuality:
+    def test_clean_prose_scores_high(self, spark):
+        v = _one(
+            spark,
+            "the quick brown fox jumps over the lazy dog and keeps running for a while",
+            tx.quality_score(F.col("text")),
+        )
+        assert v >= 0.9
+
+    def test_garbage_scores_low(self, spark):
+        v = _one(spark, "!!! ### 123 456 789 $$$ %%%", tx.quality_score(F.col("text")))
+        assert v <= 0.45
+
+    def test_bounds(self, spark):
+        for t in ["", "a", "the the the", "....", "12 34"]:
+            v = _one(spark, t, tx.quality_score(F.col("text")))
+            assert 0.0 <= v <= 1.0
+
+
+class TestFingerprint:
+    def test_stable_under_whitespace_noise(self, spark):
+        a = _one(spark, "hello world example", tx.content_hash(F.col("text")))
+        b = _one(spark, "  Hello   WORLD    example ", tx.content_hash(F.col("text")))
+        assert a == b
+
+    def test_min_shingle_robust_to_suffix_edit(self, spark):
+        # min-shingle fingerprint usually survives a trailing edit
+        a = _one(spark, "abcdefghijklmnop", tx.minhash_fingerprint(F.col("text"), 5))
+        b = _one(spark, "abcdefghijklmnoX", tx.minhash_fingerprint(F.col("text"), 5))
+        assert a is not None and b is not None
