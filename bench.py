@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "word_freq_topk",
+    "text_tfidf_topk",
+    "events_asof_join",
+    "multimodal_decode_stub",
     "chunks_ordered_reassembly",
     "replication_audit",
 ]

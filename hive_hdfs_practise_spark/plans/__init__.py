@@ -20,3 +20,4 @@ from . import text  # noqa: F401,E402
 from . import chunks  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import streaming_plans  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402
