@@ -21,3 +21,4 @@ from . import chunks  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import streaming_plans  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
+from . import scalars  # noqa: F401,E402

@@ -10,7 +10,11 @@ correctness gate sorts result columns by name and compares row-count
   DuckDB sum floats in different orders; rounding removes the
   last-ulp nondeterminism without weakening the check);
 - oracle-side integer functions are cast to match Spark's types
-  (e.g. DuckDB ``year()`` returns BIGINT, Spark's returns INT).
+  (e.g. DuckDB ``year()`` returns BIGINT, Spark's returns INT);
+- double→int casts: Spark TRUNCATES, DuckDB ROUNDS — oracles use
+  ``CAST(trunc(x) AS ...)``; and Spark's ``sequence(1, 0)`` is the
+  DESCENDING [1,0] where DuckDB's generate_series(1,0) is empty —
+  guard any dynamic-length sequence.
 
 Queries whose semantics are not ANSI-SQL-expressible (stateful
 streaming, iterative/approximate algorithms) register without an
