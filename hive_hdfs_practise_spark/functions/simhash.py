@@ -27,17 +27,20 @@ def tokens_expr(dialect: str, text: str = "text") -> str:
     return f"regexp_extract_all(trim({text}), '\\S+')"
 
 
+def token_sig_term(h: str) -> str:
+    """Scalar 32-bit signature of one md5-hex expression (dialect-
+    neutral: instr/substring/CAST behave identically)."""
+    return " + ".join(
+        f"(CAST(instr('{HEX}', substring({h}, {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * p)})"
+        for p in range(BITS // 4)
+    )
+
+
 def token_sigs_expr(dialect: str, tokens: str) -> str:
     """array<bigint>: per-token 32-bit signature from md5 nibbles."""
-    def sig(h: str) -> str:
-        return " + ".join(
-            f"(CAST(instr('{HEX}', substring({h}, {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * p)})"
-            for p in range(BITS // 4)
-        )
-
     if dialect == "spark":
-        return f"transform(transform({tokens}, t -> md5(t)), h -> {sig('h')})"
-    return f"[{sig('md5(t)')} for t in {tokens}]"
+        return f"transform(transform({tokens}, t -> md5(t)), h -> {token_sig_term('h')})"
+    return f"[{token_sig_term('md5(t)')} for t in {tokens}]"
 
 
 def simhash_expr(dialect: str, sigs: str) -> str:

@@ -233,13 +233,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit md5-nibble simhash (see
     ``functions/simhash.py`` — one generator emits both dialects, so
     this probabilistic-looking operator is still exactly oracle-
-    checked), pairs within Hamming distance ≤ 6, lang-blocked."""
+    checked), pairs within Hamming distance ≤ 6, lang-blocked.
+
+    Spark-side shape: explode tokens → one CODEGEN'D scalar
+    md5+nibble sig per token → 32 plain sum() aggregates → assemble
+    bits. Spark evaluates higher-order array lambdas interpreted,
+    so the array-form (aggregate over tok_sigs, as the oracle
+    states it) is ~2× slower — same math, different physical plan.
+    """
     d = table(spark, sf_dir, "documents")
-    hashes = (
-        d.withColumn("tokens", F.expr(sh.tokens_expr("spark")))
-        .withColumn("tok_sigs", F.expr(sh.token_sigs_expr("spark", "tokens")))
-        .select("doc_id", "lang", F.expr(sh.simhash_expr("spark", "tok_sigs")).alias("simhash"))
+    toks = d.select(
+        "doc_id", "lang", F.explode_outer(F.expr(sh.tokens_expr("spark"))).alias("t")
+    ).withColumn("tsig", F.expr(sh.token_sig_term("md5(t)")))
+    counters = toks.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("tsig").isNotNull(),
+                    2 * F.shiftright(F.col("tsig"), j).bitwiseAND(F.lit(1)) - 1,
+                )
+            ).alias(f"c{j}")
+            for j in range(sh.BITS)
+        ]
     )
+    simhash = None
+    for j in range(sh.BITS):
+        bit = F.when(F.coalesce(F.col(f"c{j}"), F.lit(0)) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    hashes = counters.select("doc_id", "lang", simhash.alias("simhash"))
     a = hashes.alias("a")
     b = hashes.alias("b")
     hamming = F.expr(sh.hamming_expr("spark", "a.simhash", "b.simhash"))
