@@ -22,3 +22,4 @@ from . import multimodal  # noqa: F401,E402
 from . import streaming_plans  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
+from . import distinct  # noqa: F401,E402
