@@ -145,6 +145,19 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf")
+def knn_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (8 lists,
+    3 Lloyd iterations, lowest-id seeding) + 2-probe exact search —
+    the index-backed scale path beside the LSH variant. No oracle
+    (iterative quantizer); tests assert determinism and that
+    returned scores equal brute-force scores for the same ids."""
+    from ..similarity.knn import knn_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_ivf(e, QUERY_VEC_ID, TOP_K, nlist=8, nprobe=2)
+
+
 @register(
     "embedding_centroids",
     oracle="""

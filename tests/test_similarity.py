@@ -68,3 +68,32 @@ class TestKnn:
         a = {r.vec_id for r in plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()}
         b = {r.vec_id for r in plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()}
         assert a == b
+
+
+class TestIvf:
+    def test_ivf_scores_match_bruteforce_for_returned_ids(self, spark, emb):
+        import numpy as np
+
+        got = plans.QUERIES["knn_ivf"](spark, SF).collect()
+        assert 1 <= len(got) <= 10
+        rows = emb.collect()
+        M = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        q = M[0]
+        for r in got:
+            want = float(
+                np.dot(M[r.vec_id], q)
+                / (np.linalg.norm(M[r.vec_id]) * np.linalg.norm(q))
+            )
+            assert abs(r.cosine - round(want, 6)) < 1e-6
+
+    def test_ivf_deterministic(self, spark):
+        a = [(r.vec_id, r.cosine) for r in plans.QUERIES["knn_ivf"](spark, SF).collect()]
+        b = [(r.vec_id, r.cosine) for r in plans.QUERIES["knn_ivf"](spark, SF).collect()]
+        assert a == b
+
+    def test_kmeans_centroid_count_and_dim(self, spark, emb):
+        from hive_hdfs_practise_spark.similarity.knn import kmeans_centroids
+
+        cents = kmeans_centroids(emb, nlist=4, iters=2).collect()
+        assert len(cents) <= 4 and len(cents) >= 1
+        assert all(len(c.centroid) == 64 for c in cents)
