@@ -1,0 +1,39 @@
+"""Skew-mitigation operators.
+
+AQE handles skewed JOINS automatically (split oversized partitions);
+skewed AGGREGATION keys still funnel into one task when a single key
+dominates. The classic fix is salting: spread each key over
+``n_salt`` sub-keys, partially aggregate, then merge. Two shuffles,
+but the first one is balanced — wall-clock wins whenever the hottest
+key exceeds ~1/parallelism of the data.
+
+Works for any algebraic aggregate (sum/count/min/max); avg is
+decomposed as sum+count and recombined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    n_salt: int = 16,
+    sum_name: str = "total",
+    count_name: str = "n",
+) -> DataFrame:
+    """groupBy(keys).agg(sum(value), count(*)) via a salted two-stage
+    aggregation. Deterministic salt (hash of the full row's
+    monotonically varying component would be ideal; spark_partition_id
+    is used — any distribution works, correctness never depends on
+    the salt)."""
+    salted = df.withColumn("_salt", F.spark_partition_id() % n_salt)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(value).alias("_ps"), F.count(F.lit(1)).alias("_pc")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_ps").alias(sum_name), F.sum("_pc").alias(count_name)
+    )

@@ -23,3 +23,4 @@ from . import streaming_plans  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import distinct  # noqa: F401,E402
+from . import json_ops  # noqa: F401,E402
