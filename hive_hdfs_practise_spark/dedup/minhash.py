@@ -43,15 +43,30 @@ def minhash_signature_df(
     id_cols: list[str],
     shingles_col: str = "shingles",
     n_perm: int = _N_PERM_DEFAULT,
+    downsample: int = 1,
 ) -> DataFrame:
     """(id_cols..., sig: array<bigint>[n_perm]) per input row.
 
     Documents with an empty shingle set keep an all-P32 sentinel
-    signature (outer-join back) so they never band-collide."""
+    signature (outer-join back) so they never band-collide.
+
+    ``downsample=d`` keeps only shingles whose hash ≡ 0 (mod d)
+    before the permutation mins — winnowing-style sketch-of-a-sketch
+    that cuts the aggregate's input d× while preserving the Jaccard
+    estimate (the sample is hash-uniform, so sampled-set Jaccard
+    concentrates around the true value). Only sound when documents
+    carry ≥ ~10·d shingles; high-similarity pairs survive intact
+    because they share the same sampled subset. Candidates are
+    exact-verified downstream either way."""
     h = F.pmod(F.xxhash64(F.col("_shingle")), F.lit(P32))
     exploded = df.select(
         *id_cols, F.explode_outer(F.col(shingles_col)).alias("_shingle")
     ).withColumn("_h", h)
+    if downsample > 1:
+        # keep the null marker rows (empty docs) so groupBy retains them
+        exploded = exploded.filter(
+            F.col("_h").isNull() | (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
+        )
     mins = [
         F.min(
             F.when(
