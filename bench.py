@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
     "sales_by_year_month",
     "sales_rollup",
     "monthly_sales_ranked",

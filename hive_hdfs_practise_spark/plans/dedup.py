@@ -331,3 +331,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), walk(u, m) AS (
+        SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id,
+           min(m) AS cluster_id,
+           (u = min(m)) AS is_survivor
+    FROM walk GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: near-dup pairs (exact Jaccard ≥ 0.7,
+    lang-blocked — the oracle-expressible pair graph) → connected
+    components via iterative min-label propagation
+    (``dedup/clusters.py``) → survivor marking. The oracle computes
+    the same closure with a recursive CTE — an iterative Spark
+    algorithm, still exactly value-checked."""
+    from ..dedup.clusters import connected_components, dedup_survivors
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_survivors(connected_components(pairs))

@@ -115,3 +115,33 @@ class TestSimhash:
         assert h[0] == h[1]  # identical text → identical simhash
         assert bin(h[0] ^ h[2]).count("1") <= 6   # near dup → small distance
         assert bin(h[0] ^ h[3]).count("1") > 6    # unrelated → large
+
+
+class TestClusters:
+    def test_connected_components_hand_graph(self, spark):
+        from hive_hdfs_practise_spark.dedup.clusters import (
+            connected_components,
+            dedup_survivors,
+        )
+
+        # components: {1,2,3,4} (chain), {10,11}, singleton 20 absent
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
+        )
+        comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        surv = {
+            r.doc_id: r.is_survivor
+            for r in dedup_survivors(connected_components(pairs)).collect()
+        }
+        assert surv == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
+
+    def test_long_chain_converges(self, spark):
+        from hive_hdfs_practise_spark.dedup.clusters import connected_components
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a LONG, doc_b LONG"
+        )
+        comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert set(comp.values()) == {0}
