@@ -60,3 +60,15 @@ def stream_liveness_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = liveness_transitions(stream, timeout_ms=72 * 3600 * 1000, time_mode="event")
     return run_available_now(out, "stream_liveness_transitions", "append")
+
+
+@register("stream_dedup_keys")
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over a key set keeps
+    the first arrival per key across micro-batches (state-backed).
+    Output is the KEY COLUMNS ONLY so the result is deterministic on
+    bounded input (which physical row arrives first is not); equals
+    the batch distinct of the same keys — asserted in tests."""
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    out = stream.dropDuplicates(["user_id", "event_type"])
+    return run_available_now(out, "stream_dedup_keys", "append")

@@ -80,3 +80,16 @@ class TestLiveness:
         rows = plans.QUERIES["stream_liveness_transitions"](spark, SF).collect()
         assert len(rows) >= 15  # every node emits at least its Alive
         assert {r.status for r in rows} <= {"Alive", "Dead"}
+
+
+class TestStreamDedup:
+    def test_stream_dedup_equals_batch_distinct(self, spark):
+        got = {
+            (r.user_id, r.event_type)
+            for r in plans.QUERIES["stream_dedup_keys"](spark, SF).collect()
+        }
+        want = {
+            (r.user_id, r.event_type)
+            for r in table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
+        }
+        assert got == want
