@@ -24,3 +24,4 @@ from . import advanced  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import distinct  # noqa: F401,E402
 from . import json_ops  # noqa: F401,E402
+from . import sampling_plans  # noqa: F401,E402

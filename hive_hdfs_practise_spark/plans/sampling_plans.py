@@ -1,0 +1,61 @@
+"""Deterministic sampling/split plans (training-pipeline surface).
+
+Because the bucket rule is md5-based (``operators/sampling.py``),
+even the SAMPLING is value-checked against DuckDB — same rows in
+the sample, same split membership counts, bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import dataset_split, hash_sample
+from ..sources.catalog import table
+from .registry import register
+
+_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "dataset_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_BUCKET} % 256 < 26
+    """,
+)
+def dataset_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of documents by md5 bucket of
+    doc_id — identical membership across engines, runs, and
+    partitionings (what ``df.sample(seed=...)`` cannot promise)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_sample(d, "doc_id", 10)
+
+
+@register(
+    "dataset_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET} % 256 < 205 THEN 'train'
+                WHEN {_BUCKET} % 256 < 231 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof 80/10/10 split assignment + per-split volume."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        dataset_split(d, "doc_id", 80, 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
