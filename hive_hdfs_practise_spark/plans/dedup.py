@@ -170,7 +170,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     )
-    sigs = mh.minhash_signature_df(d, ["doc_id"], "shingles", N_PERM, downsample=4)
+    # materialize signatures once (tiny: n_docs × 128 longs) — they
+    # feed banding AND the estimate-prefilter below; without the
+    # checkpoint each consumer replays the shingle+signature scan.
+    sigs = mh.minhash_signature_df(
+        d, ["doc_id"], "shingles", N_PERM, downsample=4
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.posexplode(mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias(
@@ -203,11 +208,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # verify candidates against exact shingle Jaccard. The joins
+    # estimate-prefilter: signature agreement ≈ Jaccard (σ≈1/√128).
+    # Candidates whose estimate is far below threshold skip exact
+    # verification entirely — band collisions admit many mid-Jaccard
+    # pairs on shared-vocabulary corpora, and they dominated verify
+    # cost. Cutoff 0.55 sits 3.7σ under 0.7 (miss odds ~1e-4).
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(N_PERM)
+    cand = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(est >= JACCARD_THRESHOLD - 0.15)
+        .select("doc_a", "doc_b")
+    )
+    # verify survivors against exact shingle Jaccard. The joins
     # carry raw text and shingling happens AFTER both joins, so the
     # (expensive) shingle arrays are built only for rows that
-    # survived candidate matching — the candidate set is tiny
-    # relative to the corpus, and AQE broadcasts it.
+    # survived the prefilter — a tiny set, and AQE broadcasts it.
     docs = table(spark, sf_dir, "documents")
     txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
