@@ -25,3 +25,4 @@ from . import scalars  # noqa: F401,E402
 from . import distinct  # noqa: F401,E402
 from . import json_ops  # noqa: F401,E402
 from . import sampling_plans  # noqa: F401,E402
+from . import stats  # noqa: F401,E402

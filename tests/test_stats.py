@@ -1,0 +1,28 @@
+"""Approx-sketch aggregates asserted against their exact twins
+(the cross-engine oracle covers the exact forms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.sources.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestApproxSketches:
+    def test_approx_percentile_within_bounds(self, spark):
+        o = table(spark, SF, "orders")
+        row = o.agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx"),
+        ).collect()[0]
+        assert abs(row.approx - row.exact) / row.exact < 0.05
+
+    def test_approx_count_distinct_within_rsd(self, spark):
+        o = table(spark, SF, "orders")
+        row = o.agg(
+            F.countDistinct("o_custkey").alias("exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        ).collect()[0]
+        assert abs(row.approx - row.exact) / row.exact < 0.08
