@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "multimodal_decode_stub",
     "chunks_ordered_reassembly",
     "replication_audit",
+    "order_value_percentiles",
+    "lineitem_moments",
+    "dataset_split_counts",
+    "json_roundtrip",
+    "events_salted_agg",
 ]
 
 
