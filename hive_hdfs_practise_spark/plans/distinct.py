@@ -37,3 +37,16 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.year("o_orderdate")).alias("n_years"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register("distinct_counts_approx")
+def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass sketch form: HyperLogLog++ (mergeable partial
+    sketches — the 100 TB default for distinct counts). Deterministic
+    for fixed input but implementation-specific, so no cross-engine
+    oracle; tests bound it against the exact twin."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

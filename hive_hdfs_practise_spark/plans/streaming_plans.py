@@ -28,8 +28,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = f"/tmp/spark_graft_stream/{os.path.basename(os.path.normpath(sf_dir))}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
+    target = f"{sf_dir}/events.parquet"
+    # replace a stale link if a previous run staged a different path
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(target, link)
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
