@@ -241,3 +241,31 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pend, c.c_custkey == pend.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+    SELECT decile, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM (
+        SELECT c_acctbal,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS decile
+        FROM customer
+    )
+    GROUP BY decile
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: customer-value deciles (unique ordering via the
+    custkey tiebreak keeps bucket boundaries deterministic)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )

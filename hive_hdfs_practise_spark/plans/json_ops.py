@@ -95,3 +95,26 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.round("total", 2).alias("total"), F.col("n")
     )
+
+
+@register(
+    "events_props_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON: parse props into map<string,int>, then
+    map_keys/element_at — the §2.8 array/map function surface that
+    unlocks once documents are typed."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )

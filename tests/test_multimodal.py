@@ -44,3 +44,28 @@ class TestDecode:
         assert schema["payload"] == "binary"
         row = media.collect()[0]
         assert row.meta.n_bytes == row.meta.n_bytes  # struct accessible
+
+
+class TestUdfRegistration:
+    def test_pandas_udf_registered_for_sql(self, spark):
+        # §2.11: the user-extensible function surface — register an
+        # Arrow-batched UDF and call it from SQL text.
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        # NB: lambda form — `from __future__ import annotations`
+        # stringifies type hints, which pandas_udf cannot resolve.
+        ws_token_count = pandas_udf(
+            lambda s: s.fillna("").str.split().str.len().astype("int32"),
+            IntegerType(),
+        )
+        spark.udf.register("ws_token_count", ws_token_count)
+        spark.createDataFrame(
+            [("a b  c",), ("",), ("单 词",)], "text STRING"
+        ).createOrReplaceTempView("udf_probe")
+        got = [
+            r.n for r in spark.sql(
+                "SELECT ws_token_count(text) AS n FROM udf_probe"
+            ).collect()
+        ]
+        assert got == [3, 0, 2]

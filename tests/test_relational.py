@@ -139,3 +139,18 @@ class TestDashboard:
 
     def test_max_monthly(self, order_df):
         assert max_monthly_sales(order_df).collect()[0][0] == 245.5
+
+
+class TestMalformedJson:
+    def test_malformed_information_yields_null_struct(self, spark):
+        from hive_hdfs_practise_spark.functions.json_doc import parse_information
+
+        df = spark.createDataFrame(
+            [(1, '{"title": "ok"}'), (2, "{not json"), (3, None)],
+            "movie_id INT, information STRING",
+        ).select("movie_id", parse_information(F.col("information")).alias("info"))
+        rows = {r.movie_id: r.info for r in df.collect()}
+        assert rows[1].title == "ok"
+        # malformed → struct of all-NULL fields (PERMISSIVE), no crash
+        assert rows[2].title is None and rows[2].rating is None
+        assert rows[3] is None  # NULL input → NULL struct
