@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale properties that make
+these queries viable at 100 TB, asserted on the executed plan so a
+future refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_hdfs_practise_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdown:
+    def test_q6_filters_reach_parquet(self, spark):
+        p = _plan(spark, "q6_forecast_revenue")
+        assert "PushedFilters" in p
+        pushed = p.split("PushedFilters", 1)[1][:400]
+        assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+    def test_q6_reads_only_needed_columns(self, spark):
+        p = _plan(spark, "q6_forecast_revenue")
+        schema = p.split("ReadSchema", 1)[1][:300]
+        assert "l_extendedprice" in schema
+        for unused in ["l_orderkey", "l_returnflag", "l_tax", "l_partkey"]:
+            assert unused not in schema
+
+    def test_customer_projection_prunes_scan(self, spark):
+        p = _plan(spark, "customer_projection")
+        schema = p.split("ReadSchema", 1)[1][:300]
+        assert "c_nationkey" not in schema  # unselected → pruned
+
+
+class TestJoinStrategy:
+    def test_q5_star_join_is_broadcast(self, spark):
+        p = _plan(spark, "q5_local_supplier_volume")
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in p
+
+    def test_knn_query_vector_broadcast(self, spark):
+        p = _plan(spark, "knn_brute_cosine")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+class TestTopKAndAgg:
+    def test_recommend_uses_take_ordered(self, spark):
+        p = _plan(spark, "recommend_top15")
+        assert "TakeOrderedAndProject" in p
+
+    def test_q1_partial_then_final_aggregate(self, spark):
+        p = _plan(spark, "q1_pricing_summary")
+        assert p.count("HashAggregate") >= 2
+        assert "partial_" in p  # map-side combine present
+
+    def test_sessionize_single_shuffle_for_windows_and_agg(self, spark):
+        # one hashpartitioning exchange on user_id serves both window
+        # functions AND the final per-session aggregate
+        p = _plan(spark, "events_sessionize")
+        assert p.count("Exchange hashpartitioning") == 1
+
+    def test_asof_join_single_shuffle(self, spark):
+        p = _plan(spark, "events_asof_join")
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "Join" not in p.replace("Exchange", "")  # no join operator at all
