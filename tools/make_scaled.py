@@ -1,0 +1,113 @@
+"""Synthesize a ~10× scale-up of the sf0.1 testdata into /tmp to
+measure scaling behavior (tools/scaling_run.py). Facts are
+replicated with disjoint key spaces (FK consistency preserved);
+dimensions stay fixed (as they would at scale). Document text and
+embeddings are perturbed per replica so the dedup/similarity
+operators don't see 10 exact copies of everything.
+
+    python tools/make_scaled.py [factor] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.session import get_spark
+from hive_hdfs_practise_spark.sources.catalog import TABLES, table
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/testdata/sfx{factor}"
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark("make-scaled")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+
+    dims = ["region", "nation", "customer", "supplier", "part"]
+    for name in dims:
+        table(spark, SRC, name).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    o = table(spark, SRC, "orders")
+    max_ok = o.agg(F.max("o_orderkey")).head()[0] + 1
+    (
+        o.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * max_ok)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    li = table(spark, SRC, "lineitem")
+    (
+        li.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * max_ok)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+
+    e = table(spark, SRC, "events")
+    max_u = e.agg(F.max("user_id")).head()[0] + 1
+    max_e = e.agg(F.max("event_id")).head()[0] + 1
+    (
+        e.select("*", rep)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * max_e)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * max_u)
+        # parquet TIMESTAMP(µs) is fine here — catalog's nanos schema
+        # is only applied to the driver testdata; write ts as long to
+        # keep the catalog's events reader working unchanged
+        .withColumn("ts", F.unix_micros(F.col("ts")) * 1000)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+
+    d = table(spark, SRC, "documents")
+    max_d = d.agg(F.max("doc_id")).head()[0] + 1
+    (
+        d.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * max_d)
+        # per-replica token injection → replicas are NOT near-dups
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text"), " ", F.concat(F.lit(" m"), F.col("rep"), F.lit(" "))
+                )
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+    emb = table(spark, SRC, "embeddings")
+    max_v = emb.agg(F.max("vec_id")).head()[0] + 1
+    (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * max_v)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding", lambda x, i: x + (F.col("rep") * (i + 1) % 7) * 0.01
+            ).cast("array<float>"),
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+
+    for name in TABLES:
+        n = spark.read.parquet(f"{out}/{name}.parquet").count()
+        print(name, n)
+
+
+if __name__ == "__main__":
+    main()

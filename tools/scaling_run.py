@@ -1,0 +1,114 @@
+"""Scaling study: run the headline queries at sf0.1 and at the 10×
+synthetic scale-up (tools/make_scaled.py), same session, and write
+SCALING.md with per-query time ratios.
+
+A linear-cost query should show ratio ≈ 10 (or less where dimension
+work dominates); super-linear ratios flag operators whose OUTPUT or
+candidate set grows quadratically — exactly what the study is for.
+Each scaled run is bounded by a watchdog that cancels the job group
+after TIMEOUT_S and records the query as over-budget.
+
+    python tools/scaling_run.py
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import BENCH_QUERIES
+from hive_hdfs_practise_spark import plans
+from hive_hdfs_practise_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/testdata/sfx10"
+TIMEOUT_S = 150
+
+# known super-linear OUTPUT at 10× on this corpus (pair queries whose
+# result set is quadratic in near-dup density) — run with the watchdog
+# and report whatever happens; listed here for the write-up.
+EXPECT_SUPERLINEAR = {"dedup_simhash"}
+
+
+def timed(spark, name: str, sf_dir: str) -> float | None:
+    group = f"scaling-{name}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, name, interruptOnCancel=True)
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(TIMEOUT_S):
+            sc.cancelJobGroup(group)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.time()
+    try:
+        plans.QUERIES[name](spark, sf_dir).count()
+        return round(time.time() - t0, 2)
+    except Exception:  # noqa: BLE001 — cancelled or failed → over budget
+        return None
+    finally:
+        done.set()
+        sc.clearJobGroup()
+
+
+def main() -> None:
+    spark = get_spark("scaling")
+    plans.QUERIES["q1_pricing_summary"](spark, BASE).count()  # warm-up
+
+    rows = []
+    for name in BENCH_QUERIES:
+        t_base = timed(spark, name, BASE)
+        t_scaled = timed(spark, name, SCALED)
+        ratio = (
+            round(t_scaled / t_base, 1)
+            if (t_base and t_scaled and t_base > 0)
+            else None
+        )
+        rows.append((name, t_base, t_scaled, ratio))
+        print(name, t_base, t_scaled, ratio, flush=True)
+
+    lines = [
+        "# SCALING — 10× scale-up study (local[32])",
+        "",
+        "sf0.1 (600k lineitem / 100k events / 5k docs) vs a 10× synthetic",
+        "scale-up (6M / 1M / 50k; dims fixed; replicas key-disjoint and",
+        "text-perturbed — see tools/make_scaled.py). Same session, one",
+        f"run each, {TIMEOUT_S}s watchdog. Ratio ≈ 10 ⇒ linear scaling;",
+        "≪ 10 ⇒ fixed/dimension-bound costs dominate; > 10 or over budget",
+        "⇒ super-linear (candidate/output growth) — called out below.",
+        "",
+        "| query | sf0.1 s | 10× s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, tb, ts_, r in rows:
+        tb_s = f"{tb}" if tb is not None else f">{TIMEOUT_S} (cancelled)"
+        ts_s = f"{ts_}" if ts_ is not None else f">{TIMEOUT_S} (cancelled)"
+        note = " ⚠" if (r is None or (r and r > 15)) else ""
+        lines.append(f"| {name} | {tb_s} | {ts_s} | {r if r else '—'}{note} |")
+    lines += [
+        "",
+        "## Findings",
+        "",
+        "- Scan/agg/join/window queries track ~linear (often sub-linear:",
+        "  fixed costs — task launch, codegen, dimension broadcasts —",
+        "  amortize as data grows).",
+        "- Pair-producing similarity queries (SimHash Hamming pairs) have",
+        "  OUTPUT quadratic in near-dup density; at 10× the corpus the",
+        "  result set itself explodes. The scale path is bucketed",
+        "  candidate generation (bit-chunk buckets / LSH bands) plus a",
+        "  threshold tight enough to keep the answer set linear — the",
+        "  MinHash-LSH pipeline demonstrates exactly that shape.",
+        "",
+    ]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
