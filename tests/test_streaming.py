@@ -93,3 +93,41 @@ class TestStreamDedup:
             for r in table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
         }
         assert got == want
+
+
+class TestCheckpointRecovery:
+    def test_file_sink_checkpoint_no_duplicates(self, spark, tmp_path):
+        """H10 persistence analog: a checkpointed streaming query
+        restarted over the same source emits nothing new; new input
+        files produce exactly their rows (exactly-once file sink)."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id LONG, v STRING"
+        )
+        base.coalesce(1).write.mode("overwrite").parquet(src)
+
+        def run_once():
+            q = (
+                spark.readStream.schema("id LONG, v STRING")
+                .parquet(src)
+                .writeStream.format("parquet")
+                .option("checkpointLocation", ckpt)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        assert spark.read.parquet(out).count() == 2
+        run_once()  # restart, no new data → no duplicates
+        assert spark.read.parquet(out).count() == 2
+        # append one new file → exactly its rows arrive
+        spark.createDataFrame([(3, "c")], "id LONG, v STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run_once()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 3]

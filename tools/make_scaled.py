@@ -22,6 +22,21 @@ from hive_hdfs_practise_spark.sources.catalog import TABLES, table
 
 SRC = "/root/testdata/sf0.1"
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _translated_text(factor: int):
+    """CASE chain: replica i gets a rotated-alphabet translation
+    (translate() takes literal strings, hence the per-replica arms)."""
+    expr = F.col("text")
+    for i in range(1, factor):
+        rot = i % 25 or 1
+        expr = F.when(
+            F.col("rep") == i,
+            F.translate("text", _ALPHA, _ALPHA[rot:] + _ALPHA[:rot]),
+        ).otherwise(expr)
+    return expr
+
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -73,15 +88,14 @@ def main() -> None:
     (
         d.select("*", rep)
         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * max_d)
-        # per-replica token injection → replicas are NOT near-dups
-        .withColumn(
-            "text",
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.regexp_replace(
-                    F.col("text"), " ", F.concat(F.lit(" m"), F.col("rep"), F.lit(" "))
-                )
-            ),
-        )
+        # per-replica CHARACTER TRANSLATION: a bijection on the
+        # alphabet preserves within-replica Jaccard structure exactly
+        # (shingle sets map 1:1) while making cross-replica texts
+        # dissimilar — no artificial shared boilerplate (an earlier
+        # marker-token scheme inflated corpus-wide shingle overlap
+        # and exploded LSH candidates, which is what real boilerplate
+        # does — see SCALING.md notes).
+        .withColumn("text", _translated_text(factor))
         .withColumn("n_chars", F.length("text"))
         .drop("rep")
         .write.mode("overwrite")

@@ -53,7 +53,6 @@ def timed(spark, name: str, sf_dir: str) -> float | None:
         return None
     finally:
         done.set()
-        sc.clearJobGroup()
 
 
 def main() -> None:
@@ -61,7 +60,11 @@ def main() -> None:
     plans.QUERIES["q1_pricing_summary"](spark, BASE).count()  # warm-up
 
     rows = []
-    for name in BENCH_QUERIES:
+    # cancellation-prone pair queries LAST so a watchdog kill cannot
+    # pollute the measurements that follow them
+    risky = ["dedup_minhash_lsh", "dedup_simhash"]
+    ordered = [q for q in BENCH_QUERIES if q not in risky] + risky
+    for name in ordered:
         t_base = timed(spark, name, BASE)
         t_scaled = timed(spark, name, SCALED)
         ratio = (
