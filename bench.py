@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    "q8_market_share",
+    "q9_product_profit",
     "sales_by_year_month",
     "sales_rollup",
     "monthly_sales_ranked",

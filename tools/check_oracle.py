@@ -11,6 +11,7 @@ plans/:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -39,9 +40,17 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     from hive_hdfs_practise_spark import plans
-    from hive_hdfs_practise_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_VANILLA"):
+        # simulate the driver: a bare session with none of our confs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle-vanilla").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from hive_hdfs_practise_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
