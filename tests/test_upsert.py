@@ -1,0 +1,59 @@
+"""MERGE-style upsert semantics: insert, update, tombstone delete,
+tie-breaking, and the managed-table round trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.operators.upsert import upsert, upsert_table
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id LONG, v STRING, ver LONG"
+    )
+
+
+class TestUpsert:
+    def test_insert_update_passthrough(self, spark, base):
+        changes = spark.createDataFrame(
+            [(2, "b2", 2), (4, "d", 1)], "id LONG, v STRING, ver LONG"
+        )
+        got = {r.id: (r.v, r.ver) for r in upsert(base, changes, ["id"], "ver").collect()}
+        assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 1)}
+
+    def test_equal_version_change_wins(self, spark, base):
+        changes = spark.createDataFrame([(1, "a_new", 1)], "id LONG, v STRING, ver LONG")
+        got = {r.id: r.v for r in upsert(base, changes, ["id"], "ver").collect()}
+        assert got[1] == "a_new"
+
+    def test_stale_change_loses(self, spark):
+        base = spark.createDataFrame([(1, "newer", 5)], "id LONG, v STRING, ver LONG")
+        changes = spark.createDataFrame([(1, "older", 3)], "id LONG, v STRING, ver LONG")
+        got = upsert(base, changes, ["id"], "ver").collect()
+        assert got[0].v == "newer"
+
+    def test_tombstone_delete(self, spark, base):
+        b = base.withColumn("deleted", F.lit(False))
+        changes = spark.createDataFrame(
+            [(3, "c", 2, True)], "id LONG, v STRING, ver LONG, deleted BOOLEAN"
+        )
+        got = {r.id for r in upsert(b, changes, ["id"], "ver", "deleted").collect()}
+        assert got == {1, 2}
+
+    def test_managed_table_round_trip(self, spark, base):
+        import shutil
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS upsert_test")
+        spark.sql("DROP TABLE IF EXISTS upsert_test.t")
+        shutil.rmtree("spark-warehouse/upsert_test.db/t", ignore_errors=True)
+        base.write.format("parquet").saveAsTable("upsert_test.t")
+        changes = spark.createDataFrame(
+            [(2, "b9", 9), (5, "e", 1)], "id LONG, v STRING, ver LONG"
+        )
+        upsert_table(spark, "upsert_test.t", changes, ["id"], "ver")
+        got = {r.id: r.v for r in spark.table("upsert_test.t").collect()}
+        assert got == {1: "a", 2: "b9", 3: "c", 5: "e"}
+        spark.sql("DROP TABLE upsert_test.t")
