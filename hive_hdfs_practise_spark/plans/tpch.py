@@ -544,7 +544,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sn.n_name AS supp_nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * l.l_quantity * p.p_retailprice), 2) AS profit
+                     - l.l_quantity * p.p_retailprice / 3), 2) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -556,9 +556,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-line profit by supplier nation and year (the q9 shape
-    with retailprice standing in for the absent ps_supplycost). The
-    part-name LIKE filter shrinks the broadcast side before the fact
-    join touches it."""
+    with retailprice standing in for the absent ps_supplycost; the
+    cost factor is 1/3 rather than 0.6 deliberately — a terminating-
+    decimal factor makes group sums land EXACTLY on 2-dp rounding
+    boundaries, where the engines' last-ulp sum differences flip the
+    rounded value). The part-name LIKE filter shrinks the broadcast
+    side before the fact join touches it."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     s = table(spark, sf_dir, "supplier")
@@ -566,7 +569,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("l_quantity") * F.col("p_retailprice")
+        - F.col("l_quantity") * F.col("p_retailprice") / 3
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
