@@ -83,6 +83,57 @@ def minhash_signature_df(
     return agg.select(*id_cols, sig.alias("sig"))
 
 
+def minhash_signature_from_text(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    k: int = 5,
+    n_perm: int = _N_PERM_DEFAULT,
+    downsample: int = 1,
+) -> DataFrame:
+    """Signature straight from text — no shingle ARRAY is ever built.
+
+    MinHash over a multiset equals MinHash over the set (duplicate
+    shingles cannot change a minimum), so the array_distinct +
+    array-materialization step of the array-input path is pure
+    overhead for signatures. This path explodes shingle POSITIONS
+    and keeps everything — substring, hash, permutations, mins —
+    inside whole-stage codegen. Exact-Jaccard verification still
+    needs distinct shingle arrays; it builds them only for candidate
+    pairs."""
+    n = F.length(F.col(text_col)) - F.lit(k - 1)
+    pos = F.explode_outer(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    )
+    exploded = df.select(*id_cols, F.col(text_col), pos.alias("_i")).select(
+        *id_cols,
+        F.when(
+            F.col("_i").isNotNull(),
+            F.pmod(
+                F.xxhash64(F.col(text_col).substr(F.col("_i"), F.lit(k))), F.lit(P32)
+            ),
+        ).alias("_h"),
+    )
+    if downsample > 1:
+        exploded = exploded.filter(
+            F.col("_h").isNull() | (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
+        )
+    mins = [
+        F.min(
+            F.when(
+                F.col("_h").isNotNull(),
+                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(P32)),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_COEFFS[:n_perm])
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*mins)
+    sig = F.array(
+        *[F.coalesce(F.col(f"_m{i}"), F.lit(P32).cast("bigint")) for i in range(n_perm)]
+    )
+    return agg.select(*id_cols, sig.alias("sig"))
+
+
 def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     """array<bigint> of band keys: murmur hash of each signature
     slice. Explode + groupBy on (band index, key) gives the LSH

@@ -167,14 +167,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on planted dups. Signature construction hashes each shingle
     once (see ``dedup/minhash.py``).
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
-    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # materialize signatures once (tiny: n_docs × 128 longs) — they
     # feed banding AND the estimate-prefilter below; without the
-    # checkpoint each consumer replays the shingle+signature scan.
-    sigs = mh.minhash_signature_df(
-        d, ["doc_id"], "shingles", N_PERM, downsample=4
+    # checkpoint each consumer replays the signature scan. The
+    # text-direct path never builds shingle arrays (see
+    # minhash_signature_from_text). downsample=4 measured best END TO
+    # END despite slowing the signature aggregate itself (the filter
+    # splits the fused explode→hash→agg codegen): sampled signatures
+    # produce fewer mid-Jaccard band collisions, and the candidate
+    # count — not the signature scan — dominates this query.
+    sigs = mh.minhash_signature_from_text(
+        d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4
     ).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
