@@ -209,3 +209,53 @@ def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
     )
+
+
+@register(
+    "events_click_purchase_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: purchases within one hour AFTER a
+    click by the same user — the attribution-join shape. Equi-join
+    on user_id carries the co-partitioning; the time-range predicate
+    evaluates post-join (bounded fan-out per user). The streaming
+    twin (stream_click_purchase_join) runs the same condition as a
+    watermarked stream-stream join."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )

@@ -68,3 +68,29 @@ def test_oracle_parity(spark, name):
         )
 
     assert norm(srows, sdf.columns) == norm(orows, ocols)
+
+
+def test_sql_text_interface(spark):
+    """North-star surface: plain Spark SQL over registered views
+    produces the same result as the DataFrame plan (same Catalyst
+    plan either way)."""
+    from hive_hdfs_practise_spark import plans
+    from hive_hdfs_practise_spark.sources.catalog import register_views
+
+    register_views(spark, SF)
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = (
+        plans.QUERIES["q1_pricing_summary"](spark, SF)
+        .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))

@@ -131,3 +131,16 @@ class TestCheckpointRecovery:
         run_once()
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == [1, 2, 3]
+
+
+class TestStreamStreamJoin:
+    def test_stream_join_equals_batch(self, spark):
+        got = {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in plans.QUERIES["stream_click_purchase_join"](spark, SF).collect()
+        }
+        want = {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in plans.QUERIES["events_click_purchase_join"](spark, SF).collect()
+        }
+        assert got == want and len(want) > 0
