@@ -185,7 +185,11 @@ def customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paginate_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-paged variant: window row_number BETWEEN page bounds — the
     stable-pagination form (same page contents regardless of
-    partitioning), vs the LIMIT/OFFSET form in ``part_list_search``."""
+    partitioning), vs the LIMIT/OFFSET form in ``part_list_search``.
+
+    SCALE CAVEAT: the global window single-tasks the sort; at scale
+    use keyset pagination (``operators/pagination.py::keyset_page``)
+    — a pushed-down range predicate instead of a global ordering."""
     o = table(spark, sf_dir, "orders")
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -258,7 +262,11 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile window: customer-value deciles (unique ordering via the
-    custkey tiebreak keeps bucket boundaries deterministic)."""
+    custkey tiebreak keeps bucket boundaries deterministic).
+
+    SCALE CAVEAT: an unpartitioned window funnels all rows through
+    one task. The scale-safe twin is ``customer_deciles_scalable``
+    (distributed percentile boundaries + row-local bucketing)."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (

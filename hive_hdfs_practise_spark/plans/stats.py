@@ -87,3 +87,48 @@ def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
     )
+
+
+@register(
+    "customer_deciles_scalable",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(c_acctbal, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM customer
+    )
+    SELECT CAST(1 + len(list_filter(b.qs, q -> c.c_acctbal > q)) AS INTEGER) AS bucket,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer c, b
+    GROUP BY 1
+    """,
+)
+def customer_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-decile bucketing WITHOUT a global window.
+
+    ``customer_value_deciles`` (ntile) is exact equal-count but its
+    global window funnels every row through ONE task — fine for a
+    dashboard, a bottleneck at 100 TB. This variant computes the 9
+    decile boundaries with a distributed percentile aggregate,
+    broadcasts them (9 doubles), and assigns buckets with pure row-
+    local arithmetic: two narrow passes, no global sort. Semantics
+    differ from ntile only at exact-tie boundaries (equal-value rows
+    land in the same bucket here, split across buckets by ntile).
+    """
+    c = table(spark, sf_dir, "customer")
+    probs = [i / 10 for i in range(1, 10)]
+    bounds = c.agg(
+        F.percentile("c_acctbal", F.array(*[F.lit(p) for p in probs])).alias("qs")
+    )
+    bucket = (
+        1
+        + F.size(F.filter(F.col("qs"), lambda q: F.col("c_acctbal") > q))
+    ).cast("int")
+    return (
+        c.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
