@@ -31,6 +31,8 @@ from .registry import register
     """,
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase expand+aggregate):
+    distinct customers and order years per status."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),

@@ -30,6 +30,8 @@ from .registry import register
     """,
 )
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order value per status (linear
+    interpolation — matches DuckDB quantile_cont)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
