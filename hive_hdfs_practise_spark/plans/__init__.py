@@ -26,3 +26,4 @@ from . import distinct  # noqa: F401,E402
 from . import json_ops  # noqa: F401,E402
 from . import sampling_plans  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402

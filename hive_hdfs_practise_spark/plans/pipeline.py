@@ -1,0 +1,197 @@
+"""The capstone composition: a complete training-data curation
+pipeline as ONE oracle-checked query.
+
+    documents
+      → quality filter   (composite heuristic ≥ 0.6)
+      → language filter  (predicted 'en')
+      → exact dedup      (md5 survivor = min doc_id)
+      → near-dup dedup   (5-gram Jaccard ≥ 0.7 pairs → connected
+                          components → keep cluster minimum)
+      → train/val/test   (leak-proof md5-bucket split)
+      → per-split corpus stats
+
+Every stage is an operator proven individually elsewhere
+(text_quality_score, text_lang_id, dedup_exact, dedup_clusters,
+dataset_split_counts); this plan chains them in one DataFrame
+program and the oracle restates the whole chain — including the
+transitive closure — in one recursive-CTE SQL statement. At 100 TB
+the same chain runs with the LSH candidate generator swapped in for
+the quadratic pair step and each stage checkpointed to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..dedup.clusters import connected_components
+from ..functions import text as tx
+from ..operators.sampling import dataset_split
+from ..sources.catalog import table
+from .dedup import JACCARD_THRESHOLD, SHINGLE_K
+from .text import _lang_oracle, _quality_oracle, _token_agg
+
+QUALITY_MIN = 0.6
+
+# The split-bucket SQL fragment (kept in lockstep with
+# operators/sampling.py::md5_bucket via the shared constants).
+_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+def _pipeline_oracle() -> str:
+    # reuse the per-stage oracles as subqueries: quality + lang are
+    # SELECTs over `documents`; wire them together by doc_id.
+    quality_sql = _quality_oracle().strip()
+    lang_sql = _lang_oracle().strip()
+    return f"""
+    WITH RECURSIVE
+    q AS ({quality_sql}),
+    l AS ({lang_sql}),
+    kept AS (
+        SELECT d.doc_id, d.text, d.lang
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN l ON l.doc_id = d.doc_id
+        WHERE q.quality >= {QUALITY_MIN} AND l.lang_pred = 'en'
+    ),
+    exact AS (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+    ),
+    uniq AS (SELECT doc_id, text, lang FROM exact WHERE rn = 1),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM uniq
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc_id, min(m) AS cluster_id FROM walk GROUP BY u),
+    final AS (
+        SELECT uq.doc_id, uq.text
+        FROM uniq uq
+        LEFT JOIN comp ON comp.doc_id = uq.doc_id
+        WHERE comp.doc_id IS NULL OR comp.cluster_id = uq.doc_id
+    )
+    SELECT CASE WHEN {_BUCKET} % 256 < 205 THEN 'train'
+                WHEN {_BUCKET} % 256 < 231 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(len(regexp_extract_all(trim(text), '\\S+'))), 0) AS BIGINT)
+               AS total_tokens
+    FROM final
+    GROUP BY 1
+    """
+
+
+from .registry import register  # noqa: E402
+
+
+@register("pipeline_training_data", oracle=_pipeline_oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation chain (see module docstring); per-split doc and
+    token counts of the surviving corpus."""
+    d = table(spark, sf_dir, "documents")
+    feats = _token_agg(spark, sf_dir)
+
+    # quality (same arithmetic as text_quality_score's fast path)
+    mtl = F.when(
+        F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    p_ratio = F.when(F.col("n") > 0, F.col("n_punct") / F.col("n")).otherwise(F.lit(0.0))
+    d_ratio = F.when(F.col("n") > 0, F.col("n_digit") / F.col("n")).otherwise(F.lit(0.0))
+    quality = F.round(
+        0.4 * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        + 0.2 * F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+        + 0.2 * (1.0 - F.least(p_ratio * 5.0, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(d_ratio * 5.0, F.lit(1.0))),
+        4,
+    )
+    # language argmax (same rule as text_lang_id)
+    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
+    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
+    top = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(tx.LANG_PRIORITY):
+        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
+    pred = F.when(top > 0, pred).otherwise(F.lit("und"))
+
+    judged = feats.select(
+        "doc_id", quality.alias("quality"), pred.alias("lang_pred")
+    )
+    kept = (
+        d.join(judged, "doc_id")
+        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "text", "lang")
+    )
+
+    # exact dedup: keep the lowest doc_id per identical text
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # near-dup pairs (exact Jaccard, lang-blocked) over the deduped set
+    shingled = uniq.select(
+        "doc_id", "lang", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    n_inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    n_union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - n_inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (n_union > 0)
+            & (F.round(n_inter.cast("double") / n_union, 6) >= JACCARD_THRESHOLD)
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    comp = connected_components(pairs)
+    final = (
+        uniq.join(comp, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+
+    return (
+        dataset_split(final, "doc_id", 80, 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(tx.token_count(F.col("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    )
