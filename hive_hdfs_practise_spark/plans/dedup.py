@@ -306,7 +306,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         simhash = bit if simhash is None else simhash + bit
-    hashes = counters.select("doc_id", "lang", simhash.alias("simhash"))
+    # checkpoint: the self-join below would otherwise recompute the
+    # whole signature build per side (measured: the pair join itself
+    # is 0.4s codegen'd at sf0.1 — signature recompute was ~85% of
+    # query time). A 7-chunk pigeonhole bucketing (any pair within
+    # Hamming 6 shares a chunk) was prototyped for the block-
+    # quadratic pair stage and loses below ~10k docs/block — it
+    # becomes the right plan only at larger block sizes.
+    hashes = counters.select("doc_id", "lang", simhash.alias("simhash")).localCheckpoint(
+        eager=True
+    )
     a = hashes.alias("a")
     b = hashes.alias("b")
     hamming = F.expr(sh.hamming_expr("spark", "a.simhash", "b.simhash"))
