@@ -111,9 +111,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup pairs: exact Jaccard over character
     5-gram shingle sets, blocked by lang. Quadratic within blocks —
     the verifier, not the scale path (see dedup_minhash_lsh)."""
+    # checkpoint: the self-join would otherwise build shingle arrays
+    # twice (same recompute pattern measured on dedup_simhash).
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     a = d.alias("a")
     b = d.alias("b")
     n_inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))

@@ -160,10 +160,12 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
-    # near-dup pairs (exact Jaccard, lang-blocked) over the deduped set
+    # near-dup pairs (exact Jaccard, lang-blocked) over the deduped
+    # set; checkpointed — the self-join would otherwise replay the
+    # whole quality/lang/dedup pipeline per side
     shingled = uniq.select(
         "doc_id", "lang", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     a, b = shingled.alias("a"), shingled.alias("b")
     n_inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     n_union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - n_inter
