@@ -1,0 +1,69 @@
+"""Keyset pagination + sampling determinism + JSON array explode —
+the remaining untested library operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.functions.json_doc import explode_genres
+from hive_hdfs_practise_spark.operators.pagination import keyset_page, paginate
+from hive_hdfs_practise_spark.operators.sampling import dataset_split, hash_sample
+from hive_hdfs_practise_spark.sources.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKeysetPagination:
+    def test_keyset_pages_equal_offset_pages(self, spark):
+        o = table(spark, SF, "orders")
+        page1 = paginate(o, [F.col("o_orderkey").asc()], 0, 10).collect()
+        page2_offset = paginate(o, [F.col("o_orderkey").asc()], 10, 10).collect()
+        last_key = page1[-1].o_orderkey
+        page2_keyset = keyset_page(o, F.col("o_orderkey"), last_key, 10).collect()
+        assert [r.o_orderkey for r in page2_keyset] == [
+            r.o_orderkey for r in page2_offset
+        ]
+
+    def test_keyset_descending(self, spark):
+        o = table(spark, SF, "orders")
+        first = keyset_page(o, F.col("o_orderkey"), None, 5, descending=True).collect()
+        nxt = keyset_page(
+            o, F.col("o_orderkey"), first[-1].o_orderkey, 5, descending=True
+        ).collect()
+        keys = [r.o_orderkey for r in first + nxt]
+        assert keys == sorted(keys, reverse=True) and len(set(keys)) == 10
+
+    def test_keyset_predicate_pushed_to_scan(self, spark):
+        o = table(spark, SF, "orders")
+        df = keyset_page(o, F.col("o_orderkey"), 5000, 10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThan(o_orderkey,5000)" in plan  # PushedFilters
+
+class TestSamplingDeterminism:
+    def test_hash_sample_stable_under_repartition(self, spark):
+        d = table(spark, SF, "documents")
+        a = {r.doc_id for r in hash_sample(d, "doc_id", 20).select("doc_id").collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(d.repartition(17), "doc_id", 20)
+            .select("doc_id")
+            .collect()
+        }
+        assert a == b and 0 < len(a) < d.count()
+
+    def test_split_partitions_exhaustive_and_disjoint(self, spark):
+        d = table(spark, SF, "documents")
+        out = dataset_split(d, "doc_id").groupBy("split").count().collect()
+        counts = {r.split: r["count"] for r in out}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == d.count()
+        assert counts["train"] > counts["val"]
+
+
+class TestGenreExplode:
+    def test_explode_genres_rows(self, spark, movie_df):
+        rows = explode_genres(movie_df).collect()
+        pairs = {(r.movie_id, r.genre) for r in rows}
+        assert (1299731, "剧情") in pairs and (1299731, "犯罪") in pairs
+        # every movie contributes at least one row (outer explode)
+        assert len({r.movie_id for r in rows}) == movie_df.count()
