@@ -197,3 +197,116 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_tokens"),
         )
     )
+
+
+@register("pipeline_training_data_lsh")
+def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same curation chain with the SCALE-PATH pair generator:
+    MinHash-LSH candidates (exact-verified) replace the quadratic
+    shingle self-join. Rows-only (LSH recall is probabilistic by
+    design); tests assert equality with the oracle-checked
+    pipeline_training_data on this corpus — the demonstration that
+    the swap changes cost, not results."""
+    from ..dedup import minhash as mh
+    from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
+
+    d = table(spark, sf_dir, "documents")
+    feats = _token_agg(spark, sf_dir)
+    mtl = F.when(
+        F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    p_ratio = F.when(F.col("n") > 0, F.col("n_punct") / F.col("n")).otherwise(F.lit(0.0))
+    d_ratio = F.when(F.col("n") > 0, F.col("n_digit") / F.col("n")).otherwise(F.lit(0.0))
+    quality = F.round(
+        0.4 * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        + 0.2 * F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+        + 0.2 * (1.0 - F.least(p_ratio * 5.0, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(d_ratio * 5.0, F.lit(1.0))),
+        4,
+    )
+    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
+    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
+    top = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(tx.LANG_PRIORITY):
+        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
+    pred = F.when(top > 0, pred).otherwise(F.lit("und"))
+    judged = feats.select("doc_id", quality.alias("quality"), pred.alias("lang_pred"))
+    kept = (
+        d.join(judged, "doc_id")
+        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "text", "lang")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+    # LSH candidates over the deduped set, lang-blocked to mirror the
+    # exact pair definition, then exact-verified
+    sigs = mh.minhash_signature_from_text(
+        uniq.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
+    ).localCheckpoint(eager=True)
+    banded = sigs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias(
+            "band", "band_key"
+        ),
+    )
+    buckets = (
+        banded.groupBy("lang", "band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair_expr.alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingled = uniq.select(
+        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    pairs = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(
+            (n_union > 0)
+            & (F.round(n_inter.cast("double") / n_union, 6) >= JACCARD_THRESHOLD)
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    final = (
+        uniq.join(comp, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    return (
+        dataset_split(final, "doc_id", 80, 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(tx.token_count(F.col("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    )

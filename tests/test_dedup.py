@@ -145,3 +145,19 @@ class TestClusters:
         )
         comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0}
+
+
+class TestPipelineLshParity:
+    def test_lsh_pipeline_equals_exact_pipeline(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r.split, r.n_docs, r.total_tokens)
+            for r in P.QUERIES["pipeline_training_data"](spark, sf).collect()
+        }
+        lsh = {
+            (r.split, r.n_docs, r.total_tokens)
+            for r in P.QUERIES["pipeline_training_data_lsh"](spark, sf).collect()
+        }
+        assert exact == lsh
