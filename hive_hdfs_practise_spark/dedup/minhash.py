@@ -114,14 +114,20 @@ def minhash_signature_from_text(
             ),
         ).alias("_h"),
     )
+    # downsampling is FOLDED into the aggregate as a boolean (min
+    # ignores NULLs) rather than a filter operator: a separate filter
+    # was measured to split the fused explode→hash→agg codegen stage
+    # and cost 10× (4.5s vs 0.3s at sf0.1); the fold also lets the
+    # 128 min-updates short-circuit on skipped rows, and keeps empty
+    # docs in the groupBy (sentinel signatures) for free.
+    keep = F.col("_h").isNotNull()
     if downsample > 1:
-        exploded = exploded.filter(
-            F.col("_h").isNull() | (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
-        )
+        keep = keep & (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
+    exploded = exploded.withColumn("_keep", keep)
     mins = [
         F.min(
             F.when(
-                F.col("_h").isNotNull(),
+                F.col("_keep"),
                 F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(P32)),
             )
         ).alias(f"_m{i}")
