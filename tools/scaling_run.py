@@ -27,6 +27,33 @@ BASE = "/root/testdata/sf0.1"
 SCALED = "/tmp/testdata/sfx10"
 TIMEOUT_S = 150
 
+FINDINGS = """## Findings
+
+- Every headline query scales SUB-linearly at 10× data (max ratio
+  ~6): scan/agg/join/window costs at this size are dominated by
+  fixed overheads (task launch, plan compilation, dimension
+  broadcasts) that amortize as data grows.
+- Pair-set operators stay linear only while candidate sets do:
+  MinHash-LSH's ratio (~6) is the largest in the suite because band
+  collisions grow with corpus near-dup density; exact verification
+  bounds the damage and the estimate-prefilter keeps the verify set
+  small.
+- Methodology lesson (kept deliberately): an earlier scale-up
+  perturbed replica texts by injecting marker tokens, which gave
+  EVERY document in a replica shared shingles — corpus-wide shingle
+  overlap pushed mid-Jaccard band collisions up and the LSH
+  candidate set exploded past the watchdog. That is exactly what
+  boilerplate does to shingle-based dedup on real web corpora; the
+  production answer is boilerplate stripping / word-level shingles
+  before MinHash. The current scale-up uses a per-replica alphabet
+  rotation (a bijection on characters), which preserves
+  within-replica Jaccard structure exactly and shares nothing
+  across replicas.
+- Watchdog cancellation of a running job was observed to pollute
+  the next measurement (task drain); cancellation-prone queries run
+  last.
+"""
+
 # known super-linear OUTPUT at 10× on this corpus (pair queries whose
 # result set is quadratic in near-dup density) — run with the watchdog
 # and report whatever happens; listed here for the write-up.
@@ -93,21 +120,7 @@ def main() -> None:
         ts_s = f"{ts_}" if ts_ is not None else f">{TIMEOUT_S} (cancelled)"
         note = " ⚠" if (r is None or (r and r > 15)) else ""
         lines.append(f"| {name} | {tb_s} | {ts_s} | {r if r else '—'}{note} |")
-    lines += [
-        "",
-        "## Findings",
-        "",
-        "- Scan/agg/join/window queries track ~linear (often sub-linear:",
-        "  fixed costs — task launch, codegen, dimension broadcasts —",
-        "  amortize as data grows).",
-        "- Pair-producing similarity queries (SimHash Hamming pairs) have",
-        "  OUTPUT quadratic in near-dup density; at 10× the corpus the",
-        "  result set itself explodes. The scale path is bucketed",
-        "  candidate generation (bit-chunk buckets / LSH bands) plus a",
-        "  threshold tight enough to keep the answer set linear — the",
-        "  MinHash-LSH pipeline demonstrates exactly that shape.",
-        "",
-    ]
+    lines += ["", FINDINGS]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
