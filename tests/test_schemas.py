@@ -1,0 +1,49 @@
+"""Schema-stability guard: every query's result schema must match
+the recorded snapshot (the driver's smoke check expects stable
+schemas across rounds). After an INTENTIONAL schema change, re-run
+`python tools/snapshot_schemas.py` and commit the diff."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from hive_hdfs_practise_spark import plans
+
+SF = "/root/testdata/sf0.001"
+SNAPSHOT = json.loads(
+    (Path(__file__).parent / "fixtures" / "query_schemas.json").read_text()
+)
+
+# checkpoint-eager queries execute real jobs at plan-build time;
+# their schemas are covered by the snapshot tool run, not per-test
+BUILD_EXECUTES = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "pipeline_training_data",
+    "pipeline_training_data_lsh",
+    "stream_hourly_tumbling",
+    "stream_liveness_transitions",
+    "stream_dedup_keys",
+    "stream_click_purchase_join",
+    "knn_ivf",
+    "knn_lsh_bucketed",
+}
+
+
+def test_snapshot_covers_registry():
+    assert set(SNAPSHOT) == set(plans.QUERIES), (
+        "registry changed — re-run tools/snapshot_schemas.py"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(plans.QUERIES) - BUILD_EXECUTES)
+)
+def test_schema_matches_snapshot(spark, name):
+    got = plans.QUERIES[name](spark, SF).schema.simpleString()
+    assert got == SNAPSHOT[name], f"{name} schema drifted"
