@@ -97,3 +97,32 @@ class TestIvf:
         cents = kmeans_centroids(emb, nlist=4, iters=2).collect()
         assert len(cents) <= 4 and len(cents) >= 1
         assert all(len(c.centroid) == 64 for c in cents)
+
+
+class TestL2AndSkew:
+    def test_l2_distance_matches_numpy(self, spark):
+        import numpy as np
+
+        a, b = [1.0, -2.0, 3.5], [0.5, 1.0, -1.5]
+        df = spark.createDataFrame([(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+        got = df.select(vec.l2_distance(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+        assert abs(got - float(np.linalg.norm(np.array(a) - np.array(b)))) < 1e-12
+
+    def test_salted_agg_equals_plain(self, spark):
+        from hive_hdfs_practise_spark.operators.skew import salted_sum_count
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        e = table(spark, SF, "events")
+        salted = {
+            r.event_type: (round(r.total, 6), r.n)
+            for r in salted_sum_count(e, ["event_type"], F.col("value"), 8).collect()
+        }
+        plain = {
+            r.event_type: (round(r.total, 6), r.n)
+            for r in e.groupBy("event_type")
+            .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for k in plain:
+            assert salted[k][1] == plain[k][1]
+            assert abs(salted[k][0] - plain[k][0]) < 1e-6
