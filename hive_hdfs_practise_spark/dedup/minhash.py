@@ -114,20 +114,23 @@ def minhash_signature_from_text(
             ),
         ).alias("_h"),
     )
-    # downsampling is FOLDED into the aggregate as a boolean (min
-    # ignores NULLs) rather than a filter operator: a separate filter
-    # was measured to split the fused explode→hash→agg codegen stage
-    # and cost 10× (4.5s vs 0.3s at sf0.1); the fold also lets the
-    # 128 min-updates short-circuit on skipped rows, and keeps empty
-    # docs in the groupBy (sentinel signatures) for free.
-    keep = F.col("_h").isNotNull()
+    # downsampling is a FILTER before the wide aggregate (NULL marker
+    # rows for empty docs pass through so groupBy retains them). A
+    # filter here beats folding the predicate into the 128 min()
+    # updates on BOTH codegen settings (sf0.1, all agg columns
+    # forced): 4.7s vs 6.7s interpreted (maxFields=100 — the skipped
+    # 75% of rows otherwise still pay 128 when() evaluations each),
+    # 4.4s vs 4.8s fused (maxFields≥129). An earlier measurement
+    # claiming the fold was 10× faster was an artifact of Catalyst
+    # pruning unread aggregate columns in the probe query.
     if downsample > 1:
-        keep = keep & (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
-    exploded = exploded.withColumn("_keep", keep)
+        exploded = exploded.filter(
+            F.col("_h").isNull() | (F.pmod(F.col("_h"), F.lit(downsample)) == 0)
+        )
     mins = [
         F.min(
             F.when(
-                F.col("_keep"),
+                F.col("_h").isNotNull(),
                 F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(P32)),
             )
         ).alias(f"_m{i}")
