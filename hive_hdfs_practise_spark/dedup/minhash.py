@@ -143,6 +143,55 @@ def minhash_signature_from_text(
     return agg.select(*id_cols, sig.alias("sig"))
 
 
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs (doc_a < doc_b) from a
+    signature table: posexplode bands → one shuffle on (block, band,
+    key) → per-bucket combinations.
+
+    Pairs come from COMBINATIONS WITHIN each bucket's collected id
+    set, not a self-join on the band key — a self-join would replay
+    the signature pipeline per side and shuffle twice (measured 2×
+    query time), while buckets are near-singleton by construction
+    (r=8) so the combinations expression is tiny per group. Only
+    (ids, band keys) ever shuffle, never text. ``block_cols``
+    restricts pairs to equal blocking keys (e.g. lang) by folding
+    them into the bucket key."""
+    banded = sigs.select(
+        id_col,
+        *block_cols,
+        F.posexplode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band", "band_key"
+        ),
+    )
+    buckets = (
+        banded.groupBy(*block_cols, "band", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pair_expr.alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     """array<bigint> of band keys: murmur hash of each signature
     slice. Explode + groupBy on (band index, key) gives the LSH

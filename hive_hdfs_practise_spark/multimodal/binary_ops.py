@@ -93,6 +93,142 @@ def decode_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Real resample is unavailable in this container — STUB.
+
+    fake=True → deterministic stand-in bytes: the ASCII hex sha256
+    digest of (payload || '|WxH') — identical input bytes and target
+    always produce identical output bytes, and hex-string form keeps
+    downstream hashes expressible in SQL (DuckDB's sha256 only
+    accepts VARCHAR, so digests must stay in hex across engines)."""
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; pass fake=True "
+            "or swap in PIL.Image.resize at deployment"
+        )
+    suffix = f"|{width}x{height}".encode()
+    return hashlib.sha256((payload or b"") + suffix).hexdigest().encode()
+
+
+def resize_stage(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize: payload → target-dimension payload. The
+    output keeps a binary column (real plumbing: Arrow binary both
+    directions) plus its hex digest for value-level checking."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_image(p, width, height, fake=fake) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": resized,
+                    "payload_sha256": [
+                        hashlib.sha256(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("n_frame_chars", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_chars: int = 256, every: int = 2
+) -> DataFrame:
+    """mapInPandas frame sampler — the video shape: one input payload
+    fans out to MANY output rows (every ``every``-th fixed-length
+    frame), demonstrating n:m batch output through Arrow. Frames here
+    are character slices of the UTF-8 payload (a real codec would
+    slice the container's frame index instead — same plumbing)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_sha256": [],
+                "n_frame_chars": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                text = bytes(payload or b"").decode("utf-8")
+                for idx in range(0, -(-len(text) // frame_chars), every):
+                    frame = text[idx * frame_chars : (idx + 1) * frame_chars]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(frame.encode()).hexdigest()
+                    )
+                    out["n_frame_chars"].append(len(frame))
+            if not out["media_id"]:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_sha256": pd.Series(out["frame_sha256"], dtype="object"),
+                    "n_frame_chars": pd.Series(out["n_frame_chars"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """mapInPandas feature extractor: payload → dim-float embedding
+    (digest bytes / 255 — a deterministic stand-in for a real image
+    encoder; the output contract array<double> is what an encoder
+    swap would keep)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    b / 255.0
+                    for b in hashlib.sha256(p or b"").digest()[:dim]
+                ]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
 def from_documents(documents: DataFrame) -> DataFrame:
     """Derive a media table from the text corpus (payload =
     UTF-8-encoded text) — the deterministic stand-in for real image

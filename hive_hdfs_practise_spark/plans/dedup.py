@@ -182,38 +182,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mh.minhash_signature_from_text(
         d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4
     ).localCheckpoint(eager=True)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias(
-            "band", "band_key"
-        ),
-    )
-    # candidate pairs as PER-BUCKET COMBINATIONS after one shuffle on
-    # the band key — a self-join here would recompute the whole
-    # signature pipeline for each side (measured 2× the query time)
-    # and shuffle twice. Buckets are near-singleton by construction
-    # (r=8), so the combinations expression is tiny per group.
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_expr = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-    )
-    cand = (
-        buckets.select(pair_expr.alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND)
     # estimate-prefilter: signature agreement ≈ Jaccard (σ≈1/√128).
     # Candidates whose estimate is far below threshold skip exact
     # verification entirely — band collisions admit many mid-Jaccard
@@ -416,4 +385,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.clusters import connected_components, dedup_survivors
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_survivors(connected_components(pairs))
+
+
+@register("dedup_clusters_lsh")
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with the SCALE-PATH pair generator: lang-
+    blocked MinHash-LSH candidates, exact-verified (Jaccard ≥ 0.7),
+    feed the same connected-components closure. The quadratic
+    lang-blocked self-join is the only part of dedup_clusters that
+    cannot run at 100 TB; this swaps it for the linear LSH stage.
+    Rows-only (the candidate generator is probabilistic by design);
+    tests assert equality with the oracle-checked dedup_clusters on
+    this corpus — cost changes, results don't."""
+    from ..dedup.clusters import connected_components, dedup_survivors
+
+    d = table(spark, sf_dir, "documents")
+    sigs = mh.minhash_signature_from_text(
+        d.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
+    ).localCheckpoint(eager=True)
+    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",))
+    shingled = d.select(
+        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    pairs = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(
+            (n_union > 0)
+            & (F.round(n_inter.cast("double") / n_union, 6) >= JACCARD_THRESHOLD)
+        )
+        .select("doc_a", "doc_b")
+    )
     return dedup_survivors(connected_components(pairs))

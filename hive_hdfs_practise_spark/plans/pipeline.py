@@ -250,34 +250,7 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mh.minhash_signature_from_text(
         uniq.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
     ).localCheckpoint(eager=True)
-    banded = sigs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias(
-            "band", "band_key"
-        ),
-    )
-    buckets = (
-        banded.groupBy("lang", "band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_expr = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-    )
-    cand = (
-        buckets.select(pair_expr.alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",))
     shingled = uniq.select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     ).localCheckpoint(eager=True)

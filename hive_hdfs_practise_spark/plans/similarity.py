@@ -59,6 +59,33 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_brute_cosine_vectorized",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+         scored AS (
+           SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+           FROM embeddings e, q
+           WHERE e.vec_id <> {QUERY_VEC_ID}
+         )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def knn_brute_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN, Arrow-vectorized path: same contract (and same
+    oracle) as ``knn_brute_cosine``, but scoring is one BLAS
+    matrix-vector product per Arrow batch inside ``mapInPandas``
+    instead of the interpreted JVM lambda fold — the shape that
+    extends to GPU execution (see ``similarity/vectorized.py``)."""
+    from ..similarity.vectorized import brute_cosine_topk_vectorized
+
+    e = table(spark, sf_dir, "embeddings")
+    return brute_cosine_topk_vectorized(e, QUERY_VEC_ID, TOP_K)
+
+
 N_PLANES = 8
 
 

@@ -147,6 +147,22 @@ class TestClusters:
         assert set(comp.values()) == {0}
 
 
+class TestClustersLshParity:
+    def test_lsh_clusters_equal_exact_clusters(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r.doc_id, r.cluster_id, r.is_survivor)
+            for r in P.QUERIES["dedup_clusters"](spark, sf).collect()
+        }
+        lsh = {
+            (r.doc_id, r.cluster_id, r.is_survivor)
+            for r in P.QUERIES["dedup_clusters_lsh"](spark, sf).collect()
+        }
+        assert exact == lsh
+
+
 class TestPipelineLshParity:
     def test_lsh_pipeline_equals_exact_pipeline(self, spark):
         from hive_hdfs_practise_spark import plans as P

@@ -46,6 +46,63 @@ class TestDecode:
         assert row.meta.n_bytes == row.meta.n_bytes  # struct accessible
 
 
+class TestResize:
+    def test_stub_raises_without_fake(self):
+        from hive_hdfs_practise_spark.multimodal.binary_ops import resize_image
+
+        with pytest.raises(NotImplementedError):
+            resize_image(b"\x89PNG", 16, 16)
+
+    def test_resize_deterministic_and_target_dependent(self, media):
+        from hive_hdfs_practise_spark.multimodal.binary_ops import resize_stage
+
+        a = {r.media_id: r for r in resize_stage(media, 16, 16).collect()}
+        b = {r.media_id: r for r in resize_stage(media, 32, 32).collect()}
+        assert a[1].width == 16 and b[1].width == 32
+        assert a[1].payload != b[1].payload  # target is part of the bytes
+        want = hashlib.sha256(b"hello world|16x16").hexdigest().encode()
+        assert bytes(a[1].payload) == want
+        assert a[1].payload_sha256 == hashlib.sha256(want).hexdigest()
+
+
+class TestFrameSample:
+    def test_fanout_and_stride(self, spark):
+        from hive_hdfs_practise_spark.multimodal.binary_ops import (
+            from_documents,
+            sample_frames,
+        )
+
+        # 10-char frames over 35 chars → frames 0..3, stride 2 → 0, 2
+        docs = spark.createDataFrame(
+            [(1, "a" * 35, "en", "s", 35), (2, "", "en", "s", 0)],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        rows = sample_frames(from_documents(docs), frame_chars=10, every=2).collect()
+        got = {(r.media_id, r.frame_idx): r.n_frame_chars for r in rows}
+        # empty payload → no frames; last sampled frame is the 5-char tail? no:
+        # frame 2 covers chars 20-29 (full 10), frame 3 (tail) is skipped by stride
+        assert got == {(1, 0): 10, (1, 2): 10}
+
+    def test_frame_hash_matches_hashlib(self, media):
+        from hive_hdfs_practise_spark.multimodal.binary_ops import sample_frames
+
+        rows = sample_frames(media, frame_chars=4, every=2).collect()
+        by_key = {(r.media_id, r.frame_idx): r.frame_sha256 for r in rows}
+        assert by_key[(1, 0)] == hashlib.sha256(b"hell").hexdigest()
+        # CJK: frames slice CHARACTERS, hash their UTF-8 bytes
+        assert by_key[(2, 0)] == hashlib.sha256("另一个文".encode()).hexdigest()
+
+
+class TestFeatureExtract:
+    def test_feature_values_from_digest(self, media):
+        from hive_hdfs_practise_spark.multimodal.binary_ops import extract_features
+
+        rows = {r.media_id: r.feature for r in extract_features(media).collect()}
+        digest = hashlib.sha256(b"hello world").digest()
+        assert rows[1] == [b / 255.0 for b in digest[:8]]
+        assert len(rows[2]) == 8 and all(0.0 <= x <= 1.0 for x in rows[2])
+
+
 class TestUdfRegistration:
     def test_pandas_udf_registered_for_sql(self, spark):
         # §2.11: the user-extensible function surface — register an

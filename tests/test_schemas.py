@@ -32,6 +32,8 @@ BUILD_EXECUTES = {
     "stream_click_purchase_join",
     "knn_ivf",
     "knn_lsh_bucketed",
+    "knn_brute_cosine_vectorized",
+    "dedup_clusters_lsh",
 }
 
 
