@@ -50,12 +50,15 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_brute_cosine",
+    "knn_brute_cosine_vectorized",
     "text_quality_score",
     "text_lang_id",
     "word_freq_topk",
     "text_tfidf_topk",
     "events_asof_join",
     "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
     "chunks_ordered_reassembly",
     "replication_audit",
     "order_value_percentiles",

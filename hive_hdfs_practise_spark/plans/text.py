@@ -266,3 +266,94 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(20)
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH ln AS (
+        SELECT doc_id,
+               [l for l in string_split(text, chr(10)) if l <> ''] AS ls
+        FROM documents
+    ),
+    lagg AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(list_distinct(ls)) AS BIGINT) AS n_uniq
+        FROM ln
+    ),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest([t[x] || ' ' || t[x + 1]
+                       for x in generate_series(1, len(t) - 1)]) AS bg
+        FROM toks
+    ),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+    bga AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(lagg.n_lines, 0) AS n_lines,
+           round(CASE WHEN lagg.n_lines > 0
+                      THEN 1.0 - CAST(lagg.n_uniq AS DOUBLE) / lagg.n_lines
+                      ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN bga.tot > 0
+                      THEN CAST(bga.mx AS DOUBLE) / bga.tot
+                      ELSE 0.0 END, 6) AS top_bigram_share
+    FROM documents d
+    LEFT JOIN lagg ON lagg.doc_id = d.doc_id
+    LEFT JOIN bga ON bga.doc_id = d.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule shapes): fraction
+    of duplicate non-empty lines and the share of the most frequent
+    word bigram. High values flag boilerplate/spam for the curation
+    pipeline. Lines and bigrams explode into two independent
+    hash-aggregate branches (map-side partial agg caps both
+    shuffles); empty docs come back via left joins with 0.0 scores."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select("doc_id", F.explode(F.split("text", "\n")).alias("line")).filter(
+        F.col("line") != ""
+    )
+    lagg = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_uniq"),
+    )
+    toks = tx.tokens(F.col("text"))
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_big),
+        F.slice(toks, 2, n_big),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    bga = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    return (
+        d.select("doc_id")
+        .join(lagg, "doc_id", "left")
+        .join(bga, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("bigint")).alias("n_lines"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    1.0 - F.col("n_uniq").cast("double") / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.col("tot") > 0, F.col("mx").cast("double") / F.col("tot")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_share"),
+        )
+    )

@@ -78,3 +78,30 @@ class TestFingerprint:
         a = _one(spark, "abcdefghijklmnop", tx.minhash_fingerprint(F.col("text"), 5))
         b = _one(spark, "abcdefghijklmnoX", tx.minhash_fingerprint(F.col("text"), 5))
         assert a is not None and b is not None
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        import tempfile, os
+
+        docs = spark.createDataFrame(
+            [
+                # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5;
+                # bigrams: "a b","b a","a b","b c" -> top 2/4 = 0.5
+                (1, "a b\na b\n\nc d\nc d", "en", "s", 17),
+                (2, "", "en", "s", 0),          # empty -> zeros
+                (3, "one two three", "en", "s", 13),  # all bigrams unique
+            ],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+            rows = {
+                r.doc_id: r
+                for r in P.QUERIES["text_repetition_stats"](spark, tmp).collect()
+            }
+        assert rows[1].n_lines == 4 and rows[1].dup_line_frac == 0.5
+        assert rows[2].n_lines == 0 and rows[2].dup_line_frac == 0.0
+        assert rows[2].top_bigram_share == 0.0
+        assert rows[3].dup_line_frac == 0.0 and rows[3].top_bigram_share == 0.5
