@@ -259,3 +259,36 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "events_enriched_nation",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type,
+           round(e.value, 2) AS value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment of the event stream: every event picks up
+    its user's nation through two BROADCAST joins (customer and
+    nation are dimension-sized — the fact side never shuffles; at
+    100 TB this is the only join shape that scales for enrichment).
+    The streaming twin (stream_enriched_nation) runs the identical
+    joins stream-static."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_name").alias("nation"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )

@@ -117,3 +117,29 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
     )
     return run_available_now(joined, "stream_click_purchase_join", "append")
+
+
+@register("stream_enriched_nation")
+def stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched
+    against static dimension tables (broadcast per micro-batch) —
+    stateless, append-mode, no watermark needed for an inner
+    stream-static join. On bounded input equals the batch twin
+    events_enriched_nation (asserted in tests)."""
+    from ..sources.catalog import table
+
+    ev = _events_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_name").alias("nation"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+    return run_available_now(joined, "stream_enriched_nation", "append")

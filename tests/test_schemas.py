@@ -30,6 +30,7 @@ BUILD_EXECUTES = {
     "stream_liveness_transitions",
     "stream_dedup_keys",
     "stream_click_purchase_join",
+    "stream_enriched_nation",
     "knn_ivf",
     "knn_lsh_bucketed",
     "knn_brute_cosine_vectorized",

@@ -144,3 +144,16 @@ class TestStreamStreamJoin:
             for r in plans.QUERIES["events_click_purchase_join"](spark, SF).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestStreamStaticJoin:
+    def test_stream_static_enrichment_equals_batch(self, spark):
+        got = {
+            (r.event_id, r.user_id, r.nation, r.event_type, r.value)
+            for r in plans.QUERIES["stream_enriched_nation"](spark, SF).collect()
+        }
+        want = {
+            (r.event_id, r.user_id, r.nation, r.event_type, r.value)
+            for r in plans.QUERIES["events_enriched_nation"](spark, SF).collect()
+        }
+        assert got == want and len(want) > 0
