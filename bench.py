@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q22_global_sales_opportunity",
     "q8_market_share",
     "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "sales_by_year_month",
     "sales_rollup",
     "monthly_sales_ranked",

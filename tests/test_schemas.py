@@ -35,6 +35,7 @@ BUILD_EXECUTES = {
     "knn_lsh_bucketed",
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
+    "q15_top_supplier",
 }
 
 
