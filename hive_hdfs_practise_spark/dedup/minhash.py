@@ -169,8 +169,19 @@ def lsh_candidate_pairs(
             "band", "band_key"
         ),
     )
+    return pairs_within_buckets(banded, id_col, [*block_cols, "band", "band_key"])
+
+
+def pairs_within_buckets(
+    df: DataFrame, id_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs (doc_a < doc_b) of ids sharing a
+    bucket: one shuffle on the bucket key, then combinations inside
+    each collected id set — never a self-join (see
+    lsh_candidate_pairs for why). Shared by MinHash banding and the
+    hyperplane (cosine) LSH."""
     buckets = (
-        banded.groupBy(*block_cols, "band", "band_key")
+        df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )

@@ -175,10 +175,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each consumer replays the signature scan. The
     # text-direct path never builds shingle arrays (see
     # minhash_signature_from_text). downsample=4 measured best END TO
-    # END despite slowing the signature aggregate itself (the filter
-    # splits the fused explode→hash→agg codegen): sampled signatures
-    # produce fewer mid-Jaccard band collisions, and the candidate
-    # count — not the signature scan — dominates this query.
+    # END: it cuts the wide aggregate's input 4× AND sampled
+    # signatures produce fewer mid-Jaccard band collisions — the
+    # candidate count, not the signature scan, dominates this query.
     sigs = mh.minhash_signature_from_text(
         d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4
     ).localCheckpoint(eager=True)
@@ -422,3 +421,70 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return dedup_survivors(connected_components(pairs))
+
+
+# Banded hyperplane LSH for the UNBLOCKED embedding near-dup path:
+# 4 bands × 4 sign bits. P(candidate) = 1-(1-p^4)^4 with
+# p = 1 - θ/π: ≈0.96 at cosine 0.9, ≈0.50 at the 0.4 threshold —
+# recall concentrates on the high-similarity pairs dedup cares
+# about, and exact verification keeps precision at 1.
+N_EMB_BANDS = 4
+PLANES_PER_BAND = 4
+
+
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT label blocking — the scale
+    path ``dedup_embedding_cosine``'s docstring promises: banded
+    sign-bit (hyperplane) LSH buckets the whole corpus, per-bucket
+    combinations give candidates, exact cosine verifies. The corpus
+    shuffles only (vec_id, band, bucket) rows; vectors are read
+    again just for surviving candidates. Rows-only (recall is
+    probabilistic); tests pin determinism, exactness of reported
+    cosines, and recall on planted duplicates."""
+    from ..dedup.minhash import pairs_within_buckets
+    from .similarity import _hyperplanes_df
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.as_double(F.col("embedding")).alias("v")
+    )
+    dim = len(e.select("v").head()[0])
+    planes = _hyperplanes_df(
+        spark, dim, N_EMB_BANDS * PLANES_PER_BAND
+    ).withColumn("band", (F.col("plane_id") / PLANES_PER_BAND).cast("int"))
+    buckets = (
+        e.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "band",
+            "plane_id",
+            F.when(vec.dot(F.col("v"), F.col("plane")) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                F.lit(0),
+                lambda acc, b: acc * 2 + b,
+            ).alias("bucket")
+        )
+    )
+    cand = pairs_within_buckets(buckets, "vec_id", ["band", "bucket"])
+    va = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = F.round(vec.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

@@ -89,14 +89,14 @@ def knn_brute_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
-def _hyperplanes_df(spark: SparkSession, dim: int):
+def _hyperplanes_df(spark: SparkSession, dim: int, n_planes: int = N_PLANES):
     """Deterministic pseudo-random hyperplanes: component c of plane p
     is derived from md5(p:c) → uniform in [-1, 1). No RNG state, so
     the bucketing is reproducible across runs/engines."""
     rows = []
     import hashlib
 
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         comps = []
         for c in range(dim):
             h = hashlib.md5(f"{p}:{c}".encode()).hexdigest()

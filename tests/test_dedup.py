@@ -177,3 +177,53 @@ class TestPipelineLshParity:
             for r in P.QUERIES["pipeline_training_data_lsh"](spark, sf).collect()
         }
         assert exact == lsh
+
+
+class TestEmbeddingLsh:
+    SF = "/root/testdata/sf0.001"
+
+    def test_reported_cosines_exact_and_above_threshold(self, spark):
+        import numpy as np
+
+        from hive_hdfs_practise_spark import plans as P
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{self.SF}/embeddings.parquet").collect()
+        }
+        rows = P.QUERIES["dedup_embedding_lsh"](spark, self.SF).collect()
+        assert rows, "no candidate pairs found on the test corpus"
+        for r in rows:
+            a, b = emb[r.vec_a], emb[r.vec_b]
+            want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r.cosine - round(want, 6)) < 1e-6
+            assert r.cosine >= 0.4 and r.vec_a < r.vec_b
+
+    def test_deterministic(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        a = {(r.vec_a, r.vec_b) for r in P.QUERIES["dedup_embedding_lsh"](spark, self.SF).collect()}
+        b = {(r.vec_a, r.vec_b) for r in P.QUERIES["dedup_embedding_lsh"](spark, self.SF).collect()}
+        assert a == b
+
+    def test_planted_duplicates_found(self, spark):
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans as P
+
+        base = spark.read.parquet(f"{self.SF}/embeddings.parquet").limit(50)
+        # plant an exact duplicate of each of vec_ids 0 and 1 at high ids
+        dup = base.filter(F.col("vec_id") < 2).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            base.union(dup).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            got = {
+                (r.vec_a, r.vec_b)
+                for r in P.QUERIES["dedup_embedding_lsh"](spark, tmp).collect()
+            }
+        # identical vectors share every band bucket → always candidates
+        assert (0, 100000) in got and (1, 100001) in got
