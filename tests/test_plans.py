@@ -67,3 +67,26 @@ class TestTopKAndAgg:
         p = _plan(spark, "events_asof_join")
         assert p.count("Exchange hashpartitioning") == 1
         assert "Join" not in p.replace("Exchange", "")  # no join operator at all
+
+
+class TestNewQueryPlans:
+    def test_vectorized_knn_is_takeordered_over_mapinpandas(self, spark):
+        p = _plan(spark, "knn_brute_cosine_vectorized")
+        assert "MapInPandas" in p and "TakeOrderedAndProject" in p
+        assert "SortMergeJoin" not in p  # no join at all in this plan
+
+    def test_q17_part_filter_pushed_and_broadcast(self, spark):
+        p = _plan(spark, "q17_small_quantity_revenue")
+        pushed = p.split("PushedFilters", 1)[1][:500]
+        assert "p_brand" in pushed or "p_brand" in p
+        assert "BroadcastHashJoin" in p
+
+    def test_q13_reads_only_keys(self, spark):
+        p = _plan(spark, "q13_customer_distribution")
+        # customer scan prunes to the key column only
+        assert "struct<c_custkey:bigint>" in p
+
+    def test_enrichment_joins_are_broadcast(self, spark):
+        p = _plan(spark, "events_enriched_nation")
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
