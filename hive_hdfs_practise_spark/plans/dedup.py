@@ -20,8 +20,9 @@ Scale design (the point of each variant):
                 stage here is blocked brute-force (the scale path
                 buckets by 4 rotated bit-chunks — pigeonhole: any
                 pair within distance 3 shares one chunk).
-- embedding:    cosine ≥ τ within label blocks (at scale: LSH/IVF
-                buckets from ``similarity/``, not labels).
+- embedding:    cosine ≥ τ within label blocks (oracle-checked);
+                the unblocked scale path is dedup_embedding_lsh —
+                banded hyperplane buckets instead of labels.
 """
 
 from __future__ import annotations
