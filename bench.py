@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_bucketed",
     "knn_brute_cosine",
     "knn_brute_cosine_vectorized",
     "text_quality_score",

@@ -27,12 +27,13 @@ def tokens_expr(dialect: str, text: str = "text") -> str:
     return f"regexp_extract_all(trim({text}), '\\S+')"
 
 
-def token_sig_term(h: str) -> str:
-    """Scalar 32-bit signature of one md5-hex expression (dialect-
-    neutral: instr/substring/CAST behave identically)."""
+def token_sig_term(h: str, bits: int = BITS) -> str:
+    """Scalar ``bits``-wide signature of one md5-hex expression
+    (dialect-neutral: instr/substring/CAST behave identically).
+    bits ≤ 60 keeps the nibble sum inside signed-64 range."""
     return " + ".join(
         f"(CAST(instr('{HEX}', substring({h}, {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * p)})"
-        for p in range(BITS // 4)
+        for p in range(bits // 4)
     )
 
 

@@ -228,6 +228,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 HAMMING_THRESHOLD = 6
 
 
+def _simhash_signatures(d: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, lang, simhash): ``bits``-wide md5-nibble simhash per
+    document. Explode tokens → one codegen'd scalar sig per token →
+    ``bits`` plain sum() aggregates → assemble bits (see
+    dedup_simhash's docstring for why this beats the array form)."""
+    toks = d.select(
+        "doc_id", "lang", F.explode_outer(F.expr(sh.tokens_expr("spark"))).alias("t")
+    ).withColumn("tsig", F.expr(sh.token_sig_term("md5(t)", bits)))
+    counters = toks.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("tsig").isNotNull(),
+                    2 * F.shiftright(F.col("tsig"), j).bitwiseAND(F.lit(1)) - 1,
+                )
+            ).alias(f"c{j}")
+            for j in range(bits)
+        ]
+    )
+    simhash = None
+    for j in range(bits):
+        bit = F.when(
+            F.coalesce(F.col(f"c{j}"), F.lit(0)) > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bit if simhash is None else simhash + bit
+    return counters.select("doc_id", "lang", simhash.alias("simhash"))
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -257,36 +285,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     states it) is ~2× slower — same math, different physical plan.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode_outer(F.expr(sh.tokens_expr("spark"))).alias("t")
-    ).withColumn("tsig", F.expr(sh.token_sig_term("md5(t)")))
-    counters = toks.groupBy("doc_id", "lang").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("tsig").isNotNull(),
-                    2 * F.shiftright(F.col("tsig"), j).bitwiseAND(F.lit(1)) - 1,
-                )
-            ).alias(f"c{j}")
-            for j in range(sh.BITS)
-        ]
-    )
-    simhash = None
-    for j in range(sh.BITS):
-        bit = F.when(F.coalesce(F.col(f"c{j}"), F.lit(0)) > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash = bit if simhash is None else simhash + bit
     # checkpoint: the self-join below would otherwise recompute the
     # whole signature build per side (measured: the pair join itself
     # is 0.4s codegen'd at sf0.1 — signature recompute was ~85% of
-    # query time). A 7-chunk pigeonhole bucketing (any pair within
-    # Hamming 6 shares a chunk) was prototyped for the block-
-    # quadratic pair stage and loses below ~10k docs/block — it
-    # becomes the right plan only at larger block sizes.
-    hashes = counters.select("doc_id", "lang", simhash.alias("simhash")).localCheckpoint(
-        eager=True
-    )
+    # query time). The pair stage here is blocked brute-force, which
+    # WINS below ~10k docs/block; the chunk-bucketed scale form is
+    # dedup_simhash_bucketed below.
+    hashes = _simhash_signatures(d, sh.BITS).localCheckpoint(eager=True)
     a = hashes.alias("a")
     b = hashes.alias("b")
     hamming = F.expr(sh.hamming_expr("spark", "a.simhash", "b.simhash"))
@@ -300,6 +305,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+# Scale form of the SimHash pair stage: a WIDER signature (60 bits —
+# 15 md5 nibbles, the most that fits signed-64) split into
+# HAMMING_THRESHOLD+1 chunks. Pigeonhole: ≤6 differing bits cannot
+# touch all 7 chunks, so every qualifying pair shares at least one
+# exact chunk value — candidate generation by chunk-equality buckets
+# has DETERMINISTIC 100% recall (unlike MinHash banding), and 60-bit
+# chunks are 8-9 bits wide so buckets stay small enough to pair.
+SIMHASH_SCALE_BITS = 60
+N_SIMHASH_CHUNKS = HAMMING_THRESHOLD + 1
+
+
+@register("dedup_simhash_bucketed")
+def dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the CHUNK-BUCKETED pair stage —
+    the O(n²)-free scale path. 60-bit signature → 7 chunks (9/9/9/9/
+    8/8/8 bits) → bucket on (lang, chunk index, chunk value) →
+    per-bucket combinations → exact Hamming ≤ 6 verification. Only
+    (doc_id, chunk value) rows shuffle. Recall is exactly 1 by
+    pigeonhole (tests assert equality with the brute-force pair join
+    over the same signatures); brute force still wins below ~10k
+    docs/block, which is why dedup_simhash keeps it at test scale."""
+    from ..dedup.minhash import pairs_within_buckets
+
+    d = table(spark, sf_dir, "documents")
+    hashes = _simhash_signatures(d, SIMHASH_SCALE_BITS).localCheckpoint(eager=True)
+    base, extra = divmod(SIMHASH_SCALE_BITS, N_SIMHASH_CHUNKS)
+    chunk_vals, off = [], 0
+    for c in range(N_SIMHASH_CHUNKS):
+        size = base + (1 if c < extra else 0)
+        chunk_vals.append(
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
+        )
+        off += size
+    chunked = hashes.select(
+        "doc_id", "lang", F.posexplode(F.array(*chunk_vals)).alias("chunk", "cval")
+    )
+    cand = pairs_within_buckets(chunked, "doc_id", ["lang", "chunk", "cval"])
+    sig_a = hashes.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sig_b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.expr(sh.hamming_expr("spark", "sig_a", "sig_b"))
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )
 

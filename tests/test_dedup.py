@@ -227,3 +227,45 @@ class TestEmbeddingLsh:
             }
         # identical vectors share every band bucket → always candidates
         assert (0, 100000) in got and (1, 100001) in got
+
+
+class TestSimhashBucketed:
+    def test_bucketed_pairs_equal_bruteforce(self, spark):
+        """Pigeonhole guarantee: chunk-bucketed candidates lose NO
+        pair within the Hamming threshold — exact equality, not a
+        recall bound."""
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.dedup import (
+            HAMMING_THRESHOLD,
+            SIMHASH_SCALE_BITS,
+            _simhash_signatures,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in P.QUERIES["dedup_simhash_bucketed"](spark, sf).collect()
+        }
+        h = _simhash_signatures(
+            table(spark, sf, "documents"), SIMHASH_SCALE_BITS
+        ).localCheckpoint(eager=True)
+        a, b = h.alias("a"), h.alias("b")
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+            .collect()
+        }
+        assert got == brute and len(got) > 0

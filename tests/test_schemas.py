@@ -37,6 +37,7 @@ BUILD_EXECUTES = {
     "dedup_clusters_lsh",
     "q15_top_supplier",
     "dedup_embedding_lsh",
+    "dedup_simhash_bucketed",
 }
 
 
