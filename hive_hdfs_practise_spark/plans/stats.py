@@ -40,6 +40,23 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("order_value_percentiles_approx")
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of order_value_percentiles: approx_percentile
+    builds MERGEABLE per-partition sketches (map-side partial
+    aggregation, one pass, no sort), so the shuffle carries one
+    sketch per group per partition instead of raw values. Rows-only
+    — sketches have no cross-engine oracle; tests bound the error
+    against the exact query (accuracy 10000 → well inside 1%)."""
+    o = table(spark, sf_dir, "orders")
+    acc = F.lit(10000)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), acc), 4).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.9), acc), 4).alias("p90"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.99), acc), 4).alias("p99"),
+    )
+
+
 @register(
     "order_value_histogram",
     oracle="""

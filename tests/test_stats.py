@@ -26,3 +26,21 @@ class TestApproxSketches:
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
         ).collect()[0]
         assert abs(row.approx - row.exact) / row.exact < 0.08
+
+
+class TestApproxPercentilesQuery:
+    def test_within_one_percent_of_exact(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        exact = {
+            r.o_orderstatus: (r.p50, r.p90, r.p99)
+            for r in P.QUERIES["order_value_percentiles"](spark, SF).collect()
+        }
+        approx = {
+            r.o_orderstatus: (r.p50, r.p90, r.p99)
+            for r in P.QUERIES["order_value_percentiles_approx"](spark, SF).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for status, vals in exact.items():
+            for e, a in zip(vals, approx[status]):
+                assert abs(a - e) / e < 0.01
