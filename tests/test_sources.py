@@ -45,3 +45,36 @@ class TestIngest:
         assert "movie" not in [
             t.name for t in spark.catalog.listTables("movie_shop_test")
         ]
+
+
+class TestFormatMatrix:
+    def test_round_trip_all_formats(self, spark, order_df, tmp_path):
+        from hive_hdfs_practise_spark.sources.formats import FORMATS, round_trip
+
+        want = {tuple(r) for r in order_df.collect()}
+        for fmt in FORMATS:
+            got = {
+                tuple(r)
+                for r in round_trip(order_df, str(tmp_path / fmt), fmt).collect()
+            }
+            assert got == want, f"{fmt} round trip lost data"
+
+    def test_text_formats_preserve_timestamps(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.sources.formats import round_trip
+
+        df = spark.createDataFrame(
+            [(1, "2015-01-08 10:00:00.123456")], "id LONG, s STRING"
+        ).select("id", F.col("s").cast("timestamp").alias("ts"))
+        for fmt in ("json", "csv"):
+            got = round_trip(df, str(tmp_path / f"ts_{fmt}"), fmt).collect()[0]
+            assert got.ts == df.collect()[0].ts, f"{fmt} lost timestamp precision"
+
+    def test_unknown_format_rejected(self, spark, order_df, tmp_path):
+        import pytest as _pytest
+
+        from hive_hdfs_practise_spark.sources.formats import write_table
+
+        with _pytest.raises(ValueError):
+            write_table(order_df, str(tmp_path / "x"), "avro")

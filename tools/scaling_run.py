@@ -34,10 +34,15 @@ FINDINGS = """## Findings
   fixed overheads (task launch, plan compilation, dimension
   broadcasts) that amortize as data grows.
 - Pair-set operators stay linear only while candidate sets do:
-  MinHash-LSH's ratio (~6) is the largest in the suite because band
-  collisions grow with corpus near-dup density; exact verification
-  bounds the damage and the estimate-prefilter keeps the verify set
-  small.
+  MinHash-LSH (~4.6) and brute-pair SimHash (~5.8) ride candidate
+  growth with corpus near-dup density; exact verification bounds
+  the damage and the estimate-prefilter keeps the verify set small.
+  The chunk-bucketed SimHash variant (ratio 4.5, recall exactly 1)
+  has the better asymptote but has NOT yet crossed over brute force
+  at 50k docs — its buckets only pay off at larger blocks.
+- replication_audit's 6.9 is the suite's largest ratio: its input
+  (chunk replica rows) scales with data while every other query's
+  dimension side stays fixed — still sub-linear.
 - Methodology lesson (kept deliberately): an earlier scale-up
   perturbed replica texts by injecting marker tokens, which gave
   EVERY document in a replica shared shingles — corpus-wide shingle
