@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "q22_global_sales_opportunity",
     "q8_market_share",
     "q9_product_profit",
+    "q11_important_parts",
     "q13_customer_distribution",
+    "q16_supplier_counts",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "sales_by_year_month",

@@ -707,3 +707,91 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, total_qty
+    FROM pv
+    WHERE total_qty > (SELECT sum(total_qty) * 0.001 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (q11): per-part quantity held via one
+    nation's suppliers, keeping parts above a fraction of the GLOBAL
+    total — the group-filter-by-global-scalar shape. The aggregate
+    materializes once (localCheckpoint) and feeds both the 1-row
+    scalar (broadcast) and the filter. Quantities are integral, so
+    both engines' sums are bit-exact in any order — the threshold
+    comparison cannot flip cross-engine (unlike price sums)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    pv = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .localCheckpoint(eager=True)
+    )
+    thresh = pv.agg((F.sum("total_qty") * 0.001).alias("_t"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("total_qty") > F.col("_t"))
+        .select("l_partkey", "total_qty")
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count shape (q16): distinct suppliers per (brand,
+    type) with an exclusion list — NOT IN becomes a broadcast
+    LEFT ANTI join (s_suppkey is non-null, so anti-join and NOT IN
+    agree); the distinct aggregate runs partial per partition before
+    the (brand, type) shuffle."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

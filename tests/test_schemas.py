@@ -36,6 +36,7 @@ BUILD_EXECUTES = {
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
     "q15_top_supplier",
+    "q11_important_parts",
     "dedup_embedding_lsh",
     "dedup_simhash_bucketed",
 }
