@@ -118,3 +118,31 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured columns (Spark 4):
+    ``parse_json`` converts the props string to the binary variant
+    encoding once, ``try_variant_get`` extracts typed scalars — at
+    scale the parse happens at INGEST and lands in parquet as a
+    shredded variant column, so queries skip string parsing
+    entirely. Same output contract (and oracle) as the
+    get_json_object form in events_json_extract."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("prop_k"),
+        )
+    )
