@@ -143,3 +143,31 @@ def stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(joined, "stream_enriched_nation", "append")
+
+
+@register("stream_upsert_latest")
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: every micro-batch upserts into a
+    parquet state table (keep-latest per (user_id, event_type),
+    version (ts, event_id)) via the batch upsert operator — the
+    pattern that gives a streaming query access to the whole batch
+    operator library, and effectively-exactly-once state on replay
+    (idempotent merge). Final state equals the oracle-checked batch
+    twin events_dedup_latest (asserted in tests, including a forced
+    multi-batch run)."""
+    import tempfile
+
+    from ..streaming.sinks import run_upsert_stream
+
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    run_upsert_stream(stream, f"{work}/state", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/state").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round("value", 2).alias("value"),
+    )

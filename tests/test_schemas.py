@@ -31,6 +31,7 @@ BUILD_EXECUTES = {
     "stream_dedup_keys",
     "stream_click_purchase_join",
     "stream_enriched_nation",
+    "stream_upsert_latest",
     "knn_ivf",
     "knn_lsh_bucketed",
     "knn_brute_cosine_vectorized",

@@ -157,3 +157,49 @@ class TestStreamStaticJoin:
             for r in plans.QUERIES["events_enriched_nation"](spark, SF).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestForeachBatchUpsert:
+    def test_single_batch_equals_batch_twin(self, spark):
+        got = {
+            tuple(r)
+            for r in plans.QUERIES["stream_upsert_latest"](spark, SF).collect()
+        }
+        want = {
+            tuple(r)
+            for r in plans.QUERIES["events_dedup_latest"](spark, SF).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_multi_batch_merge_equals_batch_twin(self, spark, tmp_path):
+        """4 staged files + maxFilesPerTrigger=1 → 4 micro-batches,
+        each merging into the state table; the final state must not
+        depend on how the data was batched."""
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+        from hive_hdfs_practise_spark.streaming.sinks import run_upsert_stream
+
+        ev = table(spark, SF, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        src = str(tmp_path / "src")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        run_upsert_stream(stream, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "state"))
+            .select("event_id", "user_id", "event_type", "ts",
+                    F.round("value", 2).alias("value"))
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in plans.QUERIES["events_dedup_latest"](spark, SF).collect()
+        }
+        assert got == want
