@@ -55,3 +55,21 @@ def dataset_split(
         split_col,
         F.when(b < t_cut, "train").when(b < v_cut, "val").otherwise("test"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, stratum: str, pcts: dict[str, int], default_pct: int = 0
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum md5-bucket
+    cutoffs (e.g. keep 50% of 'en' docs, 10% of everything else).
+    Same engine-independence as hash_sample — the kept set is a pure
+    function of (key, stratum), reproducible anywhere, and rates are
+    exact in expectation per stratum without a shuffle (one filter,
+    no sampling state)."""
+    bucket = md5_bucket(F.col(key))
+    cutoff = F.lit(int(round(256 * default_pct / 100.0)))
+    for value, pct in sorted(pcts.items()):
+        cutoff = F.when(
+            F.col(stratum) == value, F.lit(int(round(256 * pct / 100.0)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)

@@ -37,3 +37,28 @@ def salted_sum_count(
     return partial.groupBy(*keys).agg(
         F.sum("_ps").alias(sum_name), F.sum("_pc").alias(count_name)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big``'s key distribution is heavily skewed
+    and ``small`` is too large to broadcast: salt the big side
+    (random-free: partition id mod n_salt), REPLICATE the small side
+    across all n_salt salt values, join on (key, salt). Each hot key
+    spreads over n_salt tasks instead of funnelling into one. Costs
+    an n_salt× blow-up of the small side's shuffle — the trade that
+    wins when the hottest key exceeds ~1/parallelism of the big
+    side. (AQE's skew-join split handles sort-merge cases
+    automatically; this explicit form also covers aggregates-after-
+    join pipelines and engines/settings without AQE.)"""
+    salted_big = big.withColumn("_salt", F.spark_partition_id() % n_salt)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = salted_big.join(replicated, [key, "_salt"], how)
+    return joined.drop("_salt")

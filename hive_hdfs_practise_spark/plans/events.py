@@ -292,3 +292,41 @@ def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "events_salted_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed-fact-join form: SALT the fact side and replicate
+    the dimension across the salt space (operators/skew.py::
+    salted_join) so a hot user_id spreads over n_salt tasks instead
+    of one. Semantically identical to the plain join — the oracle is
+    the unsalted SQL. Companion to events_salted_agg (salted
+    aggregation); together they cover the two shuffle shapes a
+    dominant key can stall."""
+    from ..operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(e, c, "user_id", n_salt=8)
+    return (
+        joined.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

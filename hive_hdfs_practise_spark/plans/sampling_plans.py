@@ -59,3 +59,27 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "dataset_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE {_BUCKET} % 256 < CASE WHEN lang = 'en' THEN 128
+                                 WHEN lang = 'zh' THEN 51
+                                 ELSE 26 END
+    GROUP BY lang
+    """,
+)
+def dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sample: per-language keep rates
+    (50% en, 20% zh, 10% rest) via per-stratum md5-bucket cutoffs —
+    the language-rebalancing step of a curation pipeline, exact in
+    membership (not just expectation) across engines and
+    partitionings, one filter and no sampling state."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(d, "doc_id", "lang", {"en": 50, "zh": 20}, 10)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

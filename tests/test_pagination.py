@@ -67,3 +67,28 @@ class TestGenreExplode:
         assert (1299731, "剧情") in pairs and (1299731, "犯罪") in pairs
         # every movie contributes at least one row (outer explode)
         assert len({r.movie_id for r in rows}) == movie_df.count()
+
+
+class TestStratifiedSample:
+    def test_membership_deterministic_and_stratified(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.operators.sampling import (
+            md5_bucket,
+            stratified_hash_sample,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        d = table(spark, "/root/testdata/sf0.001", "documents")
+        kept = stratified_hash_sample(d, "doc_id", "lang", {"en": 50}, 10)
+        a = {r.doc_id for r in kept.collect()}
+        b = {r.doc_id for r in kept.collect()}
+        assert a == b
+        # membership follows the per-stratum cutoff exactly
+        rows = d.select(
+            "doc_id", "lang", md5_bucket(F.col("doc_id")).alias("bucket")
+        ).collect()
+        want = {
+            r.doc_id for r in rows if r.bucket < (128 if r.lang == "en" else 26)
+        }
+        assert a == want

@@ -151,3 +151,18 @@ class TestL2AndSkew:
         for k in plain:
             assert salted[k][1] == plain[k][1]
             assert abs(salted[k][0] - plain[k][0]) < 1e-6
+
+    def test_salted_join_equals_plain(self, spark):
+        from hive_hdfs_practise_spark.operators.skew import salted_join
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        e = table(spark, SF, "events").select("event_id", "user_id")
+        c = table(spark, SF, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        )
+        got = {
+            (r.event_id, r.c_nationkey)
+            for r in salted_join(e, c, "user_id", n_salt=4).collect()
+        }
+        want = {(r.event_id, r.c_nationkey) for r in e.join(c, "user_id").collect()}
+        assert got == want and len(want) > 0
