@@ -357,3 +357,71 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_share"),
         )
     )
+
+
+@register(
+    "text_char_bigram_logprob",
+    oracle=r"""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest([substring(text, x, 2)
+                       for x in generate_series(1, len(text) - 1)]) AS b
+        FROM documents
+    ),
+    model AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
+    scored AS (
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               avg(ln(CAST(model.c AS DOUBLE) / tot.n)) AS lp
+        FROM bg JOIN model ON model.b = bg.b, tot
+        GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           round(coalesce(s.lp, 0.0), 6) AS avg_logprob
+    FROM documents d
+    LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def text_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the TRAIN-THEN-SCORE shape:
+    phase 1 fits a char-bigram model on the corpus (one groupBy —
+    the model is |charset²|-sized, dimension-small); phase 2
+    broadcasts the model back over the corpus and scores each doc by
+    its mean bigram log-probability. Low scores flag gibberish/
+    unnatural text — the cheap stand-in for KenLM-perplexity
+    filtering, same dataflow (fit small state on the whole corpus,
+    broadcast, apply). Out-of-vocabulary lookups cannot occur (the
+    model is fit on the scored corpus); a held-out split would add
+    smoothing."""
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text") - F.lit(1)
+    pos = F.explode(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    bg = d.select("doc_id", F.col("text"), pos.alias("_i")).select(
+        "doc_id", F.col("text").substr(F.col("_i"), F.lit(2)).alias("b")
+    )
+    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        bg.join(F.broadcast(model), "b")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.col("c").cast("double") / F.col("n"))).alias("lp"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.round(F.coalesce(F.col("lp"), F.lit(0.0)), 6).alias("avg_logprob"),
+        )
+    )

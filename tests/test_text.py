@@ -105,3 +105,24 @@ class TestRepetitionStats:
         assert rows[2].n_lines == 0 and rows[2].dup_line_frac == 0.0
         assert rows[2].top_bigram_share == 0.0
         assert rows[3].dup_line_frac == 0.0 and rows[3].top_bigram_share == 0.5
+
+
+class TestBigramLogprob:
+    def test_gibberish_scores_below_natural_text(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        import tempfile, os
+
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat", "en", "s", 22) for i in range(9)]
+            + [(99, "zq xv kj qz wx jq kv zx", "en", "s", 23)],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+            rows = {
+                r.doc_id: r.avg_logprob
+                for r in P.QUERIES["text_char_bigram_logprob"](spark, tmp).collect()
+            }
+        natural = rows[0]
+        assert rows[99] < natural  # rare bigrams → lower log-probability
+        assert all(abs(rows[i] - natural) < 1e-9 for i in range(9))
