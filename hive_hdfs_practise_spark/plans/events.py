@@ -330,3 +330,60 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM e
+    )
+    SELECT event_type, bucket,
+           round(max(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style OHLC rollup: per (series, hour bucket) the
+    first/max/min/last value — the time-series downsampling
+    primitive (continuous-aggregate shape). First/last are
+    deterministic via the (ts, event_id) tiebreak; the windows and
+    the final aggregate share one (event_type, bucket) shuffle
+    partitioning. At scale this rollup is written incrementally per
+    closed window (see stream builders) — the batch form here is the
+    backfill path."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    w = Window.partitionBy("event_type", "bucket")
+    ranked = e.withColumn(
+        "rn_open", F.row_number().over(w.orderBy(F.asc("ts"), F.asc("event_id")))
+    ).withColumn(
+        "rn_close", F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

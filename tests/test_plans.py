@@ -90,3 +90,9 @@ class TestNewQueryPlans:
         p = _plan(spark, "events_enriched_nation")
         assert p.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in p
+
+    def test_ohlc_single_shuffle_for_two_windows_and_agg(self, spark):
+        import re
+
+        p = _plan(spark, "events_ohlc_hourly")
+        assert len(re.findall(r"Exchange (hash|range)", p)) == 1
