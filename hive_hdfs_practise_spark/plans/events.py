@@ -387,3 +387,43 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "lineitem_bloom_semi_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_suppkey,
+           round(l.l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+        SELECT s.s_suppkey
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+    )
+    """,
+)
+def lineitem_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join accelerated by a broadcast BLOOM prefilter
+    (operators/bloom.py): a 4096-bit md5-family filter over the
+    dimension keys drops non-matching fact rows BEFORE the join
+    shuffle (~97% of lineitem here). False positives only, so the
+    exact semi join downstream keeps the oracle exact — the explicit
+    form of AQE's runtime bloom filtering, available to any plan.
+    The filter's bit family is md5-derived, so the same filter is
+    reconstructible in any engine."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    return bloom_semi_join(li, s, "l_suppkey", "s_suppkey").select(
+        "l_orderkey", "l_suppkey", F.round("l_extendedprice", 2).alias("l_extendedprice")
+    )

@@ -92,3 +92,41 @@ class TestStratifiedSample:
             r.doc_id for r in rows if r.bucket < (128 if r.lang == "en" else 26)
         }
         assert a == want
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives_and_pruning(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.operators.bloom import (
+            bloom_semi_join,
+            build_bloom,
+            might_contain,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        dim = spark.createDataFrame([(1,), (3,), (7,)], "s_suppkey LONG")
+        bloom = build_bloom(dim, "s_suppkey")
+        pruned = li.join(F.broadcast(bloom)).filter(
+            might_contain(F.col("bloom"), F.col("l_suppkey"))
+        )
+        exact = {
+            tuple(r)
+            for r in li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey, "left_semi").collect()
+        }
+        survivors = {tuple(r.asDict(True).values())[:2] for r in pruned.drop("bloom").collect()}
+        assert exact <= survivors          # never drops a real match
+        assert len(survivors) < li.count() # and it actually prunes
+        got = {tuple(r) for r in bloom_semi_join(li, dim, "l_suppkey", "s_suppkey").collect()}
+        assert got == exact
+
+    def test_empty_dimension_prunes_everything(self, spark):
+        from hive_hdfs_practise_spark.operators.bloom import bloom_semi_join
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        empty = spark.createDataFrame([], "s_suppkey LONG")
+        assert bloom_semi_join(li, empty, "l_suppkey", "s_suppkey").count() == 0
