@@ -85,3 +85,109 @@ class TestQualityTotality:
         df = spark.createDataFrame([(text,)], "text STRING")
         v = df.select(tx.quality_score(F.col("text")).alias("q")).collect()[0].q
         assert v is not None and 0.0 <= v <= 1.0
+
+
+class TestUpsertProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 5),      # key
+                st.integers(0, 100),    # version
+                st.integers(0, 999),    # payload
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        split_at=st.integers(0, 30),
+    )
+    def test_batching_invariance_and_idempotence(self, spark, rows, split_at):
+        """Final upsert state is independent of how changes are split
+        into batches, and re-applying the last batch changes nothing
+        (the property that makes the foreachBatch sink
+        effectively-exactly-once under replay)."""
+        from hive_hdfs_practise_spark.operators.upsert import upsert
+
+        # distinct (key, version) so keep-newest is well defined
+        # regardless of arrival order
+        seen, uniq = set(), []
+        for k, v, p in rows:
+            if (k, v) not in seen:
+                seen.add((k, v))
+                uniq.append((k, v, p))
+        split_at = min(split_at, len(uniq))
+        schema = "k LONG, ver LONG, payload LONG"
+        empty = spark.createDataFrame([], schema)
+        all_at_once = upsert(
+            empty, spark.createDataFrame(uniq, schema), ["k"], "ver"
+        )
+        b1, b2 = uniq[:split_at], uniq[split_at:]
+        state = empty
+        for batch in (b1, b2, b2):  # b2 applied twice: replay
+            if batch:
+                state = upsert(
+                    state, spark.createDataFrame(batch, schema), ["k"], "ver"
+                ).localCheckpoint(eager=True)
+        assert {tuple(r) for r in state.collect()} == {
+            tuple(r) for r in all_at_once.collect()
+        }
+
+
+class TestBucketPairsProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        assignments=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 3)),  # (id, bucket)
+            min_size=0,
+            max_size=25,
+        )
+    )
+    def test_pairs_match_naive_self_join(self, spark, assignments):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.dedup.minhash import pairs_within_buckets
+
+        df = spark.createDataFrame(
+            list(set(assignments)) or [(0, 0)], "doc_id LONG, bucket LONG"
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in pairs_within_buckets(df, "doc_id", ["bucket"]).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        want = {
+            (r[0], r[1])
+            for r in a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestBloomProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+        probes=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    )
+    def test_never_false_negative(self, spark, keys, probes):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.operators.bloom import build_bloom, might_contain
+
+        dim = spark.createDataFrame([(k,) for k in keys], "k LONG")
+        bloom = build_bloom(dim, "k")
+        probe_df = spark.createDataFrame(
+            [(p,) for p in set(keys) | set(probes)], "k LONG"
+        )
+        passed = {
+            r.k
+            for r in probe_df.join(F.broadcast(bloom))
+            .filter(might_contain(F.col("bloom"), F.col("k")))
+            .collect()
+        }
+        assert set(keys) <= passed  # every inserted key passes
