@@ -425,3 +425,37 @@ def text_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("lp"), F.lit(0.0)), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_sentences_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(x - 1 AS INTEGER) AS idx,
+           parts[x] AS sentence
+    FROM (
+        SELECT doc_id, parts,
+               unnest(generate_series(1, len(parts))) AS x
+        FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    )
+    WHERE parts[x] <> ''
+    """,
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence fan-out through a Python UDTF in SQL LATERAL
+    position (``functions/udtfs.py``) — the user-defined TABLE
+    function surface (Spark 4). The split semantics are restated in
+    plain SQL by the oracle, so the UDTF hop itself is
+    value-checked. Hot-path splitting stays on ``explode(split())``
+    (JVM); the UDTF exists for fan-outs that need imperative row
+    generation."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )

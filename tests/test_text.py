@@ -126,3 +126,20 @@ class TestBigramLogprob:
         natural = rows[0]
         assert rows[99] < natural  # rare bigrams → lower log-probability
         assert all(abs(rows[i] - natural) < 1e-9 for i in range(9))
+
+
+class TestSentenceUdtf:
+    def test_udtf_rows_and_empty_segment_indexing(self, spark):
+        from hive_hdfs_practise_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        spark.createDataFrame(
+            [(1, "one. . two"), (2, None)], "doc_id LONG, text STRING"
+        ).createOrReplaceTempView("_udtf_t")
+        rows = spark.sql(
+            "SELECT doc_id, s.idx, s.sentence "
+            "FROM _udtf_t, LATERAL split_sentences(text) s"
+        ).collect()
+        got = {(r.doc_id, r.idx, r.sentence) for r in rows}
+        # empty middle segment consumes index 1 but yields no row
+        assert got == {(1, 0, "one"), (1, 2, "two")}
