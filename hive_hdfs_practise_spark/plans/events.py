@@ -427,3 +427,47 @@ def lineitem_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(li, s, "l_suppkey", "s_suppkey").select(
         "l_orderkey", "l_suppkey", F.round("l_extendedprice", 2).alias("l_extendedprice")
     )
+
+
+@register(
+    "lineitem_quality_report",
+    oracle="""
+    WITH s AS (
+        SELECT count(*) AS n,
+               count(l_orderkey) AS c_ok,
+               count(l_quantity) AS c_q,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS u,
+               sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS r_d,
+               sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS r_q
+        FROM lineitem
+    )
+    SELECT check_name, metric, metric = 1.0 AS passed
+    FROM (
+        SELECT 'completeness:l_orderkey' AS check_name,
+               round(CAST(c_ok AS DOUBLE) / n, 6) AS metric FROM s
+        UNION ALL
+        SELECT 'completeness:l_quantity', round(CAST(c_q AS DOUBLE) / n, 6) FROM s
+        UNION ALL
+        SELECT 'unique:l_orderkey,l_linenumber', round(CAST(u AS DOUBLE) / n, 6) FROM s
+        UNION ALL
+        SELECT 'range:l_discount', round(CAST(r_d AS DOUBLE) / n, 6) FROM s
+        UNION ALL
+        SELECT 'range:l_quantity', round(CAST(r_q AS DOUBLE) / n, 6) FROM s
+    )
+    """,
+)
+def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation (operators/checks.py): completeness,
+    key uniqueness, and range conformance for the fact table — ALL
+    constraints in one aggregate scan, unpivoted with stack() (a
+    per-check union would replay the scan per constraint). The ETL
+    gate that decides whether a batch lands."""
+    from ..operators.checks import quality_report
+
+    li = table(spark, sf_dir, "lineitem")
+    return quality_report(
+        li,
+        completeness=["l_orderkey", "l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_discount": (0.0, 0.1), "l_quantity": (1, 50)},
+    )

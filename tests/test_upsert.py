@@ -57,3 +57,38 @@ class TestUpsert:
         got = {r.id: r.v for r in spark.table("upsert_test.t").collect()}
         assert got == {1: "a", 2: "b9", 3: "c", 5: "e"}
         spark.sql("DROP TABLE upsert_test.t")
+
+
+class TestQualityReport:
+    def test_metrics_and_failures(self, spark):
+        from hive_hdfs_practise_spark.operators.checks import quality_report
+
+        df = spark.createDataFrame(
+            [(1, 1, 10.0), (2, None, 200.0), (3, 3, 30.0), (3, 3, 40.0)],
+            "k LONG, v LONG, x DOUBLE",
+        )
+        rows = {
+            r.check_name: (r.metric, r.passed)
+            for r in quality_report(
+                df,
+                completeness=["k", "v"],
+                unique=[["k"]],
+                ranges={"x": (0.0, 100.0)},
+            ).collect()
+        }
+        assert rows["completeness:k"] == (1.0, True)
+        assert rows["completeness:v"] == (0.75, False)
+        assert rows["unique:k"] == (0.75, False)       # duplicate k=3
+        assert rows["range:x"] == (0.75, False)        # 200.0 out of range
+
+    def test_single_scan_plan(self, spark):
+        from hive_hdfs_practise_spark.operators.checks import quality_report
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        li = table(spark, "/root/testdata/sf0.001", "lineitem")
+        rep = quality_report(
+            li, completeness=["l_orderkey"], unique=[["l_orderkey", "l_linenumber"]],
+            ranges={"l_quantity": (1, 50)},
+        )
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1  # one pass over the table
