@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "sales_by_year_month",
     "sales_rollup",
+    "sales_grouping_sets",
     "monthly_sales_ranked",
     "events_sessionize",
     "events_dedup_latest",
@@ -61,7 +62,14 @@ BENCH_QUERIES = [
     "text_lang_id",
     "word_freq_topk",
     "text_tfidf_topk",
+    "text_repetition_stats",
+    "text_char_bigram_logprob",
     "events_asof_join",
+    "events_ohlc_hourly",
+    "events_enriched_nation",
+    "events_salted_join",
+    "lineitem_bloom_semi_join",
+    "lineitem_quality_report",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
@@ -70,6 +78,7 @@ BENCH_QUERIES = [
     "order_value_percentiles",
     "lineitem_moments",
     "dataset_split_counts",
+    "dataset_stratified_sample",
     "json_roundtrip",
     "events_salted_agg",
 ]

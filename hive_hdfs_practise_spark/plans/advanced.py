@@ -158,3 +158,34 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "sales_grouping_sets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           o_orderstatus,
+           round(sum(o_totalprice), 2) AS total_sales,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((1), (2))
+    """,
+)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric case cube/rollup
+    can't express (per-year totals AND per-status totals, no
+    cross product, no grand total) in ONE Expand+aggregate pass
+    instead of a union of two scans."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .groupingSets([["o_year"], ["o_orderstatus"]], "o_year", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
