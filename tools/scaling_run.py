@@ -33,16 +33,14 @@ FINDINGS = """## Findings
   ~6): scan/agg/join/window costs at this size are dominated by
   fixed overheads (task launch, plan compilation, dimension
   broadcasts) that amortize as data grows.
-- Pair-set operators stay linear only while candidate sets do:
-  MinHash-LSH (~4.6) and brute-pair SimHash (~5.8) ride candidate
-  growth with corpus near-dup density; exact verification bounds
-  the damage and the estimate-prefilter keeps the verify set small.
-  The chunk-bucketed SimHash variant (ratio 4.5, recall exactly 1)
-  has the better asymptote but has NOT yet crossed over brute force
-  at 50k docs — its buckets only pay off at larger blocks.
-- replication_audit's 6.9 is the suite's largest ratio: its input
-  (chunk replica rows) scales with data while every other query's
-  dimension side stays fixed — still sub-linear.
+- Pair-set operators ride candidate growth with corpus near-dup
+  density and post the suite's largest ratios (~6, still
+  sub-linear): MinHash-LSH and both SimHash pair stages. Exact
+  verification bounds the damage and the estimate-prefilter keeps
+  the verify set small. The chunk-bucketed SimHash variant (recall
+  exactly 1 by pigeonhole) has the better asymptote but has NOT yet
+  crossed over brute force at 50k docs — its buckets only pay off
+  at larger blocks.
 - Methodology lesson (kept deliberately): an earlier scale-up
   perturbed replica texts by injecting marker tokens, which gave
   EVERY document in a replica shared shingles — corpus-wide shingle
