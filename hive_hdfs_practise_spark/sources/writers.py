@@ -54,3 +54,19 @@ def compact(df: DataFrame, path: str, target_files: int, mode: str = "overwrite"
     """Rewrite with a bounded file count (coalesce keeps it
     shuffle-free when reducing)."""
     df.coalesce(target_files).write.mode(mode).parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df``, leaving all
+    others intact — the incremental-backfill write (reprocess one
+    day without rewriting the table). Spark's static overwrite mode
+    would drop every partition first; the dynamic option scopes the
+    delete to partitions the frame touches."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -84,3 +84,23 @@ class TestBucketedJoin:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+class TestDynamicPartitionOverwrite:
+    def test_only_touched_partitions_replaced(self, spark, tmp_path):
+        from hive_hdfs_practise_spark.sources.writers import (
+            overwrite_partitions_dynamic,
+        )
+
+        path = str(tmp_path / "t")
+        full = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id LONG, p STRING, v LONG"
+        )
+        overwrite_partitions_dynamic(full, path, ["p"])
+        # backfill partition b only (new value, new row count)
+        patch = spark.createDataFrame([(9, "b", 99)], "id LONG, p STRING, v LONG")
+        overwrite_partitions_dynamic(patch, path, ["p"])
+        got = {
+            (r.id, r.p, r.v) for r in spark.read.parquet(path).collect()
+        }
+        assert got == {(1, "a", 10), (9, "b", 99), (3, "c", 30)}
