@@ -8,13 +8,17 @@ The signature is computed by EXPLODING shingles and taking k plain
 stays inside whole-stage codegen and partial (map-side) aggregation
 collapses each doc to one row per partition before any shuffle.
 
-Two alternatives were measured and rejected on local[32] @ sf0.1:
+Alternatives measured and rejected on local[32] @ sf0.1:
 - k independent string-hash passes over the shingle array
   (``transform`` × ``array_min``): ~30 s — k× redundant string
   hashing;
 - single-pass ``aggregate`` with a zip_with min-accumulator:
-  ~40 s — allocates a k-length array per shingle step, no codegen.
-The explode+min form runs the same workload in ~2 s.
+  ~40 s — allocates a k-length array per shingle step, no codegen;
+- numpy mapInPandas (JVM hashes → vectorized per-partition mins):
+  ~4.0 s — Arrow+shuffle overhead eats the vectorization win.
+The explode+min form runs the same workload in ~4.4 s warm
+(with whole-stage codegen enabled — see session.py's maxFields
+note; measured with ALL 128 aggregate columns forced).
 
 P is the largest 32-bit prime; a_i < 2^31 and x < 2^32 keep every
 product inside signed-64 range. Coefficients come from a fixed seed
