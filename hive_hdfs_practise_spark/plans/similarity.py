@@ -219,3 +219,71 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
         )
     )
+
+
+@register("knn_lsh_multiprobe")
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: probe the query's bucket PLUS every 1-bit
+    flip of it (9 of 256 buckets at 8 planes) — the standard
+    recall/cost knob for hyperplane LSH: near neighbors that landed
+    just across one hyperplane come back without rebuilding the
+    index. Scoring stays exact within probed buckets; tests assert
+    the result superset-of the single-probe query and the same
+    exact scores as brute force."""
+    e = table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").head()[0])
+    planes = _hyperplanes_df(spark, dim)
+
+    def bucket_of(bits):
+        return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+    with_bits = (
+        e.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "embedding",
+            "plane_id",
+            F.when(
+                vec.dot(vec.as_double(F.col("embedding")), F.col("plane")) >= 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                lambda s: s["bit"],
+            ).alias("bits")
+        )
+        .withColumn("bucket", bucket_of(F.col("bits")))
+        .drop("bits")
+    )
+    probe = (
+        with_bits.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            # bucket ∪ {bucket XOR 2^i}: the 1-bit-flip probe set
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(N_PLANES)
+                    ],
+                )
+            ).alias("probe_bucket"),
+            vec.as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    return (
+        with_bits.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("probe_bucket"))
+        .select(
+            "vec_id",
+            F.round(
+                vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -96,3 +96,24 @@ class TestNewQueryPlans:
 
         p = _plan(spark, "events_ohlc_hourly")
         assert len(re.findall(r"Exchange (hash|range)", p)) == 1
+
+
+def test_no_unintended_cartesian_products(spark):
+    """Sweep every headline query's executed plan: a CartesianProduct
+    (non-broadcast cross join) is always a bug in this engine —
+    scalar cross joins must come through BroadcastNestedLoopJoin.
+    Checkpoint-eager builders are skipped (covered by their own
+    tests; building them here would execute real jobs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import BENCH_QUERIES
+    from test_schemas import BUILD_EXECUTES
+
+    offenders = []
+    for name in BENCH_QUERIES:
+        if name in BUILD_EXECUTES:
+            continue
+        if "CartesianProduct" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

@@ -34,6 +34,7 @@ BUILD_EXECUTES = {
     "stream_upsert_latest",
     "knn_ivf",
     "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
     "q15_top_supplier",

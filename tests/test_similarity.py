@@ -166,3 +166,19 @@ class TestL2AndSkew:
         }
         want = {(r.event_id, r.c_nationkey) for r in e.join(c, "user_id").collect()}
         assert got == want and len(want) > 0
+
+
+class TestMultiProbe:
+    def test_superset_of_single_probe_and_exact_scores(self, spark, emb):
+        multi = {r.vec_id: r.cosine for r in plans.QUERIES["knn_lsh_multiprobe"](spark, SF).collect()}
+        single = {r.vec_id for r in plans.QUERIES["knn_lsh_bucketed"](spark, SF).collect()}
+        brute = {r.vec_id: r.cosine for r in plans.QUERIES["knn_brute_cosine"](spark, SF).collect()}
+        # single-probe's hits that made the global top-k must persist;
+        # multi-probe can only ADD candidates ahead of them
+        assert len(multi) >= len(single & set(brute))
+        rows = emb.collect()
+        M = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        q = M[0]
+        for vid, cos in multi.items():
+            want = float(np.dot(M[vid], q) / (np.linalg.norm(M[vid]) * np.linalg.norm(q)))
+            assert abs(cos - round(want, 6)) < 1e-6
