@@ -459,3 +459,83 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# Count-min sketch: depth 4 × width 256. Row j's position is the
+# j-th byte of md5(word) (two hex nibbles → 0..255, no modulo) —
+# the same cross-engine md5 idiom as SimHash/Bloom, so the WHOLE
+# sketch (build + probe) is restatable in SQL and exactly checked.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_pos(j: int, h: str) -> str:
+    """Dialect-neutral SQL: byte j of md5-hex expression ``h``."""
+    nib = "(instr('0123456789abcdef', substring({h}, {p}, 1)) - 1)"
+    return (
+        f"(16 * {nib.format(h=h, p=2 * j + 1)} + {nib.format(h=h, p=2 * j + 2)})"
+    )
+
+
+@register(
+    "word_freq_cms_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS word
+        FROM documents
+    ),
+    pos AS (
+        SELECT word, unnest(generate_series(0, {CMS_DEPTH - 1})) AS j FROM w
+    ),
+    cells AS (
+        SELECT j,
+               CASE {' '.join(f"WHEN j = {j} THEN {_cms_pos(j, 'md5(word)')}" for j in range(CMS_DEPTH))} END AS p,
+               count(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT word, count(*) AS n_exact,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM w GROUP BY word
+    ),
+    probes AS (
+        SELECT t.word, t.n_exact, j.j,
+               CASE {' '.join(f"WHEN j.j = {j} THEN {_cms_pos(j, 'md5(t.word)')}" for j in range(CMS_DEPTH))} END AS p
+        FROM (SELECT word, n_exact FROM top WHERE rn <= 20) t,
+             generate_series(0, {CMS_DEPTH - 1}) AS j(j)
+    )
+    SELECT probes.word, probes.n_exact, min(cells.c) AS n_cms
+    FROM probes JOIN cells ON cells.j = probes.j AND cells.p = probes.p
+    GROUP BY probes.word, probes.n_exact
+    """,
+)
+def word_freq_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, demonstrated on the
+    known top-20 words: the sketch is 4×256 counters (8 KB for any
+    corpus size — the mergeable fixed-size state that replaces a
+    |vocab|-sized exact count at 100 TB); estimate = min over rows.
+    CMS guarantees n_cms ≥ n_exact with bounded overestimate; the
+    md5-byte hash rows make the whole sketch exactly reconstructible
+    in SQL, so even this 'approximate' operator is value-checked."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
+    pos_cols = [F.expr(_cms_pos(j, "md5(word)")) for j in range(CMS_DEPTH)]
+    cells = (
+        words.select("word", F.posexplode(F.array(*pos_cols)).alias("j", "p"))
+        .groupBy("j", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(20)
+    )
+    probes = top.select(
+        "word", "n_exact", F.posexplode(F.array(*pos_cols)).alias("j", "p")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "p"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )

@@ -143,3 +143,17 @@ class TestSentenceUdtf:
         got = {(r.doc_id, r.idx, r.sentence) for r in rows}
         # empty middle segment consumes index 1 but yields no row
         assert got == {(1, 0, "one"), (1, 2, "two")}
+
+
+class TestCountMinSketch:
+    def test_never_underestimates_and_bounded_overestimate(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        rows = P.QUERIES["word_freq_cms_topk"](spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 20
+        total = sum(r.n_exact for r in rows)  # lower bound on corpus tokens
+        for r in rows:
+            assert r.n_cms >= r.n_exact          # CMS never underestimates
+            # width 256, depth 4: overestimate ≤ corpus/width w.h.p.;
+            # generous 4x slack keeps the bound corpus-independent
+            assert r.n_cms - r.n_exact <= max(4 * total / 256, 50)
