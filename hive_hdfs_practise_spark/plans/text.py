@@ -405,7 +405,13 @@ def text_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.col("text"), pos.alias("_i")).select(
         "doc_id", F.col("text").substr(F.col("_i"), F.lit(2)).alias("b")
     )
-    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the (tiny, |charset²|) model: scoring joins bg back
+    # against it, and without materialization the bigram explode
+    # replays once for the model, once for the total, and once for
+    # the probe side (the never-self-join-a-derived-pipeline rule)
+    model = (
+        bg.groupBy("b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    )
     tot = model.agg(F.sum("c").cast("double").alias("n"))
     scored = (
         bg.join(F.broadcast(model), "b")

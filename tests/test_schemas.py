@@ -41,6 +41,7 @@ BUILD_EXECUTES = {
     "q11_important_parts",
     "dedup_embedding_lsh",
     "dedup_simhash_bucketed",
+    "text_char_bigram_logprob",
 }
 
 
