@@ -526,16 +526,21 @@ def word_freq_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
     pos_cols = [F.expr(_cms_pos(j, "md5(word)")) for j in range(CMS_DEPTH)]
+    # both sketch and exact-top derive from the same token explode;
+    # materialize the tiny results (1024 cells / 20 words) so the
+    # probe join below doesn't replay the corpus scan a third time
     cells = (
         words.select("word", F.posexplode(F.array(*pos_cols)).alias("j", "p"))
         .groupBy("j", "p")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     top = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.desc("n_exact"), F.asc("word"))
         .limit(20)
+        .localCheckpoint(eager=True)
     )
     probes = top.select(
         "word", "n_exact", F.posexplode(F.array(*pos_cols)).alias("j", "p")

@@ -42,6 +42,7 @@ BUILD_EXECUTES = {
     "dedup_embedding_lsh",
     "dedup_simhash_bucketed",
     "text_char_bigram_logprob",
+    "word_freq_cms_topk",
 }
 
 
