@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.catalog import table
 from .registry import register
@@ -51,4 +52,76 @@ def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# KMV (k-minimum-values, the theta-sketch core): keep the k smallest
+# hash values of the distinct keys; estimate = (k-1)/h_(k). Unlike
+# HLL the sketch is just k ordered doubles — trivially mergeable
+# (min-k of unions) and, with an md5-derived hash, identical in any
+# engine, so the estimate itself is oracle-checked EXACTLY.
+KMV_K = 32
+# uniform (0,1] from the first 8 md5 nibbles (dialect-neutral idiom)
+_KMV_H = (
+    "(("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
+        for p in range(8)
+    )
+    + " + 1) / 4294967296.0)"
+)
+
+
+@register(
+    "events_kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_KMV_H} AS hv FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM h
+    )
+    SELECT event_type,
+           CAST(n_distinct AS BIGINT) AS n_exact,
+           round(CASE WHEN n_distinct >= {KMV_K}
+                      THEN ({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN hv END)
+                      ELSE CAST(n_distinct AS DOUBLE) END, 4) AS n_kmv
+    FROM ranked
+    GROUP BY event_type, n_distinct
+    """,
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV/theta sketch: the
+    k smallest md5-hash values of the key set. Sketch state is k
+    doubles per group (mergeable by taking the min-k of a union —
+    the property HLL shares but with exact cross-engine
+    reproducibility, since the hash is md5-derived). Estimate
+    (k-1)/h_(k); groups with fewer than k distinct keys fall back to
+    the exact count the sketch already holds. The oracle restates
+    hash, rank, and estimate — an 'approximate' operator, checked
+    exactly."""
+    e = table(spark, sf_dir, "events")
+    h = e.select("event_type", F.expr(_KMV_H.replace("VARCHAR", "STRING")).alias("hv")).distinct()
+    w = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    est = F.when(
+        F.col("n_distinct") >= KMV_K,
+        (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))),
+    ).otherwise(F.col("n_distinct").cast("double"))
+    return (
+        ranked.groupBy("event_type", "n_distinct")
+        .agg(F.round(est, 4).alias("n_kmv"))
+        .select(
+            "event_type",
+            F.col("n_distinct").cast("bigint").alias("n_exact"),
+            "n_kmv",
+        )
     )

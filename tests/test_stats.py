@@ -44,3 +44,17 @@ class TestApproxPercentilesQuery:
         for status, vals in exact.items():
             for e, a in zip(vals, approx[status]):
                 assert abs(a - e) / e < 0.01
+
+
+class TestKmvSketch:
+    def test_estimate_accuracy_and_small_group_fallback(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        rows = P.QUERIES["events_kmv_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+        assert rows
+        for r in rows:
+            if r.n_exact < 32:
+                assert r.n_kmv == float(r.n_exact)  # exact below k
+            else:
+                # k=32 → relative std ≈ 1/sqrt(k-1) ≈ 18%; allow 4σ
+                assert abs(r.n_kmv - r.n_exact) / r.n_exact < 0.75
