@@ -471,3 +471,61 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=[["l_orderkey", "l_linenumber"]],
         ranges={"l_discount": (0.0, 0.1), "l_quantity": (1, 50)},
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_suppkey->supplier' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'events.user_id->customer', count(*)
+    FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema: one broadcast
+    LEFT ANTI join per relationship (dimension side broadcasts, the
+    fact side never shuffles), counts unioned into one report — the
+    companion to lineitem_quality_report for the constraints a
+    single-table scan can't see. Zero counts are the passing state
+    and are still value-checked."""
+    def orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str, label: str):
+        return (
+            fact.join(F.broadcast(dim), fact[key] == dim[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    report = orphans(
+        li.select("l_suppkey"), "l_suppkey",
+        table(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey",
+        "lineitem.l_suppkey->supplier",
+    )
+    report = report.unionByName(
+        orphans(
+            li.select("l_partkey"), "l_partkey",
+            table(spark, sf_dir, "part").select("p_partkey"), "p_partkey",
+            "lineitem.l_partkey->part",
+        )
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    report = report.unionByName(
+        orphans(
+            table(spark, sf_dir, "orders").select("o_custkey"), "o_custkey",
+            c, "c_custkey", "orders.o_custkey->customer",
+        )
+    )
+    return report.unionByName(
+        orphans(
+            table(spark, sf_dir, "events").select("user_id"), "user_id",
+            c, "c_custkey", "events.user_id->customer",
+        )
+    )
