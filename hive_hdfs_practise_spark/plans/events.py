@@ -273,16 +273,17 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension enrichment of the event stream: every event picks up
-    its user's nation through two BROADCAST joins (customer and
-    nation are dimension-sized — the fact side never shuffles; at
-    100 TB this is the only join shape that scales for enrichment).
-    The streaming twin (stream_enriched_nation) runs the identical
-    joins stream-static."""
+    its user's nation. nation carries a broadcast hint (25 rows at
+    every SF); customer GROWS with SF, so its join is left to
+    Catalyst/AQE — auto-broadcast while it fits the threshold, a
+    user_id-keyed shuffle join once it doesn't (a forced hint would
+    OOM at the 100 TB design point). The streaming twin
+    (stream_enriched_nation) runs the identical joins stream-static."""
     e = table(spark, sf_dir, "events")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(c, e.user_id == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "event_id",
@@ -490,15 +491,17 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FK orphan audit across the star schema: one broadcast
-    LEFT ANTI join per relationship (dimension side broadcasts, the
-    fact side never shuffles), counts unioned into one report — the
-    companion to lineitem_quality_report for the constraints a
-    single-table scan can't see. Zero counts are the passing state
-    and are still value-checked."""
+    """FK orphan audit across the star schema: one LEFT ANTI join
+    per relationship, counts unioned into one report — the companion
+    to lineitem_quality_report for the constraints a single-table
+    scan can't see. Zero counts are the passing state and are still
+    value-checked. The audited dimensions (supplier/part/customer)
+    all scale with SF, so no forced broadcast hint: Catalyst
+    broadcasts the key-only projection while it fits and falls back
+    to a key-partitioned shuffle anti join at 100 TB."""
     def orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str, label: str):
         return (
-            fact.join(F.broadcast(dim), fact[key] == dim[dim_key], "left_anti")
+            fact.join(dim, fact[key] == dim[dim_key], "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )

@@ -169,8 +169,7 @@ def order_detail_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("order_detail_nested")
-def order_detail_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_detail_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_movie detail analog, nested form: the join result is
     re-nested as an ordered array of line structs — the reference
     nests reviews into the movie dict (``DatabaseAccessor.py:44-47``
@@ -178,10 +177,12 @@ def order_detail_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``collect_list`` inside a group is unordered in Spark (partition
     arrival order); ``array_sort`` on the struct (first field =
-    l_linenumber) makes it deterministic. No SQL oracle — nested
-    arrays-of-structs hash differently across engines; the flat form
-    above carries the value check, and the nested shape is asserted
-    in unit tests.
+    l_linenumber) makes it deterministic. This library form returns
+    the true nested ``array<struct>`` column; the *registered*
+    ``order_detail_nested`` below serializes it to JSON so the
+    driver's canonicalizer (pandas sort + hash) can handle the row —
+    lists are unhashable in pandas, so the raw nested form cannot be
+    value-checked.
     """
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey").between(1000, 1100))
     li = table(spark, sf_dir, "lineitem")
@@ -197,6 +198,72 @@ def order_detail_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
         .agg(lines.alias("lines"))
         .withColumn("n_lines", F.size("lines"))
+    )
+
+
+@register(
+    "order_detail_nested",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_orderdate,
+           CAST(to_json(list(json_object(
+                 'l_linenumber', l.l_linenumber,
+                 'l_partkey', l.l_partkey,
+                 'l_quantity', CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                 'l_extendedprice', CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+               ) ORDER BY l.l_linenumber, l.l_partkey,
+                          CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+              )) AS VARCHAR) AS lines,
+           CAST(count(*) AS INTEGER) AS n_lines
+    FROM orders o
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey BETWEEN 1000 AND 1100
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_orderdate
+    """,
+)
+def order_detail_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked form of the nested order detail: the ordered line
+    array is emitted as a compact JSON string so the row is hashable
+    by the driver canonicalizer AND value-checkable against DuckDB.
+
+    Cross-engine JSON parity rules (empirically pinned):
+    - prices go through DECIMAL(12,2)→string inside the struct —
+      Spark and DuckDB format raw doubles differently (1.0E20 vs
+      100000000000000000000.0) but decimals identically ("24386.67");
+    - Spark ``to_json`` drops null fields by default while DuckDB
+      ``json_object`` keeps them → ``ignoreNullFields=false``;
+    - array order: ``array_sort`` compares structs lexicographically
+      over ALL fields, and the driver testdata has duplicate
+      l_linenumber within an order — the DuckDB ordered-aggregate
+      mirrors the full (linenumber, partkey, qty-str, price-str) key.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey").between(1000, 1100))
+    li = table(spark, sf_dir, "lineitem")
+    lines = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "l_linenumber",
+                "l_partkey",
+                F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("l_quantity"),
+                F.col("l_extendedprice")
+                .cast("decimal(12,2)")
+                .cast("string")
+                .alias("l_extendedprice"),
+            )
+        )
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        .agg(lines.alias("lines_arr"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            F.to_json(F.col("lines_arr"), {"ignoreNullFields": "false"}).alias("lines"),
+            F.size("lines_arr").alias("n_lines"),
+        )
     )
 
 

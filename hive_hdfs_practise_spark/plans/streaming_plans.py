@@ -122,17 +122,19 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_enriched_nation")
 def stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join: the unbounded event stream enriched
-    against static dimension tables (broadcast per micro-batch) —
-    stateless, append-mode, no watermark needed for an inner
-    stream-static join. On bounded input equals the batch twin
-    events_enriched_nation (asserted in tests)."""
+    against static dimension tables — stateless, append-mode, no
+    watermark needed for an inner stream-static join. nation keeps a
+    broadcast hint (25 rows); customer scales with SF so its join
+    strategy is left to Catalyst per micro-batch (auto-broadcast
+    under the threshold, shuffle beyond). On bounded input equals
+    the batch twin events_enriched_nation (asserted in tests)."""
     from ..sources.catalog import table
 
     ev = _events_stream(spark, sf_dir)
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        ev.join(c, ev.user_id == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "event_id",

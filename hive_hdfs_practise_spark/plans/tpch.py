@@ -9,10 +9,17 @@ S1 scans, J1/J2 equi-joins, A1-A5 aggregations).
 
 Scale notes (100 TB design):
 - ``lineitem`` is the fact table — every plan aggregates it with
-  map-side partial aggregation (Spark's default hash aggregate) and
-  only joins it to dimension-sized sides, which Catalyst broadcasts
-  (region/nation/supplier/customer are all tiny relative to fact;
-  AQE converts to broadcast at runtime if stats allow).
+  map-side partial aggregation (Spark's default hash aggregate).
+- Join strategy: explicit ``F.broadcast`` hints appear ONLY on
+  fixed-cardinality tables (nation=25, region=5 — constant at every
+  scale factor) and on provably-1-row scalar aggregates. customer /
+  part / supplier / orders GROW with the scale factor (TPC-H:
+  150k/200k/10k rows × SF), so a forced hint would bypass Spark's
+  size threshold and OOM executors at the 100 TB design point —
+  those joins are left to Catalyst/AQE, which auto-broadcasts them
+  below ``autoBroadcastJoinThreshold`` (true at every test SF, so
+  the local physical plan is unchanged) and falls back to a
+  shuffle join on the natural key when they outgrow it.
 - Filters are expressed on scan columns so they push into the
   parquet reader (row-group min/max skipping on dates).
 - All double aggregates are rounded identically in Spark and the
@@ -92,8 +99,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way join + agg + top-K: customer ⋈ orders ⋈ lineitem.
 
-    customer is dimension-sized after the segment filter → broadcast
-    into orders; the orders→lineitem join shuffles on orderkey (the
+    customer auto-broadcasts below the size threshold (AQE converts
+    at runtime once it outgrows it — no forced hint: customer scales
+    with SF); the orders→lineitem join shuffles on orderkey (the
     natural co-partitioning key for both tables at scale).
     """
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -102,7 +110,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate"),
+            o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -135,8 +143,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-way star join. All dimensions broadcast; only the
-    orders⋈lineitem edge shuffles on orderkey."""
+    """Six-way star join. nation/region broadcast by hint (fixed
+    cardinality); customer/supplier auto-broadcast at test SF and
+    shuffle at 100 TB; the orders⋈lineitem edge shuffles on
+    orderkey."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -148,9 +158,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -221,7 +231,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -272,7 +282,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -347,8 +357,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(
@@ -378,8 +388,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promotion effect: conditional aggregation over a broadcast
-    part join — one scan, one broadcast, no shuffle of the fact."""
+    """Promotion effect: conditional aggregation over a part join —
+    one scan of the date-pruned fact; part auto-broadcasts at test
+    SF (no forced hint: part scales with SF; at 100 TB this becomes
+    a partkey shuffle join, which AQE re-plans at runtime)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
@@ -387,7 +399,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -417,7 +429,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -522,10 +534,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -572,8 +584,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("l_quantity") * F.col("p_retailprice") / 3
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
               s.s_nationkey == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -662,7 +674,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -693,7 +705,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
@@ -742,7 +754,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     pv = (
-        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))),
+        li.join(s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey")),
                 li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
@@ -790,8 +802,8 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -11,6 +11,8 @@ columns, see ``sources/tsv.py`` for the ingest path.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,13 +49,32 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+# Per-session DataFrame cache: a DataFrame is an immutable logical
+# plan, so reusing one across queries is safe and skips the repeated
+# parquet footer read / file listing at plan time (the driver's
+# correctness gate builds hundreds of plans in one session — this
+# shaves a measurable slice of its per-query cost). Keyed weakly so a
+# stopped session's entries are collectable.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (S1). Plain ``spark.read.parquet`` so Catalyst
     can push filters/projections into the scan."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
