@@ -104,7 +104,17 @@ def minhash_signature_from_text(
     and keeps everything — substring, hash, permutations, mins —
     inside whole-stage codegen. Exact-Jaccard verification still
     needs distinct shingle arrays; it builds them only for candidate
-    pairs."""
+    pairs.
+
+    Cardinality contract: with ``downsample=1`` the signature table
+    has EXACTLY one row per input doc (empty docs get a sentinel
+    signature via the NULL marker; pinned in tests). With
+    ``downsample>1`` a short doc whose every shingle hash fails the
+    ``pmod(h, downsample)==0`` filter disappears from the table
+    (~(1-1/d)^s chance for s shingles), silently excluding it from
+    LSH candidate generation — acceptable under the probabilistic-
+    recall contract, since downsampling already trades recall for
+    throughput on long-doc corpora where s is large."""
     n = F.length(F.col(text_col)) - F.lit(k - 1)
     pos = F.explode_outer(
         F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))

@@ -46,10 +46,15 @@ def build_bloom(keys: DataFrame, key_col: str) -> DataFrame:
     """1-row DataFrame (bloom: array<bigint>[_WORDS]) — the OR of all
     keys' bit positions, built distributed (explode positions →
     bit_or per word) and assembled dense so the broadcast is a fixed
-    m/8 bytes regardless of key count."""
+    m/8 bytes regardless of key count.
+
+    NULL keys are dropped up front: md5(NULL) propagates to a NULL
+    word index (a runtime error in map_from_entries), and a NULL key
+    can never match the downstream semi join anyway."""
     pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("p")
     words = (
-        keys.select(pos)
+        keys.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select((F.col("p") / 64).cast("int").alias("w"),
                 _shl1((F.col("p") % 64).cast("int")).alias("b"))
         .groupBy("w")

@@ -31,7 +31,15 @@ def quality_report(
         aggs.append(F.count(F.col(c)).alias(f"_c_{c}"))
         rows.append((f"completeness:{c}", F.col(f"_c_{c}")))
     for i, keys in enumerate(unique):
-        aggs.append(F.countDistinct(*[F.col(k) for k in keys]).alias(f"_u_{i}"))
+        # Multi-column keys go through a struct: multi-arg
+        # countDistinct drops rows where ANY component is NULL (so
+        # duplicates among null-keyed rows pass unseen), while a
+        # struct is never NULL and matches the SQL row-value form
+        # count(DISTINCT (a, b)). Single-column keys keep plain
+        # countDistinct — SQL count(DISTINCT x) null-dropping
+        # semantics on both engines.
+        expr = F.struct(*keys) if len(keys) > 1 else F.col(keys[0])
+        aggs.append(F.countDistinct(expr).alias(f"_u_{i}"))
         rows.append((f"unique:{','.join(keys)}", F.col(f"_u_{i}")))
     for c, (lo, hi) in sorted(ranges.items()):
         aggs.append(

@@ -39,6 +39,16 @@ def salted_sum_count(
     )
 
 
+# Join types where replicating the small side is semantics-preserving:
+# the BIG side is the preserved/probed side, so each big row still
+# matches exactly once per true match. right/full outer would emit
+# every unmatched small row n_salt times (once per replica).
+_SAFE_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -55,7 +65,16 @@ def salted_join(
     wins when the hottest key exceeds ~1/parallelism of the big
     side. (AQE's skew-join split handles sort-merge cases
     automatically; this explicit form also covers aggregates-after-
-    join pipelines and engines/settings without AQE.)"""
+    join pipelines and engines/settings without AQE.)
+
+    Only big-side-preserving join types are accepted (see
+    ``_SAFE_HOW``): a right/full outer join would duplicate every
+    unmatched small-side key once per salt replica."""
+    if how.replace("_", "").lower() not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} would replicate unmatched small-side "
+            f"rows {n_salt}x; supported: inner/left/left_semi/left_anti"
+        )
     salted_big = big.withColumn("_salt", F.spark_partition_id() % n_salt)
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -42,7 +42,14 @@ def cosine_scores_vectorized(
 ) -> DataFrame:
     """(id_col, cosine) for every row of ``emb``: one BLAS GEMV per
     Arrow batch. Zero-norm rows (and a zero-norm query) score 0.0,
-    matching ``functions/vectors.py::cosine`` totality."""
+    matching ``functions/vectors.py::cosine`` totality.
+
+    The raw cosine leaves Python and the 6-dp rounding happens
+    JVM-side with ``F.round`` — ``np.round`` is scaled-float
+    half-even and can differ in the last digit from the BigDecimal
+    HALF_UP semantics Spark and DuckDB share, so rounding in the
+    plan keeps this path bit-identical to the JVM fold's output on
+    adversarial values."""
     q = np.asarray(qv, dtype=np.float64)
     qn = float(np.linalg.norm(q))
 
@@ -55,13 +62,11 @@ def cosine_scores_vectorized(
             denom = norms * qn
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, (m @ q) / denom, 0.0)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cosine": np.round(cos, 6)}
-            )
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
 
     return emb.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} BIGINT, cosine DOUBLE"
-    )
+    ).select(id_col, F.round("cosine", 6).alias("cosine"))
 
 
 def brute_cosine_topk_vectorized(

@@ -75,6 +75,26 @@ class TestMinHash:
         assert any(x == y for x, y in zip(bands[0], bands[2]))  # ≥1 shared band
         assert not any(x == y for x, y in zip(bands[0], bands[3]))
 
+    def test_signature_table_one_row_per_doc(self, spark):
+        # cardinality contract (see minhash_signature_from_text
+        # docstring): at downsample=1 EVERY input doc — including
+        # empty/short ones — gets exactly one signature row; at
+        # downsample>1 short docs may drop out (probabilistic-recall
+        # contract), so the table is never LARGER than the corpus.
+        from hive_hdfs_practise_spark.dedup.minhash import minhash_signature_from_text
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, ""), (3, "abc"), (4, None), (5, "xy")],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signature_from_text(docs, ["doc_id"], k=5, n_perm=8)
+        assert sorted(r.doc_id for r in sigs.collect()) == [1, 2, 3, 4, 5]
+        down = minhash_signature_from_text(
+            docs, ["doc_id"], k=5, n_perm=8, downsample=4
+        )
+        ids = [r.doc_id for r in down.collect()]
+        assert len(ids) == len(set(ids)) <= 5
+
     def test_lsh_pairs_subset_of_bruteforce(self, spark, tmp_path):
         # LSH candidates (verified ≥ threshold) ⊆ brute-force pairs on
         # the driver corpus at sf0.001, restricted to same-lang blocks
