@@ -90,11 +90,19 @@ def bloom_semi_join(
     """Exact left-semi join accelerated by a broadcast Bloom
     prefilter: fact rows failing the filter never reach the join
     shuffle; survivors are verified by the real semi join, so false
-    positives cost only wasted shuffle, never wrong results."""
+    positives cost only wasted shuffle, never wrong results.
+
+    Only the bloom itself carries a broadcast hint — it is a fixed
+    m/8 bytes regardless of key count, so it broadcasts at ANY
+    scale. The verification semi join is deliberately unhinted:
+    when dim_keys fits the threshold Catalyst/AQE broadcasts it
+    anyway, and when it outgrows broadcast (the exact regime where
+    a Bloom prefilter earns its keep) the verify step becomes a
+    shuffle semi join over the already-pruned fact."""
     bloom = build_bloom(dim_keys, dim_key)
     pruned = fact.join(F.broadcast(bloom)).filter(
         might_contain(F.col("bloom"), F.col(fact_key))
     ).drop("bloom")
     return pruned.join(
-        F.broadcast(dim_keys), pruned[fact_key] == dim_keys[dim_key], "left_semi"
+        dim_keys, pruned[fact_key] == dim_keys[dim_key], "left_semi"
     )

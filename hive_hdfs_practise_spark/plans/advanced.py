@@ -107,16 +107,20 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the corpus, global top-20 (doc, word) scores.
 
     Shuffle shape at scale: explode → (doc,word) partial-agg (tf) →
-    word-agg (df, small: |vocab|) broadcast back onto tf → top-k.
-    The df side is dimension-sized, so the scoring join is broadcast,
-    and the top-k is TakeOrdered (no global sort)."""
+    word-agg (df) joined back onto tf on ``word`` → top-k
+    (TakeOrdered, no global sort). No forced broadcast on df: the
+    vocabulary grows with the corpus (Heaps' law — ~1e8 distinct
+    tokens at 100 TB), so the hint is left to Catalyst/AQE, which
+    broadcasts below the size threshold (true at every test SF) and
+    falls back to a shuffle join on ``word`` — the same key df was
+    just aggregated on, so only the tf side reshuffles."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf_raw",
