@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as tx
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 
@@ -114,7 +114,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts below the size threshold (true at every test SF) and
     falls back to a shuffle join on ``word`` — the same key df was
     just aggregated on, so only the tf side reshuffles."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))

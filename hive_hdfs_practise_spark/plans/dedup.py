@@ -34,7 +34,7 @@ from ..dedup import minhash as mh
 from ..functions import simhash as sh
 from ..functions import text as tx
 from ..functions import vectors as vec
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 SHINGLE_K = 5
@@ -53,7 +53,7 @@ JACCARD_THRESHOLD = 0.7
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return (
         d.groupBy(tx.content_hash(F.col("text"), normalize=False).alias("text_hash"))
         .agg(
@@ -76,7 +76,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after case/whitespace normalization — catches the
     trivial near-dups (copy-paste with reflowed whitespace)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return (
         d.groupBy(tx.content_hash(F.col("text"), normalize=True).alias("text_hash"))
         .agg(
@@ -114,7 +114,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verifier, not the scale path (see dedup_minhash_lsh)."""
     # checkpoint: the self-join would otherwise build shingle arrays
     # twice (same recompute pattern measured on dedup_simhash).
-    d = table(spark, sf_dir, "documents").select(
+    d = wide_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     ).localCheckpoint(eager=True)
     a = d.alias("a")
@@ -170,7 +170,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on planted dups. Signature construction hashes each shingle
     once (see ``dedup/minhash.py``).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     # materialize signatures once (tiny: n_docs × 128 longs) — they
     # feed banding AND the estimate-prefilter below; without the
     # checkpoint each consumer replays the signature scan. The
@@ -209,7 +209,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry raw text and shingling happens AFTER both joins, so the
     # (expensive) shingle arrays are built only for rows that
     # survived the prefilter — a tiny set, and AQE broadcasts it.
-    docs = table(spark, sf_dir, "documents")
+    docs = wide_table(spark, sf_dir, "documents")
     txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     sh_a = tx.char_shingles(F.col("text_a"), SHINGLE_K)
@@ -284,7 +284,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the array-form (aggregate over tok_sigs, as the oracle
     states it) is ~2× slower — same math, different physical plan.
     """
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     # checkpoint: the self-join below would otherwise recompute the
     # whole signature build per side (measured: the pair join itself
     # is 0.4s codegen'd at sf0.1 — signature recompute was ~85% of
@@ -332,7 +332,7 @@ def dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/block, which is why dedup_simhash keeps it at test scale."""
     from ..dedup.minhash import pairs_within_buckets
 
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     hashes = _simhash_signatures(d, SIMHASH_SCALE_BITS).localCheckpoint(eager=True)
     base, extra = divmod(SIMHASH_SCALE_BITS, N_SIMHASH_CHUNKS)
     chunk_vals, off = [], 0
@@ -376,7 +376,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is ``similarity/knn.py``'s LSH bucketing). Cosine is
     a zip_with/aggregate fold in doubles — JVM-side, same fold order
     as DuckDB's list_cosine_similarity."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = wide_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", vec.as_double(F.col("embedding")).alias("v")
     )
     a = e.alias("a")
@@ -453,7 +453,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus — cost changes, results don't."""
     from ..dedup.clusters import connected_components, dedup_survivors
 
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     sigs = mh.minhash_signature_from_text(
         d.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
     ).localCheckpoint(eager=True)
@@ -497,14 +497,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic); tests pin determinism, exactness of reported
     cosines, and recall on planted duplicates."""
     from ..dedup.minhash import pairs_within_buckets
-    from .similarity import _hyperplanes_df
+    from .similarity import _hyperplanes_from
 
-    e = table(spark, sf_dir, "embeddings").select(
+    e = wide_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.as_double(F.col("embedding")).alias("v")
     )
-    dim = len(e.select("v").head()[0])
-    planes = _hyperplanes_df(
-        spark, dim, N_EMB_BANDS * PLANES_PER_BAND
+    planes = _hyperplanes_from(
+        e, "v", N_EMB_BANDS * PLANES_PER_BAND
     ).withColumn("band", (F.col("plane_id") / PLANES_PER_BAND).cast("int"))
     buckets = (
         e.join(F.broadcast(planes))

@@ -22,7 +22,7 @@ from ..multimodal.binary_ops import (
     resize_stage,
     sample_frames,
 )
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 # hex digit value via instr (shared cross-engine idiom, see
@@ -47,7 +47,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → binary payload table → Arrow-batched decode stage.
     The fake decoder derives dimensions from the payload digest, so
     the whole Python hop is value-checked against SQL."""
-    media = from_documents(table(spark, sf_dir, "documents"))
+    media = from_documents(wide_table(spark, sf_dir, "documents"))
     return decode_metadata(media, fake=True)
 
 
@@ -71,7 +71,7 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 — the whole Arrow round trip is value-checked. The binary
     column itself is dropped only for the comparison (hashes stand
     for it)."""
-    media = from_documents(table(spark, sf_dir, "documents"))
+    media = from_documents(wide_table(spark, sf_dir, "documents"))
     return resize_stage(media, RESIZE_W, RESIZE_H, fake=True).drop("payload")
 
 
@@ -102,7 +102,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — n inputs : m outputs through Arrow, each frame digested. The
     oracle rebuilds the sampled frames with a stepped
     generate_series."""
-    media = from_documents(table(spark, sf_dir, "documents"))
+    media = from_documents(wide_table(spark, sf_dir, "documents"))
     return sample_frames(media, FRAME_CHARS, FRAME_EVERY)
 
 
@@ -126,7 +126,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array<double> from the operator; projected to scalar columns
     for the value check). A real image encoder swap keeps the same
     mapInPandas signature and array<double> contract."""
-    media = from_documents(table(spark, sf_dir, "documents"))
+    media = from_documents(wide_table(spark, sf_dir, "documents"))
     feats = extract_features(media, FEATURE_DIM)
     return feats.select(
         "media_id",

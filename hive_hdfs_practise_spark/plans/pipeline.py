@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from ..dedup.clusters import connected_components
 from ..functions import text as tx
 from ..operators.sampling import dataset_split
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .dedup import JACCARD_THRESHOLD, SHINGLE_K
 from .text import _lang_oracle, _quality_oracle, _token_agg
 
@@ -115,7 +115,7 @@ from .registry import register  # noqa: E402
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation chain (see module docstring); per-split doc and
     token counts of the surviving corpus."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     feats = _token_agg(spark, sf_dir)
 
     # quality (same arithmetic as text_quality_score's fast path)
@@ -210,7 +210,7 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import minhash as mh
     from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
 
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     feats = _token_agg(spark, sf_dir)
     mtl = F.when(
         F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vectors as vec
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 QUERY_VEC_ID = 0
@@ -40,7 +40,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject for the top-k (no global sort — each
     partition keeps k rows). This plan shape is exactly how a scoped
     ANN verify pass runs at scale."""
-    e = table(spark, sf_dir, "embeddings")
+    e = wide_table(spark, sf_dir, "embeddings")
     q = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(vec.as_double(F.col("embedding")).alias("qv"))
@@ -82,7 +82,7 @@ def knn_brute_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends to GPU execution (see ``similarity/vectorized.py``)."""
     from ..similarity.vectorized import brute_cosine_topk_vectorized
 
-    e = table(spark, sf_dir, "embeddings")
+    e = wide_table(spark, sf_dir, "embeddings")
     return brute_cosine_topk_vectorized(e, QUERY_VEC_ID, TOP_K)
 
 
@@ -105,6 +105,49 @@ def _hyperplanes_df(spark: SparkSession, dim: int, n_planes: int = N_PLANES):
     return spark.createDataFrame(rows, "plane_id INT, plane ARRAY<DOUBLE>")
 
 
+def _hyperplanes_from(
+    e: DataFrame, vec_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    """The same planes as ``_hyperplanes_df`` — component c of plane
+    p is md5(p:c) mapped to [-1, 1) — but the dimension comes from
+    the DATA, lazily: ``size(vec)`` of one row, exploded into
+    (plane, component) pairs, with the md5 evaluated by Spark's own
+    ``md5``/``conv`` (bit-identical to the hashlib formula; pinned
+    by a parity test). No driver-side ``.head()`` job runs at plan
+    time, so plan construction stays metadata-only and the
+    correctness gate never pays an extra Spark job per build."""
+    comp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("plane_id"), F.col("c"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 31))
+        - F.lit(1.0)
+    )
+    return (
+        e.limit(1)
+        .select(F.size(F.col(vec_col)).alias("_dim"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane_id"),
+            "_dim",
+        )
+        .select(
+            "plane_id", F.explode(F.sequence(F.lit(0), F.col("_dim") - 1)).alias("c")
+        )
+        .select("plane_id", "c", comp.alias("comp"))
+        .groupBy("plane_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "comp"))),
+                lambda s: s["comp"],
+            ).alias("plane")
+        )
+    )
+
+
 @register("knn_lsh_bucketed")
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (SimHash-for-vectors):
@@ -120,9 +163,8 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit tests assert bucket determinism and that returned
     neighbors are a subset of the brute-force ranking.
     """
-    e = table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").head()[0])
-    planes = _hyperplanes_df(spark, dim)
+    e = wide_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes_from(e)
 
     # bucket id: fold the ordered sign bits into an int (bit p =
     # sign(v · plane_p), bits ordered by plane_id).
@@ -181,7 +223,7 @@ def knn_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned scores equal brute-force scores for the same ids."""
     from ..similarity.knn import knn_ivf
 
-    e = table(spark, sf_dir, "embeddings")
+    e = wide_table(spark, sf_dir, "embeddings")
     return knn_ivf(e, QUERY_VEC_ID, TOP_K, nlist=8, nprobe=2)
 
 
@@ -204,7 +246,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (element-wise mean) — the IVF coarse-
     quantizer build step. posexplode → (label, dim) partial means →
     reassemble; emitted as (label, n, ||centroid||) for the oracle."""
-    e = table(spark, sf_dir, "embeddings")
+    e = wide_table(spark, sf_dir, "embeddings")
     comps = (
         e.select(
             "label", F.posexplode(vec.as_double(F.col("embedding"))).alias("i0", "x")
@@ -230,9 +272,8 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. Scoring stays exact within probed buckets; tests assert
     the result superset-of the single-probe query and the same
     exact scores as brute force."""
-    e = table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").head()[0])
-    planes = _hyperplanes_df(spark, dim)
+    e = wide_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes_from(e)
 
     def bucket_of(bits):
         return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)

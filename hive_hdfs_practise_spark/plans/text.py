@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 
@@ -35,7 +35,7 @@ from .registry import register
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics (whitespace tokenization)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return d.select(
@@ -63,7 +63,7 @@ def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, whitespace + BPE-ish segmentation (letter
     runs / digit runs / single symbols) — the cheap LLM-token-count
     proxy, one regexp_count scan."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         tx.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
@@ -112,7 +112,7 @@ def _token_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs ~4× on full-corpus scans — same math, faster plan. Doc-
     level regexp features are computed BEFORE the explode (once per
     document) and carried via first()."""
-    d = table(spark, sf_dir, "documents").select(
+    d = wide_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         F.length("text").alias("n"),
@@ -213,7 +213,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in reversed(tx.LANG_PRIORITY):
         pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
     pred = F.when(top > 0, pred).otherwise(F.lit("und"))
-    labels = table(spark, sf_dir, "documents").select(
+    labels = wide_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("lang_label")
     )
     return f.join(labels, "doc_id").select("doc_id", "lang_label", pred.alias("lang_pred"))
@@ -233,7 +233,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: normalized content hash + min-shingle
     hash (1-permutation MinHash — robust to local edits the way a
     rolling-hash winnow is)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         tx.content_hash(F.col("text")).alias("content_md5"),
@@ -258,7 +258,7 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word frequencies, top 20 (explode → two-stage
     hash aggregate; partial aggregation caps the shuffle at
     |vocab| × partitions, not |tokens|)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return (
         d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
@@ -313,7 +313,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Lines and bigrams explode into two independent
     hash-aggregate branches (map-side partial agg caps both
     shuffles); empty docs come back via left joins with 0.0 scores."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     lines = d.select("doc_id", F.explode(F.split("text", "\n")).alias("line")).filter(
         F.col("line") != ""
     )
@@ -395,7 +395,7 @@ def text_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, apply). Out-of-vocabulary lookups cannot occur (the
     model is fit on the scored corpus); a held-out split would add
     smoothing."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     n = F.length("text") - F.lit(1)
     pos = F.explode(
         F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
@@ -458,7 +458,7 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    wide_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         """
         SELECT d.doc_id, s.idx, s.sentence
@@ -523,7 +523,7 @@ def word_freq_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS guarantees n_cms ≥ n_exact with bounded overestimate; the
     md5-byte hash rows make the whole sketch exactly reconstructible
     in SQL, so even this 'approximate' operator is value-checked."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     words = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
     pos_cols = [F.expr(_cms_pos(j, "md5(word)")) for j in range(CMS_DEPTH)]
     # both sketch and exact-top derive from the same token explode;

@@ -77,6 +77,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``table()`` for compute-dense pipelines (shingle hashing,
+    signature aggregates, vector math, Arrow-batched decode):
+    guarantees at least default-parallelism partitions.
+
+    A small parquet file comes back from the scan as ONE partition
+    (the whole file fits under ``maxPartitionBytes``), which
+    serializes the downstream explode/hash/GEMV stage on a single
+    core no matter how many the cluster has — the per-row compute in
+    these pipelines is orders of magnitude larger than the scan
+    itself, so that single core dominates the query. The guarded
+    round-robin repartition spreads the rows first; its shuffle cost
+    is bounded by the (small) file size at exactly the trigger point.
+
+    At the 100 TB design point the scan already carries thousands of
+    file splits, the guard fails, and this is a plain ``table()`` —
+    the repartition exists to parallelize COMPUTE over small inputs,
+    never to move big data."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name + "#wide")
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    per_session[key] = df
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
