@@ -18,12 +18,61 @@ in a real codec is a one-function change.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Pluggable codec seam: every stage accepts an optional callable
+# (``decoder``/``resizer``/``encoder``) that replaces the stub
+# WITHOUT touching the Spark plumbing — schema, Arrow batching, and
+# partitioning are identical either way. The callables close over
+# their codec imports, so Spark workers re-import the codec library
+# by name at deserialization time (standard cloudpickle behavior).
+# Registered plans always pass the deterministic fake explicitly —
+# a codec appearing in the environment must never silently change
+# an oracle-checked query's output.
+
+
+def pil_image_decoder() -> Callable[[bytes], tuple[int, int]] | None:
+    """A Pillow-backed ``payload -> (width, height)`` decoder, or
+    None when Pillow is not importable (this container). The
+    integration test registers it when available and skips
+    otherwise, so the seam is exercised against a real codec the
+    moment the environment provides one."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> tuple[int, int]:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
+
+    return decode
+
+
+def pil_image_resizer() -> Callable[[bytes, int, int], bytes] | None:
+    """A Pillow-backed ``(payload, w, h) -> png bytes`` resizer, or
+    None when Pillow is not importable."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+
+    return resize
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -69,15 +118,26 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
-def decode_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_metadata(
+    media: DataFrame,
+    fake: bool = True,
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
     """mapInPandas decode stage: binary payload → (size, sha256,
     dimensions). Arrow-batched; per-batch Python cost is one loop
-    over payload bytes, no per-row serialization round trips."""
+    over payload bytes, no per-row serialization round trips.
+
+    ``decoder`` is the codec seam: any ``bytes -> (width, height)``
+    callable (e.g. ``pil_image_decoder()``) swaps in a real codec
+    with zero plumbing changes; None keeps the container stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [decode_image(p, fake=fake) for p in payloads]
+            if decoder is not None:
+                dims = [decoder(p) for p in payloads]
+            else:
+                dims = [decode_image(p, fake=fake) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -122,17 +182,27 @@ def resize_image(payload: bytes, width: int, height: int, fake: bool = False) ->
 
 
 def resize_stage(
-    media: DataFrame, width: int, height: int, fake: bool = True
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = True,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """mapInPandas resize: payload → target-dimension payload. The
     output keeps a binary column (real plumbing: Arrow binary both
-    directions) plus its hex digest for value-level checking."""
+    directions) plus its hex digest for value-level checking.
+
+    ``resizer`` is the codec seam: any ``(bytes, w, h) -> bytes``
+    callable (e.g. ``pil_image_resizer()``) replaces the stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                resize_image(p, width, height, fake=fake) for p in pdf["payload"]
-            ]
+            if resizer is not None:
+                resized = [resizer(p, width, height) for p in pdf["payload"]]
+            else:
+                resized = [
+                    resize_image(p, width, height, fake=fake) for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -209,21 +279,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    dim: int = FEATURE_DIM,
+    encoder: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
     """mapInPandas feature extractor: payload → dim-float embedding
     (digest bytes / 255 — a deterministic stand-in for a real image
     encoder; the output contract array<double> is what an encoder
-    swap would keep)."""
+    swap would keep).
+
+    ``encoder`` is the codec seam: any ``bytes -> list[float]``
+    callable (a real image/audio embedding model) replaces the
+    digest stand-in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [
-                    b / 255.0
-                    for b in hashlib.sha256(p or b"").digest()[:dim]
+            if encoder is not None:
+                feats = [encoder(p or b"") for p in pdf["payload"]]
+            else:
+                feats = [
+                    [
+                        b / 255.0
+                        for b in hashlib.sha256(p or b"").digest()[:dim]
+                    ]
+                    for p in pdf["payload"]
                 ]
-                for p in pdf["payload"]
-            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
