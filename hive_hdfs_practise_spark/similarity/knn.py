@@ -55,7 +55,6 @@ def kmeans_centroids(
             vec.as_double(F.col(vec_col)).alias("centroid"),
         )
     )
-    dim = len(emb.select(vec_col).head()[0])
     for _ in range(iters):
         assigned = assign_clusters(emb, centroids, vec_col)
         centroids = (

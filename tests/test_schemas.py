@@ -18,7 +18,11 @@ SNAPSHOT = json.loads(
 )
 
 # checkpoint-eager queries execute real jobs at plan-build time;
-# their schemas are covered by the snapshot tool run, not per-test
+# their schemas are covered by the snapshot tool run, not per-test.
+# (hyperplane-LSH and IVF queries used to sit here for their driver-
+# side dim probe; planes are now derived lazily in-plan, so only the
+# vectorized brute path — whose numpy closure genuinely needs the
+# query vector driver-side — still executes at build.)
 BUILD_EXECUTES = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -32,14 +36,10 @@ BUILD_EXECUTES = {
     "stream_click_purchase_join",
     "stream_enriched_nation",
     "stream_upsert_latest",
-    "knn_ivf",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
     "q15_top_supplier",
     "q11_important_parts",
-    "dedup_embedding_lsh",
     "dedup_simhash_bucketed",
     "text_char_bigram_logprob",
     "word_freq_cms_topk",

@@ -116,6 +116,21 @@ class TestIvf:
         b = [(r.vec_id, r.cosine) for r in plans.QUERIES["knn_ivf"](spark, SF).collect()]
         assert a == b
 
+    def test_lazy_hyperplanes_match_eager(self, spark, emb):
+        # the in-plan (SQL md5/conv) plane generator must be
+        # bit-identical to the driver-side hashlib form it replaced —
+        # LSH bucket assignments depend on every component's sign
+        from hive_hdfs_practise_spark.plans.similarity import (
+            _hyperplanes_df,
+            _hyperplanes_from,
+        )
+
+        eager = {r.plane_id: r.plane for r in _hyperplanes_df(spark, 64, 8).collect()}
+        lazy = {r.plane_id: r.plane for r in _hyperplanes_from(emb, "embedding", 8).collect()}
+        assert set(eager) == set(lazy)
+        for p in eager:
+            assert eager[p] == lazy[p]  # exact double equality
+
     def test_kmeans_centroid_count_and_dim(self, spark, emb):
         from hive_hdfs_practise_spark.similarity.knn import kmeans_centroids
 
