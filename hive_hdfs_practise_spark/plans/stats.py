@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 
@@ -31,8 +31,14 @@ from .registry import register
 )
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of order value per status (linear
-    interpolation — matches DuckDB quantile_cont)."""
-    o = table(spark, sf_dir, "orders")
+    interpolation — matches DuckDB quantile_cont).
+
+    wide_table: exact percentile buffers every value per partition
+    (ObjectHashAggregate, no reduction), so a single-partition scan
+    serializes the whole collect on one core — measured 3.0s→1.0s at
+    sf0.1. The approx twin below keeps the plain scan: its sketch is
+    mergeable, the aggregate reduces, and the extra shuffle loses."""
+    o = wide_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),

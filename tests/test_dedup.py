@@ -270,7 +270,7 @@ class TestSimhashBucketed:
             for r in P.QUERIES["dedup_simhash_bucketed"](spark, sf).collect()
         }
         h = _simhash_signatures(
-            table(spark, sf, "documents"), SIMHASH_SCALE_BITS
+            table(spark, sf, "documents"), SIMHASH_SCALE_BITS, family="xxhash"
         ).localCheckpoint(eager=True)
         a, b = h.alias("a"), h.alias("b")
         brute = {
