@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.catalog import _EVENTS_RAW_SCHEMA
+from ..sources.catalog import _EVENTS_RAW_SCHEMA, events_ts_micros, events_ts_unit
 from ..streaming.heartbeat import liveness_transitions
 from ..streaming.windows import run_available_now, tumbling_counts
 from pyspark.sql import functions as F
@@ -35,7 +35,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(target, link)
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(events_ts_micros(events_ts_unit(sf_dir)))
+    )
 
 
 @register("stream_hourly_tumbling")

@@ -308,19 +308,32 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority checking: EXISTS on a correlated date predicate
-    → left-semi join carrying the comparison in the join condition
-    (no row duplication, fact side reduces before the aggregate)."""
+    """Order-priority checking. EXISTS(l_shipdate > o_orderdate)
+    becomes max(l_shipdate) > o_orderdate: pre-aggregating lineitem
+    per orderkey turns the semi join 1:1 and shrinks the fact
+    shuffle to one row per order (map-side partial max does the
+    reduction BEFORE the exchange — a plain semi join must shuffle
+    every lineitem row). The correlated inequality also implies the
+    uncorrelated bound l_shipdate > window-start, which Catalyst
+    cannot derive on its own; pushing it reaches the parquet scan
+    as a min/max row-group skip at 100 TB."""
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
     o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li_max = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > lo)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
     return (
         o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-            "left_semi",
+            li_max,
+            (o.o_orderkey == li_max.l_orderkey)
+            & (F.col("_max_ship") > o.o_orderdate),
+            "inner",
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))

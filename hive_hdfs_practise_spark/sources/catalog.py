@@ -31,12 +31,18 @@ TABLES = (
 )
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-# parquet reader rejects. Reading with an explicit LongType schema takes the
-# raw INT64 nanos (works regardless of session conf — important because the
-# driver supplies its own SparkSession), then integer-div to micros. The
-# truncation matches DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) semantics, so
-# oracles stay value-exact.
+# events.parquet has stored ts as TIMESTAMP(NANOS) in some data drops
+# (which Spark's vectorized parquet reader rejects) and TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) in others (which Spark 4 reads as TIMESTAMP_NTZ —
+# a type whose calendar arithmetic/casts differ from TimestampType and
+# whose rendering would hinge on session settings). The writer isn't
+# ours, so the catalog detects the unit from one parquet footer
+# (driver-side metadata read, bytes not data) and always reads the raw
+# INT64 with an explicit LongType schema (works regardless of session
+# conf — important because the driver supplies its own SparkSession),
+# then converts unit→micros. Nanos truncation matches DuckDB's
+# CAST(TIMESTAMP_NS AS TIMESTAMP) semantics, so oracles stay value-exact,
+# and the resulting TimestampType is identical across data drops.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -60,6 +66,41 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 )
 
 
+_EVENTS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit ('ns'|'us'|'ms'|'s') of events.ts, read from one
+    parquet footer. A raw INT64 column (no timestamp annotation, as a
+    re-layout of the nanos original produces) counts as 'ns'."""
+    cached = _EVENTS_UNIT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
+    field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", "ns")
+    _EVENTS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
+
+def events_ts_micros(unit: str):
+    """Expression converting the raw INT64 ``ts`` in ``unit`` to
+    micros. Integer div (nanos) truncates like DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast."""
+    mult = {"ns": None, "us": 1, "ms": 1000, "s": 1_000_000}[unit]
+    return F.expr("ts div 1000") if mult is None else F.col("ts") * F.lit(mult)
+
+
+def _read_events_raw(spark: SparkSession, path: str, unit: str) -> DataFrame:
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(events_ts_micros(unit)))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (S1). Plain ``spark.read.parquet`` so Catalyst
     can push filters/projections into the scan."""
@@ -69,8 +110,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _read_events_raw(
+            spark, f"{sf_dir}/{name}.parquet", events_ts_unit(sf_dir)
+        )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     per_session[key] = df

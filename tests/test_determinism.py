@@ -35,15 +35,21 @@ def relaid_dir(spark, tmp_path_factory):
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     )
-    from hive_hdfs_practise_spark.sources.catalog import _EVENTS_RAW_SCHEMA
+    from hive_hdfs_practise_spark.sources.catalog import (
+        _EVENTS_RAW_SCHEMA,
+        events_ts_unit,
+    )
 
     for t in tables:
-        if t == "events":
+        if t == "events" and events_ts_unit(SF) == "ns":
             # keep ts as raw int64 nanos so the catalog's explicit
             # long-schema read applies to the copy exactly as it does
-            # to the driver's TIMESTAMP(NANOS) original
+            # to a TIMESTAMP(NANOS) original (the relaid copy's plain
+            # int64 column is detected as 'ns' by the unit sniffer)
             df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF}/{t}.parquet")
         else:
+            # micros data round-trips natively (timestamp[us] logical
+            # type is preserved by the plain read+write)
             df = spark.read.parquet(f"{SF}/{t}.parquet")
         # different file count AND different row order within files
         cols = df.columns
