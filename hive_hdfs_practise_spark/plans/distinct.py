@@ -125,3 +125,141 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kmv",
         )
     )
+
+
+# Theta-sketch set operations. The retained-values convention:
+# theta_S = h_(k) (the k-th smallest hash of the set, 1.0 when the
+# set holds fewer than k distinct keys), retained_S = hashes < theta
+# (all of them when theta = 1.0). |S| ≈ |retained|/theta — identical
+# to the KMV estimate (k-1)/h_(k) for a single set, and the SAME
+# retained sets compose across sets: union/intersection/difference
+# estimates all divide a retained-count by theta = min(theta_A,
+# theta_B). This composability under a shared theta is what HLL
+# lacks (HLL unions, but cannot intersect/subtract without
+# inclusion-exclusion error blowup) and why theta sketches are the
+# 100 TB tool for audience-overlap-style questions.
+_THETA_K = 32
+
+
+@register(
+    "events_theta_setops",
+    oracle=f"""
+    WITH m AS (
+        SELECT DISTINCT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS s,
+               user_id, {_KMV_H} AS hv
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    r AS (
+        SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn FROM m
+    ),
+    th AS (
+        -- theta_S = h_(k) per set (NULL when the set holds < k keys,
+        -- i.e. theta_S = 1.0); theta = min over sets, min() skipping
+        -- NULLs, 1.0 when every set is under k
+        SELECT coalesce(min(t), 1.0) AS theta FROM (
+            SELECT s, max(CASE WHEN rn = {_THETA_K} THEN hv END) AS t
+            FROM r GROUP BY s
+        ) AS per_set
+    ),
+    ret AS (
+        SELECT s, hv FROM r, th WHERE hv < theta OR theta = 1.0
+    ),
+    byhv AS (
+        SELECT hv, max(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s = 'B' THEN 1 ELSE 0 END) AS in_b
+        FROM ret GROUP BY hv
+    ),
+    ex AS (
+        SELECT user_id, max(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s = 'B' THEN 1 ELSE 0 END) AS in_b
+        FROM m GROUP BY user_id
+    )
+    SELECT op, n_exact, round(n_ret / (SELECT theta FROM th), 4) AS n_est
+    FROM (
+        SELECT 'union' AS op,
+               (SELECT count(*) FROM ex) AS n_exact,
+               (SELECT count(*) FROM byhv) AS n_ret
+        UNION ALL
+        SELECT 'intersection',
+               (SELECT count(*) FROM ex WHERE in_a = 1 AND in_b = 1),
+               (SELECT count(*) FROM byhv WHERE in_a = 1 AND in_b = 1)
+        UNION ALL
+        SELECT 'a_not_b',
+               (SELECT count(*) FROM ex WHERE in_a = 1 AND in_b = 0),
+               (SELECT count(*) FROM byhv WHERE in_a = 1 AND in_b = 0)
+    ) AS ops
+    """,
+)
+def events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra between two event cohorts (click
+    vs error) from fixed-size theta sketches: union, intersection,
+    and difference cardinality estimates, each next to its exact
+    verifier count. Sketch state is ≤k hashes per set; the md5 hash
+    makes every retained value — hence the whole estimate —
+    bit-reproducible in SQL, so even the approximate path is
+    value-checked. The exact counts exist to grade the sketch; at
+    100 TB only the sketch side runs (the distinct scan feeding it
+    is one shuffle of the key set, and sketches of partitions merge
+    by min-k)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    m = (
+        e.select(
+            F.when(F.col("event_type") == "click", "A").otherwise("B").alias("s"),
+            "user_id",
+            F.expr(_KMV_H.replace("VARCHAR", "STRING")).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sketch AND exact verifier
+    )
+    r = m.select(
+        "s", "hv", F.row_number().over(Window.partitionBy("s").orderBy("hv")).alias("rn")
+    )
+    # theta = min over sets of h_(k); 1.0 when no set reaches k keys
+    # theta_S = h_(k) per set (NULL = under k keys = 1.0); theta =
+    # min over sets, min() skipping NULLs, 1.0 when all are under k
+    th = (
+        r.groupBy("s")
+        .agg(F.max(F.when(F.col("rn") == _THETA_K, F.col("hv"))).alias("t"))
+        .agg(F.coalesce(F.min("t"), F.lit(1.0)).alias("theta"))
+    )
+    ret = r.join(F.broadcast(th), (F.col("hv") < F.col("theta")) | (F.col("theta") == 1.0))
+    byhv = ret.groupBy("hv", "theta").agg(
+        F.max(F.when(F.col("s") == "A", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("s") == "B", 1).otherwise(0)).alias("in_b"),
+    )
+    est = byhv.agg(
+        F.first("theta").alias("theta"),
+        F.count(F.lit(1)).alias("u_ret"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("i_ret"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("d_ret"),
+    )
+    ex = (
+        m.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("s") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("s") == "B", 1).otherwise(0)).alias("in_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("u_ex"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("i_ex"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("d_ex"),
+        )
+    )
+    joined = est.crossJoin(ex)  # two 1-row frames
+    rows = [
+        ("union", "u_ex", "u_ret"),
+        ("intersection", "i_ex", "i_ret"),
+        ("a_not_b", "d_ex", "d_ret"),
+    ]
+    stack_args: list = []
+    for op, ex_c, ret_c in rows:
+        stack_args += [
+            F.lit(op),
+            F.col(ex_c),
+            F.round(F.col(ret_c) / F.col("theta"), 4),
+        ]
+    return joined.select(
+        F.stack(F.lit(len(rows)), *stack_args).alias("op", "n_exact", "n_est")
+    )

@@ -83,3 +83,39 @@ def dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     kept = stratified_hash_sample(d, "doc_id", "lang", {"en": 50, "zh": 20}, 10)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "orders_reservoir_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 100
+    """,
+)
+def orders_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-row sample without replacement, as a distributed
+    reservoir: rank rows by a uniform hash of the key and keep the
+    global k smallest. Classic single-pass reservoir sampling is
+    sequential; the order-statistics formulation is its distributed
+    equivalent (each partition keeps its local top-k, the driver
+    merges k-sized heaps — Spark's TakeOrderedAndProject, no full
+    sort, no shuffle of the table). md5 as the random key makes the
+    sample reproducible across engines/runs/layouts, which
+    ``df.sample(seed=...)`` cannot promise (partition-dependent).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+            F.md5(F.col("o_orderkey").cast("string")).alias("_hv"),
+        )
+        .orderBy("_hv", "o_orderkey")
+        .limit(100)
+        .drop("_hv")
+    )

@@ -550,3 +550,103 @@ def word_freq_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word", "n_exact")
         .agg(F.min("c").alias("n_cms"))
     )
+
+
+# Count sketch (AMS / signed CMS): depth 5 × width 256. Positions
+# come from md5 bytes 0..4, signs from the parity of md5 bytes
+# 5..9. Where CMS only ever over-estimates (collisions add), the
+# signed counter makes collision noise ZERO-MEAN — colliding words
+# cancel in expectation — and the median over an odd number of rows
+# turns that into a two-sided bound. Same fixed 10 KB mergeable
+# state, same exact SQL restatability via the md5 byte family.
+CS_DEPTH = 5
+
+
+def _cs_sign(j: int, h: str) -> str:
+    """Dialect-neutral SQL: ±1 from the parity of md5 byte 5+j."""
+    return f"(1 - 2 * ({_cms_pos(j + CS_DEPTH, h)} % 2))"
+
+
+@register(
+    "word_freq_countsketch_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS word
+        FROM documents
+    ),
+    pos AS (
+        SELECT word, unnest(generate_series(0, {CS_DEPTH - 1})) AS j FROM w
+    ),
+    cells AS (
+        SELECT j,
+               CASE {' '.join(f"WHEN j = {j} THEN {_cms_pos(j, 'md5(word)')}" for j in range(CS_DEPTH))} END AS p,
+               sum(CASE {' '.join(f"WHEN j = {j} THEN {_cs_sign(j, 'md5(word)')}" for j in range(CS_DEPTH))} END) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT word, count(*) AS n_exact,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM w GROUP BY word
+    ),
+    probes AS (
+        SELECT t.word, t.n_exact, j.j,
+               CASE {' '.join(f"WHEN j.j = {j} THEN {_cms_pos(j, 'md5(t.word)')}" for j in range(CS_DEPTH))} END AS p,
+               CASE {' '.join(f"WHEN j.j = {j} THEN {_cs_sign(j, 'md5(t.word)')}" for j in range(CS_DEPTH))} END AS sgn
+        FROM (SELECT word, n_exact FROM top WHERE rn <= 20) t,
+             generate_series(0, {CS_DEPTH - 1}) AS j(j)
+    )
+    SELECT probes.word, probes.n_exact,
+           CAST(median(probes.sgn * cells.c) AS DOUBLE) AS n_cs
+    FROM probes JOIN cells ON cells.j = probes.j AND cells.p = probes.p
+    GROUP BY probes.word, probes.n_exact
+    """,
+)
+def word_freq_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch frequency estimation on the known top-20 words:
+    each token votes ±1 (md5-parity sign) into one cell per row;
+    estimate = median over rows of sign·cell. The signed votes make
+    collision error zero-mean (vs CMS's one-sided overcount) at the
+    price of variance — the classic CMS/count-sketch trade.
+    Deterministic md5 position+sign family ⇒ the estimate itself is
+    value-checked cross-engine, like the CMS twin above."""
+    d = wide_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"))
+    pos_cols = [F.expr(_cms_pos(j, "md5(word)")) for j in range(CS_DEPTH)]
+    sgn_cols = [F.expr(_cs_sign(j, "md5(word)")) for j in range(CS_DEPTH)]
+    cells = (
+        words.select(
+            "word",
+            F.posexplode(F.array(*pos_cols)).alias("j", "p"),
+        )
+        .select(
+            "j",
+            "p",
+            F.element_at(F.array(*sgn_cols), F.col("j") + 1).alias("sgn"),
+        )
+        .groupBy("j", "p")
+        .agg(F.sum("sgn").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    probes = top.select(
+        "word",
+        "n_exact",
+        F.posexplode(F.array(*pos_cols)).alias("j", "p"),
+    ).select(
+        "word",
+        "n_exact",
+        "j",
+        "p",
+        F.element_at(F.array(*sgn_cols), F.col("j") + 1).alias("sgn"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "p"])
+        .groupBy("word", "n_exact")
+        .agg(F.median(F.col("sgn") * F.col("c")).alias("n_cs"))
+    )
