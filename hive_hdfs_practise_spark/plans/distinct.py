@@ -153,9 +153,6 @@ _THETA_K = 32
         SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn FROM m
     ),
     th AS (
-        -- theta_S = h_(k) per set (NULL when the set holds < k keys,
-        -- i.e. theta_S = 1.0); theta = min over sets, min() skipping
-        -- NULLs, 1.0 when every set is under k
         SELECT coalesce(min(t), 1.0) AS theta FROM (
             SELECT s, max(CASE WHEN rn = {_THETA_K} THEN hv END) AS t
             FROM r GROUP BY s
@@ -225,16 +222,22 @@ def events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.min("t"), F.lit(1.0)).alias("theta"))
     )
     ret = r.join(F.broadcast(th), (F.col("hv") < F.col("theta")) | (F.col("theta") == 1.0))
-    byhv = ret.groupBy("hv", "theta").agg(
+    byhv = ret.groupBy("hv").agg(
         F.max(F.when(F.col("s") == "A", 1).otherwise(0)).alias("in_a"),
         F.max(F.when(F.col("s") == "B", 1).otherwise(0)).alias("in_b"),
     )
+    # theta is cross-joined back in (NOT F.first over byhv rows):
+    # with both cohorts empty, byhv has no rows and a first() would
+    # leave theta NULL → n_est NULL where the oracle yields 0.0.
     est = byhv.agg(
-        F.first("theta").alias("theta"),
-        F.count(F.lit(1)).alias("u_ret"),
-        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("i_ret"),
-        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("d_ret"),
-    )
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("u_ret"),
+        F.coalesce(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")), F.lit(0)
+        ).alias("i_ret"),
+        F.coalesce(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")), F.lit(0)
+        ).alias("d_ret"),
+    ).crossJoin(F.broadcast(th))
     ex = (
         m.groupBy("user_id")
         .agg(
@@ -243,11 +246,15 @@ def events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("u_ex"),
-            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("i_ex"),
-            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("d_ex"),
+            F.coalesce(
+                F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")), F.lit(0)
+            ).alias("i_ex"),
+            F.coalesce(
+                F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")), F.lit(0)
+            ).alias("d_ex"),
         )
     )
-    joined = est.crossJoin(ex)  # two 1-row frames
+    joined = est.crossJoin(ex)  # 1-row frames throughout
     rows = [
         ("union", "u_ex", "u_ret"),
         ("intersection", "i_ex", "i_ret"),

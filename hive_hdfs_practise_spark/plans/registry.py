@@ -23,6 +23,7 @@ oracle; the driver then records a weaker rows-only check.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -33,6 +34,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# ``--`` end-of-line SQL comments must be stripped BEFORE the oracle
+# is flattened to one line: flattening would otherwise turn the first
+# comment into a comment-to-end-of-string, silently swallowing the
+# rest of the query (DuckDB: "syntax error at end of input"). Applied
+# line-wise, so it cannot touch anything except a genuine comment
+# tail; oracles never carry ``--`` inside string literals
+# (test_entry asserts every registered oracle EXPLAIN-parses).
+_SQL_COMMENT = re.compile(r"--[^\n]*")
+
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query plan builder under ``name``."""
@@ -42,7 +52,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = " ".join(oracle.split())
+            ORACLES[name] = " ".join(_SQL_COMMENT.sub("", oracle).split())
         return fn
 
     return deco

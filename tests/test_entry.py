@@ -29,6 +29,28 @@ def test_every_oracle_has_query():
     assert len(q) >= 40
 
 
+def test_every_oracle_parses():
+    """Guard against the comment-flattening class of bug: every
+    registered oracle must be free of `--` line comments after
+    registry normalization (flattening to one line would turn the
+    first comment into a comment-to-end-of-string) AND must
+    EXPLAIN-parse in DuckDB without touching data."""
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    for name, sql in E.oracle_sql().items():
+        assert "--" not in sql, f"{name}: flattened oracle still has a -- comment"
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{name}: oracle does not parse: {exc}")
+
+
 def test_queries_callable_shape(spark):
     df = E.queries()["customer_count"](spark, SF)
     assert df.collect()[0].n_customers > 0

@@ -43,6 +43,8 @@ BUILD_EXECUTES = {
     "dedup_simhash_bucketed",
     "text_char_bigram_logprob",
     "word_freq_cms_topk",
+    "events_theta_setops",
+    "word_freq_countsketch_topk",
 }
 
 
