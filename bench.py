@@ -94,6 +94,13 @@ def main() -> None:
 
     # warm-up: JVM + codegen + parquet footer caches
     plans.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    # warm-up: Python worker pool + Arrow serialization path. The
+    # first Arrow-batched query in a session pays worker fork +
+    # Arrow init (~2s measured at sf0.1); that belongs to session
+    # startup, not to whichever mapInPandas query happens to run
+    # first in bench order (r2 attributed it to
+    # knn_brute_cosine_vectorized, reading as a bogus 4x regression).
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -52,8 +52,14 @@ JACCARD_THRESHOLD = 0.7
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id."""
-    d = wide_table(spark, sf_dir, "documents")
+    """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
+
+    Plain ``table()``, not ``wide_table()``: one md5 per row is NOT
+    compute-dense, so the round-robin repartition of the full text
+    corpus costs more than the parallelism it buys (measured 0.9 s
+    vs 0.3 s at sf0.1), and the groupBy shuffle already
+    redistributes — only its ~16-byte hash keys, not the text."""
+    d = table(spark, sf_dir, "documents")
     return (
         d.groupBy(tx.content_hash(F.col("text"), normalize=False).alias("text_hash"))
         .agg(
@@ -75,8 +81,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after case/whitespace normalization — catches the
-    trivial near-dups (copy-paste with reflowed whitespace)."""
-    d = wide_table(spark, sf_dir, "documents")
+    trivial near-dups (copy-paste with reflowed whitespace). Plain
+    ``table()`` for the same reason as ``dedup_exact``: regex
+    normalize + md5 is one cheap pass, not worth a text shuffle."""
+    d = table(spark, sf_dir, "documents")
     return (
         d.groupBy(tx.content_hash(F.col("text"), normalize=True).alias("text_hash"))
         .agg(
