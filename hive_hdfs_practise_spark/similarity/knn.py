@@ -30,16 +30,27 @@ from ..functions import vectors as vec
 
 def assign_clusters(emb: DataFrame, centroids: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """emb + cluster_id of the nearest centroid (L2). Broadcast
-    join + window argmin; ties break toward the lower cluster_id."""
+    join + ``min_by`` argmin; ties break toward the lower cluster_id
+    (the ordering struct (_dist, cluster_id) is unique, so the pick
+    is deterministic).
+
+    groupBy+min_by, NOT a ``Window.partitionBy(vec_id)`` row_number:
+    the window form shuffles AND sorts the full N×nlist broadcast
+    expansion, while min_by map-side-combines each vec_id's nlist
+    candidates down to one row before the exchange (all nlist copies
+    of a row are produced in its own partition), so the shuffle
+    carries N rows and no sort happens anywhere."""
     scored = emb.join(F.broadcast(centroids)).withColumn(
         "_dist", vec.l2_distance(vec.as_double(F.col(vec_col)), F.col("centroid"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_dist"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_dist", "_rn", "centroid")
+    carry = [c for c in emb.columns if c != "vec_id"] + ["cluster_id"]
+    picked = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in carry]),
+            F.struct(F.col("_dist"), F.col("cluster_id")),
+        ).alias("_r")
     )
+    return picked.select("vec_id", *[F.col(f"_r.{c}").alias(c) for c in carry])
 
 
 def kmeans_centroids(
