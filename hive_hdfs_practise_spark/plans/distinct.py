@@ -42,17 +42,6 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("distinct_counts_approx")
-def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one-pass sketch form: HyperLogLog++ (mergeable partial
-    sketches — the 100 TB default for distinct counts). Deterministic
-    for fixed input but implementation-specific, so no cross-engine
-    oracle; tests bound it against the exact twin."""
-    o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
 
 
 # KMV (k-minimum-values, the theta-sketch core): keep the k smallest
@@ -61,15 +50,23 @@ def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (min-k of unions) and, with an md5-derived hash, identical in any
 # engine, so the estimate itself is oracle-checked EXACTLY.
 KMV_K = 32
-# uniform (0,1] from the first 8 md5 nibbles (dialect-neutral idiom)
-_KMV_H = (
-    "(("
-    + " + ".join(
-        f"CAST(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
-        for p in range(8)
+
+
+def _kmv_hash_sql(col: str) -> str:
+    """Uniform (0,1] hash of ``col`` from the first 8 md5 nibbles —
+    the dialect-neutral idiom (md5 is the only hash whose hex output
+    matches bit-for-bit across Spark and DuckDB)."""
+    return (
+        "(("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substring(md5(CAST({col} AS VARCHAR)), {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
+            for p in range(8)
+        )
+        + " + 1) / 4294967296.0)"
     )
-    + " + 1) / 4294967296.0)"
-)
+
+
+_KMV_H = _kmv_hash_sql("user_id")
 
 
 @register(
@@ -124,6 +121,72 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct").cast("bigint").alias("n_exact"),
             "n_kmv",
         )
+    )
+
+
+_KMV_CUST = _kmv_hash_sql("o_custkey")
+
+
+@register(
+    "distinct_counts_approx",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderstatus, {_KMV_CUST} AS hv FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderstatus, hv,
+               row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n_distinct
+        FROM h
+    ),
+    kmv AS (
+        SELECT o_orderstatus,
+               round(CASE WHEN n_distinct >= {KMV_K}
+                          THEN ({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN hv END)
+                          ELSE CAST(n_distinct AS DOUBLE) END, 4) AS n_customers_approx
+        FROM ranked
+        GROUP BY o_orderstatus, n_distinct
+    )
+    SELECT o.o_orderstatus, kmv.n_customers_approx, count(*) AS n_orders
+    FROM orders o JOIN kmv ON o.o_orderstatus = kmv.o_orderstatus
+    GROUP BY o.o_orderstatus, kmv.n_customers_approx
+    """,
+)
+def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per status from a KMV/theta
+    sketch (k smallest md5-hash values of the key set; estimate
+    (k-1)/h_(k), exact fallback under k keys). Same mergeable
+    one-pass shape as HyperLogLog — Spark's built-in
+    ``approx_count_distinct`` HLL twin is bounds-asserted in
+    test_stats — but with a portable hash, so the ESTIMATE itself is
+    value-checked against the oracle instead of recording a weaker
+    rows-only result."""
+    o = table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            "o_orderstatus", F.expr(_KMV_CUST.replace("VARCHAR", "STRING")).alias("hv")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_orderstatus")
+    ranked = h.select(
+        "o_orderstatus",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    est = F.when(
+        F.col("n_distinct") >= KMV_K,
+        (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))),
+    ).otherwise(F.col("n_distinct").cast("double"))
+    kmv = (
+        ranked.groupBy("o_orderstatus", "n_distinct")
+        .agg(F.round(est, 4).alias("n_customers_approx"))
+        .select("o_orderstatus", "n_customers_approx")
+    )
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+    return counts.join(F.broadcast(kmv), "o_orderstatus").select(
+        "o_orderstatus", "n_customers_approx", "n_orders"
     )
 
 

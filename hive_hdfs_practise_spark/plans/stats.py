@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.catalog import table, wide_table
 from .registry import register
@@ -46,20 +47,95 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("order_value_percentiles_approx")
+# Fixed-boundary histogram sketch for quantiles: bucket width is a
+# constant, so per-partition histograms merge by adding counts — the
+# same mergeability contract as t-digest, but fully deterministic and
+# restatable in ANSI SQL, so the ESTIMATES are value-checked.
+_HIST_W = 1000.0
+_HIST_QS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+@register(
+    "order_value_percentiles_approx",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice / {_HIST_W}) AS BIGINT) AS b,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderstatus, b, c,
+               sum(c) OVER (PARTITION BY o_orderstatus ORDER BY b) AS cum,
+               sum(c) OVER (PARTITION BY o_orderstatus) AS n
+        FROM h
+    ),
+    q AS (
+        SELECT * FROM (VALUES
+            ('p50', CAST(0.5 AS DOUBLE)),
+            ('p90', CAST(0.9 AS DOUBLE)),
+            ('p99', CAST(0.99 AS DOUBLE))) AS t(qn, q)
+    ),
+    pick AS (
+        SELECT o_orderstatus, qn,
+               CAST(b AS DOUBLE) * {_HIST_W}
+                   + {_HIST_W} * (q * n - (cum - c)) / c AS est
+        FROM cum, q
+        WHERE (cum - c) < q * n AND cum >= q * n
+    )
+    SELECT o_orderstatus,
+           round(max(CASE WHEN qn = 'p50' THEN est END), 4) AS p50,
+           round(max(CASE WHEN qn = 'p90' THEN est END), 4) AS p90,
+           round(max(CASE WHEN qn = 'p99' THEN est END), 4) AS p99
+    FROM pick GROUP BY o_orderstatus
+    """,
+)
 def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of order_value_percentiles: approx_percentile
-    builds MERGEABLE per-partition sketches (map-side partial
-    aggregation, one pass, no sort), so the shuffle carries one
-    sketch per group per partition instead of raw values. Rows-only
-    — sketches have no cross-engine oracle; tests bound the error
-    against the exact query (accuracy 10000 → well inside 1%)."""
+    """Approximate p50/p90/p99 per status from a fixed-boundary
+    histogram sketch: one hash-aggregate builds per-(status, bucket)
+    counts (mergeable across partitions by ADDING counts — the same
+    contract t-digest offers; Spark's built-in ``percentile_approx``
+    t-digest twin is bounds-asserted in test_stats), then the
+    quantile is linearly interpolated inside the bucket whose
+    cumulative count crosses q·n. Error is bounded by the bucket
+    width; every arithmetic step is restated identically in the
+    oracle, so the estimates are value-checked, not rows-only. The
+    cumulative window runs over ~buckets rows per group (hundreds),
+    not raw data."""
     o = table(spark, sf_dir, "orders")
-    acc = F.lit(10000)
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), acc), 4).alias("p50"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.9), acc), 4).alias("p90"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.99), acc), 4).alias("p99"),
+    h = o.groupBy(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / _HIST_W).cast("bigint").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("o_orderstatus")
+    cum = h.select(
+        "o_orderstatus",
+        "b",
+        "c",
+        F.sum("c").over(w.orderBy("b")).alias("cum"),
+        F.sum("c").over(w).alias("n"),
+    )
+    qq = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(qn).alias("qn"), F.lit(q).alias("q"))
+                for qn, q in _HIST_QS
+            ]
+        )
+    ).alias("qq")
+    sel = cum.select("*", qq).select(
+        "o_orderstatus", "b", "c", "cum", "n", "qq.qn", "qq.q"
+    )
+    t = F.col("q") * F.col("n")
+    picked = sel.filter(((F.col("cum") - F.col("c")) < t) & (F.col("cum") >= t))
+    est = F.col("b").cast("double") * F.lit(_HIST_W) + F.lit(_HIST_W) * (
+        t - (F.col("cum") - F.col("c"))
+    ) / F.col("c")
+    return picked.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.max(F.when(F.col("qn") == qn, est)), 4).alias(qn)
+            for qn, _ in _HIST_QS
+        ]
     )
 
 
