@@ -55,7 +55,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_bucketed",
+    # dedup_simhash_bucketed is deliberately NOT benched: the
+    # crossover study (SCALING.md, tools/simhash_crossover.py) shows
+    # the brute pair stage wins through at least 200k docs; the
+    # bucketed form is the documented asymptotic path, test-pinned.
     "knn_brute_cosine",
     "knn_brute_cosine_vectorized",
     "text_quality_score",
@@ -81,6 +84,8 @@ BENCH_QUERIES = [
     "dataset_stratified_sample",
     "json_roundtrip",
     "events_salted_agg",
+    "stream_hourly_tumbling",
+    "stream_upsert_latest",
 ]
 
 
@@ -101,6 +106,10 @@ def main() -> None:
     # first in bench order (r2 attributed it to
     # knn_brute_cosine_vectorized, reading as a bogus 4x regression).
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").collect()
+    # warm-up: micro-batch engine + state store init (~6 s measured
+    # on the first streaming query of a session); the stream_* bench
+    # lines should carry their per-query cost, not engine bring-up.
+    plans.QUERIES["stream_dedup_keys"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -62,11 +62,13 @@ def upsert_table(
     base = spark.table(table_name)
     result = upsert(base, changes, keys, version_col, delete_col)
     cols = result.columns
-    rows = result.collect() if result.count() < 1_000_000 else None
-    if rows is not None:
-        out = spark.createDataFrame(rows, result.schema)
-    else:  # large: stage via a temp path instead of driver memory
-        tmp = f"/tmp/upsert_stage_{table_name.replace('.', '_')}"
-        result.write.mode("overwrite").parquet(tmp)
-        out = spark.read.parquet(tmp)
+    # Stage through a temp path unconditionally: one execution of the
+    # upsert plan, bounded executor memory at any size. (A previous
+    # small-table fast path ran count() THEN collect() — two full
+    # executions — to route tiny results through the driver; the
+    # write+read costs one extra parquet round-trip but never
+    # collects, which is also the only shape that works at scale.)
+    tmp = f"/tmp/upsert_stage_{table_name.replace('.', '_')}"
+    result.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
     out.select(cols).write.mode("overwrite").format("parquet").saveAsTable(table_name)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions import text as tx
 from ..sources.catalog import table, wide_table
 from .registry import register
@@ -649,4 +651,60 @@ def word_freq_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(F.broadcast(cells), ["j", "p"])
         .groupBy("word", "n_exact")
         .agg(F.median(F.col("sgn") * F.col("c")).alias("n_cs"))
+    )
+
+
+# Sequence packing: concat-and-chunk (GPT-style pretraining batch
+# prep). Documents are laid head-to-tail in a deterministic order
+# and cut into fixed token-budget sequences; each doc learns which
+# sequence it starts in and at what offset.
+PACK_BUDGET = 2048
+N_PACK_SHARDS = 32
+
+
+@register(
+    "documents_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                    - n_tokens AS BIGINT) AS off
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           off // {PACK_BUDGET} AS seq_id,
+           off % {PACK_BUDGET} AS offset_in_seq
+    FROM c
+    """,
+)
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, seq_id, offset) under
+    concat-and-chunk packing: within a shard (doc_id mod
+    N_PACK_SHARDS), docs are laid head-to-tail in doc_id order and
+    cut into PACK_BUDGET-token training sequences.
+
+    Scale shape: the cumulative sum runs per SHARD — 32 independent
+    window partitions (a real pipeline shards by input file), so no
+    global single-task window; the shuffle moves only (doc_id,
+    n_tokens) pairs, never text. All-integer arithmetic, so the
+    oracle is bit-exact."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = t.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"off div {PACK_BUDGET}").alias("seq_id"),
+        (F.col("off") % PACK_BUDGET).alias("offset_in_seq"),
     )

@@ -76,14 +76,22 @@ def events_ts_unit(sf_dir: str) -> str:
     cached = _EVENTS_UNIT_CACHE.get(sf_dir)
     if cached is not None:
         return cached
-    import glob
+    try:
+        import glob
 
-    import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/events.parquet"
-    files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
-    field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
-    unit = getattr(field.type, "unit", "ns")
+        path = f"{sf_dir}/events.parquet"
+        files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
+        field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
+        unit = getattr(field.type, "unit", "ns")
+    except Exception:  # noqa: BLE001
+        # non-local sf_dir (hdfs://, s3://): local glob finds nothing
+        # and pyarrow can't open the URI — fall back to the testdata
+        # writer's unit rather than failing the whole catalog. (A
+        # cluster deployment would read the footer through the
+        # session's Hadoop filesystem instead.)
+        unit = "ns"
     _EVENTS_UNIT_CACHE[sf_dir] = unit
     return unit
 

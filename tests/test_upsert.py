@@ -91,4 +91,15 @@ class TestQualityReport:
             ranges={"l_quantity": (1, 50)},
         )
         plan = rep._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("FileScan") == 1  # one pass over the table
+        # one wide metric scan + one key-pruned scan per unique check
+        assert plan.count("FileScan") == 2
+        # the uniqueness branch must prune its scan to the key columns
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert any(
+            set(s.split(",")) and all(c.startswith(("l_orderkey", "l_linenumber")) for c in s.split(","))
+            for s in schemas
+        ), schemas
+        # no Expand (the combined count-DISTINCT plan would add one)
+        assert "Expand" not in plan
