@@ -17,20 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.catalog import table
+from . import event_oracles as EO
 from .registry import register
 
 
-@register(
-    "events_hourly_tumbling",
-    oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type,
-           count(*)                 AS n_events,
-           round(sum(value), 2)     AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
+@register("events_hourly_tumbling", oracle=EO.HOURLY_TUMBLING)
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (1h). In streaming form this is
     ``withWatermark('ts', ...).groupBy(window('ts', '1 hour'), ...)``
@@ -154,19 +145,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_dedup_latest",
-    oracle="""
-    SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
-    FROM (
-        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
-               row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    )
-    WHERE rn = 1
-    """,
-)
+@register("events_dedup_latest", oracle=EO.DEDUP_LATEST)
 def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest dedup by key: the standard CDC/compaction
     primitive (row_number() = 1 per key, ordered by recency). At
@@ -211,23 +190,7 @@ def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_click_purchase_join",
-    oracle="""
-    WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'click'),
-         p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-               FROM events WHERE event_type = 'purchase')
-    SELECT c.user_id,
-           c.event_id AS click_id,
-           p.event_id AS purchase_id,
-           round(p.value, 2) AS purchase_value
-    FROM c JOIN p
-      ON c.user_id = p.user_id
-     AND p.ts >= c.ts
-     AND p.ts <= c.ts + INTERVAL 1 HOUR
-    """,
-)
+@register("events_click_purchase_join", oracle=EO.CLICK_PURCHASE_JOIN)
 def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval join: purchases within one hour AFTER a
     click by the same user — the attribution-join shape. Equi-join
@@ -261,16 +224,7 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_enriched_nation",
-    oracle="""
-    SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type,
-           round(e.value, 2) AS value
-    FROM events e
-    JOIN customer c ON c.c_custkey = e.user_id
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    """,
-)
+@register("events_enriched_nation", oracle=EO.ENRICHED_NATION)
 def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension enrichment of the event stream: every event picks up
     its user's nation. nation carries a broadcast hint (25 rows at

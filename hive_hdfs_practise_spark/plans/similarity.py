@@ -214,13 +214,85 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf")
+def _ivf_oracle(nlist: int = 8, nprobe: int = 2, iters: int = 3) -> str:
+    """DuckDB restatement of the ENTIRE IVF pipeline — deterministic
+    k-means (lowest-id seeding, argmin ties to the lower cluster id,
+    centroid components rounded to 9 dp exactly as
+    similarity/knn.py does) unrolled over ``iters`` Lloyd steps,
+    then the nprobe-list probe and exact cosine top-k. sqrt is
+    omitted from argmin distances (monotone, ordering-equivalent)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT {nlist}
+    )""",
+    ]
+    prev = "seed"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""a{k} AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+        )
+        parts.append(
+            f"""c{k} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i, round(avg(a.v[t.i]), 9) AS m
+            FROM a{k} AS a, generate_series(1, 64) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{k}"
+    final = iters + 1
+    parts.append(
+        f"""a{final} AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+    )
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"""probe AS (
+        SELECT c.cid FROM {prev} AS c, q
+        ORDER BY {dist('q.qv', 'c.c')}, c.cid LIMIT {nprobe}
+    )"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT f.vec_id, round(list_cosine_similarity(f.v, q.qv), 6) AS cosine
+    FROM a{final} AS f, probe, q
+    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> 0
+    ORDER BY cosine DESC, f.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+
+
+@register("knn_ivf", oracle=_ivf_oracle())
 def knn_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (8 lists,
-    3 Lloyd iterations, lowest-id seeding) + 2-probe exact search —
-    the index-backed scale path beside the LSH variant. No oracle
-    (iterative quantizer); tests assert determinism and that
-    returned scores equal brute-force scores for the same ids."""
+    3 Lloyd iterations, lowest-id seeding, 9-dp-rounded centroid
+    components) + 2-probe exact search — the index-backed scale path
+    beside the LSH variant. The ORACLE unrolls the whole quantizer
+    in SQL (``_ivf_oracle``), so even this iterative approximate
+    index is value-checked end-to-end; tests additionally assert
+    determinism and brute-force score parity for returned ids."""
     from ..similarity.knn import knn_ivf
 
     e = wide_table(spark, sf_dir, "embeddings")

@@ -17,6 +17,7 @@ from ..streaming.heartbeat import liveness_transitions
 from ..streaming.windows import run_available_now, tumbling_counts
 from pyspark.sql import functions as F
 
+from . import event_oracles as EO
 from .registry import register
 
 
@@ -40,7 +41,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_hourly_tumbling")
+@register("stream_hourly_tumbling", oracle=EO.HOURLY_TUMBLING)
 def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events_hourly_tumbling plan executed BY THE STREAMING
     ENGINE: readStream → watermark → window agg → availableNow →
@@ -68,7 +69,7 @@ def stream_liveness_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "stream_liveness_transitions", "append")
 
 
-@register("stream_dedup_keys")
+@register("stream_dedup_keys", oracle=EO.DEDUP_KEYS)
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: dropDuplicates over a key set keeps
     the first arrival per key across micro-batches (state-backed).
@@ -80,7 +81,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "stream_dedup_keys", "append")
 
 
-@register("stream_click_purchase_join")
+@register("stream_click_purchase_join", oracle=EO.CLICK_PURCHASE_JOIN)
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time join (purchases within 1h after a
     click, per user) with watermarks on both sides — the state-
@@ -121,7 +122,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, "stream_click_purchase_join", "append")
 
 
-@register("stream_enriched_nation")
+@register("stream_enriched_nation", oracle=EO.ENRICHED_NATION)
 def stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join: the unbounded event stream enriched
     against static dimension tables — stateless, append-mode, no
@@ -149,7 +150,7 @@ def stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, "stream_enriched_nation", "append")
 
 
-@register("stream_upsert_latest")
+@register("stream_upsert_latest", oracle=EO.DEDUP_LATEST)
 def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE sink: every micro-batch upserts into a
     parquet state table (keep-latest per (user_id, event_type),

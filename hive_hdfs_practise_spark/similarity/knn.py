@@ -74,7 +74,14 @@ def kmeans_centroids(
                 F.posexplode(vec.as_double(F.col(vec_col))).alias("i", "x"),
             )
             .groupBy("cluster_id", "i")
-            .agg(F.avg("x").alias("m"))
+            # round(9): float sums are merge-order-dependent (both
+            # across Spark shuffle-fetch orders and across engines),
+            # so unrounded centroid components would make downstream
+            # argmin near-ties nondeterministic. 9 dp is far below
+            # any real centroid separation and makes the quantizer
+            # bit-reproducible — which is what lets knn_ivf carry a
+            # full cross-engine oracle.
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(

@@ -60,6 +60,7 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(plans.QUERIES.items()):
         if only and name not in only:
             continue
@@ -70,10 +71,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark error: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         oracle = plans.ORACLES.get(name)
         if oracle is None:
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
@@ -82,6 +85,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb error: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         status = []
@@ -96,10 +100,36 @@ def main() -> int:
                 status.append(f"values differ, first diffs: {diff}")
         if status:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": "; ".join(status)}
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
+            results[name] = {
+                "status": "OK",
+                "spark_rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
+    out = os.environ.get("ORACLE_JSON")
+    if out:
+        import json
+
+        n_ok = sum(1 for r in results.values() if r["status"] == "OK")
+        n_rows_only = sum(1 for r in results.values() if r["status"] == "rows_only")
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_ok": n_ok,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": len(failures),
+                    "failures": failures,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
