@@ -513,16 +513,64 @@ N_EMB_BANDS = 4
 PLANES_PER_BAND = 4
 
 
-@register("dedup_embedding_lsh")
+def _emb_lsh_oracle() -> str:
+    """SQL restatement of the banded hyperplane-LSH pair pipeline:
+    md5-derived planes, per-band sign-bit buckets, distinct a<b
+    pairs sharing any (band, bucket), exact cosine ≥ threshold."""
+    from .similarity import _md5_u32_sql
+
+    u32 = _md5_u32_sql("concat(p.plane_id, ':', c.c)")
+    n_planes = N_EMB_BANDS * PLANES_PER_BAND
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pc AS (
+        SELECT p.plane_id, c.c, {u32} / 2147483648.0 - 1.0 AS comp
+        FROM generate_series(0, {n_planes - 1}) AS p(plane_id),
+             generate_series(0, 63) AS c(c)
+    ),
+    planes AS (
+        SELECT plane_id, plane_id // {PLANES_PER_BAND} AS band,
+               list(comp ORDER BY c) AS plane
+        FROM pc GROUP BY plane_id
+    ),
+    bits AS (
+        SELECT e.vec_id, pl.band, pl.plane_id,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                                                 i -> e.v[i] * pl.plane[i])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM e, planes AS pl
+    ),
+    buckets AS (
+        SELECT vec_id, band,
+               CAST(sum(bit * (1 << ({PLANES_PER_BAND - 1} - (plane_id % {PLANES_PER_BAND})))) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets AS a JOIN buckets AS b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM cand AS c
+    JOIN e AS ea ON ea.vec_id = c.vec_a
+    JOIN e AS eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COSINE_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs WITHOUT label blocking — the scale
     path ``dedup_embedding_cosine``'s docstring promises: banded
     sign-bit (hyperplane) LSH buckets the whole corpus, per-bucket
     combinations give candidates, exact cosine verifies. The corpus
     shuffles only (vec_id, band, bucket) rows; vectors are read
-    again just for surviving candidates. Rows-only (recall is
-    probabilistic); tests pin determinism, exactness of reported
-    cosines, and recall on planted duplicates."""
+    again just for surviving candidates. Recall is probabilistic by
+    design, but the md5-derived planes let the WHOLE pipeline
+    restate in SQL (``_emb_lsh_oracle``), so the emitted pairs and
+    cosines are value-checked; tests additionally pin determinism
+    and recall on planted duplicates."""
     from ..dedup.minhash import pairs_within_buckets
     from .similarity import _hyperplanes_from
 

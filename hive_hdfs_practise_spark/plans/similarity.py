@@ -148,7 +148,65 @@ def _hyperplanes_from(
     )
 
 
-@register("knn_lsh_bucketed")
+def _md5_u32_sql(expr: str) -> str:
+    """First 8 md5 hex nibbles of ``expr`` as a 32-bit unsigned int
+    (dialect-neutral; matches Spark's conv(substring(md5(..),1,8),
+    16,10))."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substring(md5({expr}), {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
+            for p in range(8)
+        )
+        + ")"
+    )
+
+
+def _lsh_bucket_ctes() -> str:
+    """Shared CTE prefix: deterministic md5-derived hyperplanes,
+    per-vector sign bits, bucket ids — the SQL restatement of
+    ``_hyperplanes_from`` + the bucket fold."""
+    u32 = _md5_u32_sql("concat(p.plane_id, ':', c.c)")
+    comp = f"{u32} / 2147483648.0 - 1.0"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pc AS (
+        SELECT p.plane_id, c.c, {comp} AS comp
+        FROM generate_series(0, {N_PLANES - 1}) AS p(plane_id),
+             generate_series(0, 63) AS c(c)
+    ),
+    planes AS (
+        SELECT plane_id, list(comp ORDER BY c) AS plane FROM pc GROUP BY plane_id
+    ),
+    bits AS (
+        SELECT e.vec_id, pl.plane_id,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                                                 i -> e.v[i] * pl.plane[i])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM e, planes AS pl
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(bit * (1 << ({N_PLANES - 1} - plane_id))) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    q AS (
+        SELECT b.bucket AS qb, e.v AS qv
+        FROM buckets AS b JOIN e USING (vec_id) WHERE vec_id = {QUERY_VEC_ID}
+    )"""
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=_lsh_bucket_ctes()
+    + f"""
+    SELECT b.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    FROM buckets AS b JOIN e USING (vec_id), q
+    WHERE b.vec_id <> {QUERY_VEC_ID} AND b.bucket = q.qb
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (SimHash-for-vectors):
 
@@ -159,9 +217,12 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the signature step is one narrow map over the corpus
     (persisted/bucketed by signature), and each query touches
     ~N/256 of the data; multi-probe (flip lowest-margin bits) trades
-    recall vs cost. No oracle — recall is probabilistic by design;
-    unit tests assert bucket determinism and that returned
-    neighbors are a subset of the brute-force ranking.
+    recall vs cost. Recall is probabilistic by design, but the
+    planes are md5-derived, so the WHOLE pipeline — planes, sign
+    bits, bucket fold, in-bucket exact scoring — restates in SQL
+    and the output is value-checked; unit tests additionally assert
+    bucket determinism and that returned neighbors are a subset of
+    the brute-force ranking.
     """
     e = wide_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes_from(e)
@@ -335,15 +396,33 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh_multiprobe")
+_MULTIPROBE_SET = ", ".join(
+    ["q.qb"] + [f"xor(q.qb, {1 << i})" for i in range(N_PLANES)]
+)
+
+
+@register(
+    "knn_lsh_multiprobe",
+    oracle=_lsh_bucket_ctes()
+    + f""",
+    probes AS (SELECT unnest([{_MULTIPROBE_SET}]) AS pb FROM q)
+    SELECT b.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    FROM buckets AS b JOIN e USING (vec_id) JOIN probes ON b.bucket = probes.pb, q
+    WHERE b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe ANN: probe the query's bucket PLUS every 1-bit
     flip of it (9 of 256 buckets at 8 planes) — the standard
     recall/cost knob for hyperplane LSH: near neighbors that landed
     just across one hyperplane come back without rebuilding the
-    index. Scoring stays exact within probed buckets; tests assert
-    the result superset-of the single-probe query and the same
-    exact scores as brute force."""
+    index. Scoring stays exact within probed buckets, and the whole
+    probe set restates in SQL (bucket XOR 2^i), so the output is
+    value-checked like the single-probe form; tests assert the
+    result is a superset of the single-probe query with brute-force
+    scores."""
     e = wide_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes_from(e)
 
