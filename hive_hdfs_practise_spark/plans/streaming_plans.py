@@ -54,14 +54,39 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_liveness_transitions")
+_LIVENESS_ORACLE = """
+    WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS node,
+               CAST(ts AS TIMESTAMP) AS event_ts
+        FROM events
+    ),
+    agg AS (
+        SELECT node, max(event_ts) AS last_ts, count(*) AS n_beats
+        FROM b GROUP BY node
+    ),
+    wm AS (SELECT epoch_ms(max(event_ts)) - 1000 AS wm_ms FROM b)
+    SELECT node, 'Alive' AS status, last_ts, n_beats FROM agg
+    UNION ALL
+    SELECT node, 'Dead' AS status, last_ts, n_beats
+    FROM agg, wm
+    WHERE wm_ms > epoch_ms(last_ts) + 259200000
+    """
+
+
+@register("stream_liveness_transitions", oracle=_LIVENESS_ORACLE)
 def stream_liveness_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8 as a real stateful stream: applyInPandasWithState over
     per-node heartbeats (node ≙ user_id), emitting Alive/Dead
     transitions. Event-time timeouts (72 h, matching the batch twin
-    heartbeat_liveness) — deterministic on bounded input: every node
-    emits its initial Alive; nodes silent >72 h before the final
-    watermark emit Dead."""
+    heartbeat_liveness) — deterministic on bounded input, which is
+    what lets even this stateful stream carry a value-checking
+    oracle: the single availableNow batch emits every node's
+    initial Alive with its full totals, then the final watermark
+    (max event time − 1 s delay, ms precision) fires Dead for nodes
+    whose last beat is more than 72 h older — exactly the UNION the
+    oracle states. (Multi-file sources stay single-batch under the
+    default maxFilesPerTrigger=1000; a >1000-file directory would
+    split batches and partial Alive counts would differ.)"""
     stream = _events_stream(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("node"), F.col("ts").alias("event_ts")
     )
