@@ -37,14 +37,18 @@ def token_sig_term(h: str, bits: int = BITS) -> str:
     )
 
 
-def token_sigs_expr(dialect: str, tokens: str) -> str:
-    """array<bigint>: per-token 32-bit signature from md5 nibbles."""
+def token_sigs_expr(dialect: str, tokens: str, bits: int = BITS) -> str:
+    """array<bigint>: per-token ``bits``-wide signature from md5
+    nibbles."""
     if dialect == "spark":
-        return f"transform(transform({tokens}, t -> md5(t)), h -> {token_sig_term('h')})"
-    return f"[{token_sig_term('md5(t)')} for t in {tokens}]"
+        return (
+            f"transform(transform({tokens}, t -> md5(t)), "
+            f"h -> {token_sig_term('h', bits)})"
+        )
+    return f"[{token_sig_term('md5(t)', bits)} for t in {tokens}]"
 
 
-def simhash_expr(dialect: str, sigs: str) -> str:
+def simhash_expr(dialect: str, sigs: str, bits: int = BITS) -> str:
     """BIGINT simhash: per-bit majority vote over token sigs."""
     def counter(j: int) -> str:
         if dialect == "spark":
@@ -57,7 +61,7 @@ def simhash_expr(dialect: str, sigs: str) -> str:
     shift = "shiftleft(CAST(1 AS BIGINT), {j})" if dialect == "spark" else "(CAST(1 AS BIGINT) << {j})"
     terms = [
         f"(CASE WHEN {counter(j)} > 0 THEN {shift.format(j=j)} ELSE CAST(0 AS BIGINT) END)"
-        for j in range(BITS)
+        for j in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
 

@@ -345,7 +345,44 @@ SIMHASH_SCALE_BITS = 60
 N_SIMHASH_CHUNKS = HAMMING_THRESHOLD + 1
 
 
-@register("dedup_simhash_bucketed")
+def _simhash_bucketed_oracle() -> str:
+    """SQL restatement of the whole chunk-bucketed pipeline: 60-bit
+    md5-nibble signatures, 7-way chunking, (lang, chunk, value)
+    buckets, distinct a<b pairs, exact Hamming verify."""
+    toks = sh.tokens_expr("duckdb")
+    tsigs = sh.token_sigs_expr("duckdb", "toks", SIMHASH_SCALE_BITS)
+    sig = sh.simhash_expr("duckdb", "sigs", SIMHASH_SCALE_BITS)
+    base, extra = divmod(SIMHASH_SCALE_BITS, N_SIMHASH_CHUNKS)
+    arms, off = [], 0
+    for c in range(N_SIMHASH_CHUNKS):
+        size = base + (1 if c < extra else 0)
+        arms.append(f"WHEN {c} THEN (sig >> {off}) & {(1 << size) - 1}")
+        off += size
+    case = "CASE c.chunk " + " ".join(arms) + " END"
+    ham = sh.hamming_expr("duckdb", "sa.sig", "sb.sig")
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    t AS (SELECT doc_id, lang, {tsigs} AS sigs FROM d),
+    s AS (SELECT doc_id, lang, {sig} AS sig FROM t),
+    chunked AS (
+        SELECT s.doc_id, s.lang, c.chunk, {case} AS cval
+        FROM s, generate_series(0, {N_SIMHASH_CHUNKS - 1}) AS c(chunk)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM chunked AS a JOIN chunked AS b
+          ON a.lang = b.lang AND a.chunk = b.chunk AND a.cval = b.cval
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+    FROM cand
+    JOIN s AS sa ON sa.doc_id = cand.doc_a
+    JOIN s AS sb ON sb.doc_id = cand.doc_b
+    WHERE {ham} <= {HAMMING_THRESHOLD}
+    """
+
+
+@register("dedup_simhash_bucketed", oracle=_simhash_bucketed_oracle())
 def dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the CHUNK-BUCKETED pair stage —
     the O(n²)-free scale path. 60-bit signature → 7 chunks (9/9/9/9/
@@ -353,13 +390,19 @@ def dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket combinations → exact Hamming ≤ 6 verification. Only
     (doc_id, chunk value) rows shuffle. Recall is exactly 1 by
     pigeonhole (tests assert equality with the brute-force pair join
-    over the same signatures); brute force still wins below ~10k
-    docs/block, which is why dedup_simhash keeps it at test scale."""
+    over the same signatures). Signatures use the md5-nibble family
+    so the ENTIRE pipeline restates in SQL and the pair output is
+    value-checked; a deployment that trusts the algorithm flips
+    ``family='xxhash'`` for one-hash-per-token signatures (~30%
+    faster, same pair stage — the pigeonhole property is
+    family-independent). The crossover study (SCALING.md) keeps this
+    query off the bench: the brute pair join stays faster through at
+    least 200k docs."""
     from ..dedup.minhash import pairs_within_buckets
 
     d = wide_table(spark, sf_dir, "documents")
     hashes = _simhash_signatures(
-        d, SIMHASH_SCALE_BITS, family="xxhash"
+        d, SIMHASH_SCALE_BITS, family="md5"
     ).localCheckpoint(eager=True)
     base, extra = divmod(SIMHASH_SCALE_BITS, N_SIMHASH_CHUNKS)
     chunk_vals, off = [], 0
