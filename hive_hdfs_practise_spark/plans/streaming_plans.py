@@ -22,20 +22,31 @@ from .registry import register
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file-stream source requires a DIRECTORY; stage a link to the
-    # (read-only) events parquet under /tmp once per sf_dir.
+    # The file-stream source lists FILES under a directory (no
+    # recursion into subdirectories). Two layouts exist: a normal
+    # parquet output directory of part files (use it directly — the
+    # usual shape at scale), or the driver testdata's single bare
+    # events.parquet FILE, which must be staged behind a /tmp
+    # symlink directory first. A symlinked subdirectory would NOT
+    # work — the source silently sees zero input files (caught by
+    # the 10x scaling study, where streams read empty input and the
+    # upsert sink never materialized).
     import os
 
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(os.path.normpath(sf_dir))}"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
     target = f"{sf_dir}/events.parquet"
-    # replace a stale link if a previous run staged a different path
-    if os.path.islink(link) and os.readlink(link) != target:
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(target, link)
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stage)
+    if os.path.isdir(target):
+        src = target
+    else:
+        stage = f"/tmp/spark_graft_stream/{os.path.basename(os.path.normpath(sf_dir))}"
+        os.makedirs(stage, exist_ok=True)
+        link = f"{stage}/events.parquet"
+        # replace a stale link if a previous run staged a different path
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+        src = stage
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
     return raw.withColumn(
         "ts", F.timestamp_micros(events_ts_micros(events_ts_unit(sf_dir)))
     )

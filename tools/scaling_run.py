@@ -27,20 +27,67 @@ BASE = "/root/testdata/sf0.1"
 SCALED = "/tmp/testdata/sfx10"
 TIMEOUT_S = 150
 
-FINDINGS = """## Findings
+FINDINGS = """## SimHash pair-stage crossover (round 3, tools/simhash_crossover.py)
+
+Brute lang-blocked pair join vs the chunk-bucketed pigeonhole stage,
+documents-only scale-ups of sf0.1 (same alphabet-rotation
+perturbation as make_scaled.py), one warm run each on local[32]:
+
+| docs | brute s | bucketed s |
+|---|---|---|
+| 50k (10×) | 8.3 | 12.8 |
+| 100k (20×) | 14.2 | 20.4 |
+| 200k (40×) | 34.2 | 56.8 |
+
+Brute grows near-LINEARLY through 200k docs — the signature build
+dominates and the codegen'd hamming evaluation inside the sort-merge
+pair join is so cheap (~1e9 pairs/s across 32 cores) that the n²
+term barely registers. Fitting T = L·x + Q·x² to the 10×/40× points
+gives Q ≈ 1% of total at 10×; the bucketed path tracks ~1.5× the
+brute's linear term (wider 60-bit signatures, 7-way posexplode, the
+bucket shuffle, and two signature join-backs). Projected crossover:
+~2-3M docs per lang block — far above anything this bench reaches,
+squarely inside the 100 TB regime where per-block brute force is
+impossible anyway. Resolution: **the bench line is the measured
+winner (dedup_simhash, brute pairs); dedup_simhash_bucketed stays
+registered and oracle-checked (md5 family since round 3) as the
+asymptotic path** a cluster deployment would switch to once blocks
+clear a few million docs.
+
+## lineitem_quality_report's ratio is linearity, not a defect (round 3)
+
+The round-1 table's worst line (0.99 → 4.8 s, ratio 4.8) was
+re-measured warm and decomposed: the completeness/range metrics are
+algebraic (map-side partials, sub-linear like every other agg here);
+the entire growth is the EXACT key-uniqueness check. When the keys
+really are unique — the passing case — partial aggregation cannot
+shrink anything: every one of the 6M (l_orderkey, l_linenumber)
+keys must enter a hash table exactly once, so the work is
+Θ(distinct keys) with no reduction anywhere. Measured probes at 10×:
+combined count-DISTINCT plan 4.0 s; distinct-only sub-aggregate
+3.3-3.6 s; packing the 2-column struct key into one long 3.5 s (key
+width is irrelevant — the hash table is the cost). The ratio trends
+toward 10 (perfect linearity) as fixed overheads amortize, and CAN'T
+be sub-linear; a 1000-executor cluster scales it horizontally
+(hash-partitioned keys), which is exactly what the plan does.
+
+Round-3 change (operators/checks.py): uniqueness runs as its own
+sub-aggregate over ONLY the key columns, cross-joined back — the
+parquet scan prunes to key bytes, the metric scan loses the Expand
+duplication, and the wide-row scan stays single-pass. Warm 10×:
+4.0 → 3.6 s. The remaining headroom is approximate (HLL uniqueness
+within rsd) or layout-assumed (write-clustered keys), both semantic
+changes, not plan fixes.
+
+## Findings
 
 - Every headline query scales SUB-linearly at 10× data (max ratio
   ~6): scan/agg/join/window costs at this size are dominated by
   fixed overheads (task launch, plan compilation, dimension
-  broadcasts) that amortize as data grows.
-- Pair-set operators ride candidate growth with corpus near-dup
-  density and post the suite's largest ratios (~6, still
-  sub-linear): MinHash-LSH and both SimHash pair stages. Exact
-  verification bounds the damage and the estimate-prefilter keeps
-  the verify set small. The chunk-bucketed SimHash variant (recall
-  exactly 1 by pigeonhole) has the better asymptote but has NOT yet
-  crossed over brute force at 50k docs — its buckets only pay off
-  at larger blocks.
+  broadcasts) that amortize as data grows. The standouts that
+  approach linearity do so for structural reasons: pair-set
+  operators ride candidate growth (MinHash-LSH, SimHash), and
+  exact key-uniqueness admits no map-side reduction (see above).
 - Methodology lesson (kept deliberately): an earlier scale-up
   perturbed replica texts by injecting marker tokens, which gave
   EVERY document in a replica shared shingles — corpus-wide shingle
