@@ -203,3 +203,24 @@ class TestForeachBatchUpsert:
             for r in plans.QUERIES["events_dedup_latest"](spark, SF).collect()
         }
         assert got == want
+
+
+class TestDirectoryLayoutSource:
+    def test_stream_reads_parquet_output_directory(self, spark, tmp_path):
+        """Regression pin: when events.parquet is a parquet OUTPUT
+        DIRECTORY of part files (the layout every cluster writer
+        produces — driver testdata ships a single bare file
+        instead), the file-stream source must still see the data.
+        The old staging logic symlinked the directory one level
+        deep, which the non-recursive file listing silently skipped:
+        streams ran on ZERO input (caught by the 10x scaling
+        study)."""
+        sf_dir = str(tmp_path / "sfdir")
+        (
+            table(spark, SF, "events")
+            .limit(200)
+            .write.mode("overwrite")
+            .parquet(f"{sf_dir}/events.parquet")
+        )
+        got = plans.QUERIES["stream_dedup_keys"](spark, sf_dir).count()
+        assert got > 0
