@@ -10,27 +10,30 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 # Import for registration side effects. ORDER IS LOAD-BEARING: the
 # driver's correctness gate walks the registry in registration order
-# under a budget — round 1 stopped after the 50th entry, leaving the
-# tail driver-unverified. Round-1-unchecked modules therefore
-# register FIRST (cheap ones before expensive ones), and the modules
-# that already hold green CORRECTNESS_r01 rows go last. relational
-# stays first because its `order_detail_nested` was round 1's one
-# red row and needs a fresh green row.
-from . import relational  # noqa: F401,E402  (8 fast; re-green order_detail_nested)
+# under a budget (~50 entries/round) — so the modules whose queries
+# have NEVER been driver-sampled or whose oracles CHANGED this round
+# register FIRST, and modules that already hold green rows in BOTH
+# prior CORRECTNESS files go last. Round-3 front block: the six
+# streaming twins + the LSH/IVF similarity family (rows-only →
+# value-checked this round), dedup (4 never-sampled + 3 changed),
+# pipeline (never sampled), distinct/stats (sketch conversions),
+# text (new pack_sequences). CORRECTNESS_local.json carries the
+# full-sweep evidence for whatever the driver doesn't reach.
+from . import streaming_plans  # noqa: F401,E402  (6, all newly oracle-checked)
+from . import similarity  # noqa: F401,E402  (6: knn_ivf/lsh newly oracle-checked)
+from . import dedup  # noqa: F401,E402  (10: clusters/ngram/simhash never sampled)
+from . import pipeline  # noqa: F401,E402  (2, never sampled)
+from . import distinct  # noqa: F401,E402  (theta fix + KMV conversion)
+from . import stats  # noqa: F401,E402  (histogram-sketch conversion)
+from . import text  # noqa: F401,E402  (new documents_pack_sequences)
+# --- below here: driver-green in rounds 1-2, unchanged since ---
+from . import relational  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import json_ops  # noqa: F401,E402
-from . import distinct  # noqa: F401,E402
 from . import sampling_plans  # noqa: F401,E402
-from . import stats  # noqa: F401,E402
 from . import chunks  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
-from . import text  # noqa: F401,E402
-from . import similarity  # noqa: F401,E402
-from . import dedup  # noqa: F401,E402
-from . import pipeline  # noqa: F401,E402
-from . import streaming_plans  # noqa: F401,E402
-# --- below here: fully driver-green in round 1 ---
 from . import analytics  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
