@@ -708,3 +708,63 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"off div {PACK_BUDGET}").alias("seq_id"),
         (F.col("off") % PACK_BUDGET).alias("offset_in_seq"),
     )
+
+
+# Overlapping token-window chunking: the RAG/long-context prep twin
+# of packing — each document splits into fixed-size token windows
+# with stride < window so consecutive chunks overlap.
+CHUNK_TOKENS = 512
+CHUNK_STRIDE = 384
+
+
+@register(
+    "documents_chunk_overlap",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(0, (n_tokens - 1) // {CHUNK_STRIDE})) AS chunk_id
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {CHUNK_STRIDE} AS start_tok,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens) AS end_tok
+    FROM c
+    """,
+)
+def documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into CHUNK_TOKENS-token windows at
+    CHUNK_STRIDE spacing (consecutive chunks overlap by
+    CHUNK_TOKENS−CHUNK_STRIDE tokens) — the retrieval/long-context
+    preparation step. Emits (doc_id, chunk_id, start_tok, end_tok)
+    bounds; pure per-row arithmetic + an explode, no shuffle at all,
+    so it scales as a narrow map over the corpus. Zero-token docs
+    produce no chunks, and the sequence is guarded on n_tokens > 0
+    (Spark's sequence(0, -1) would count DOWN). All-integer → the
+    oracle is bit-exact."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tx.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    c = t.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(n_tokens - 1) div {CHUNK_STRIDE}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).alias("start_tok"),
+        F.least(
+            F.col("chunk_id") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n_tokens")
+        ).alias("end_tok"),
+    )
