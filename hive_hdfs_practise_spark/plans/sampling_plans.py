@@ -10,8 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as tx
 from ..operators.sampling import dataset_split, hash_sample
-from ..sources.catalog import table
+from ..sources.catalog import table, wide_table
 from .registry import register
 
 _BUCKET = (
@@ -118,4 +119,68 @@ def orders_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_hv", "o_orderkey")
         .limit(100)
         .drop("_hv")
+    )
+
+
+# Decontamination: exact token-8-gram overlap between the train and
+# test splits of the SAME hash-split rule the pipeline trains with.
+# Long n-grams are the standard screen (short shingles collide on
+# common phrases; 8-token sequences match only real leakage).
+DECON_NGRAM = 8
+
+
+@register(
+    "split_decontamination",
+    oracle=rf"""
+    WITH sh AS (
+        SELECT doc_id, {_BUCKET} % 256 AS bucket,
+               list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
+                              for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})]) AS grams
+        FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+              FROM documents)
+    ),
+    tr AS (SELECT doc_id AS train_doc, unnest(grams) AS g FROM sh WHERE bucket < 205),
+    te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231)
+    SELECT train_doc, test_doc, count(*) AS n_shared
+    FROM tr JOIN te USING (g)
+    GROUP BY train_doc, test_doc
+    """,
+)
+def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage screen: every (train doc, test doc) pair of
+    the 80/10/10 hash split sharing at least one exact
+    DECON_NGRAM-token sequence, with the shared-gram count — the
+    decontamination step a training pipeline runs before the split
+    ships. Scale shape: per-doc DISTINCT grams explode to (gram,
+    doc) rows and the train×test match is one shuffle on the gram
+    key (at 100 TB the test/benchmark side is small → broadcast);
+    long n-grams keep the join selective, exactly why the screen
+    uses 8-token sequences and not shingles. The dynamic-length
+    sequence is guarded (docs under 8 tokens emit no grams) because
+    Spark's sequence() counts DOWN on an empty range."""
+    from ..operators.sampling import dataset_split
+
+    d = wide_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= DECON_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
+                lambda x: F.array_join(F.slice(toks, x, DECON_NGRAM), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = dataset_split(d, "doc_id", 80, 10)
+    sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    te = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    return (
+        tr.join(te, "g")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
