@@ -486,3 +486,38 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c, "c_custkey", "events.user_id->customer",
         )
     )
+
+
+@register(
+    "events_moving_median",
+    oracle="""
+    SELECT event_id, event_type,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 4) AS moving_median
+    FROM events
+    """,
+)
+def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median of event value over the trailing 100 rows per
+    event type — the robust-smoothing window class (rank-based
+    aggregate over a rows frame, unlike the algebraic sliding sums
+    of events_sliding_rate). Ordered by (ts, event_id) so the frame
+    is unique and deterministic; both engines define percentile by
+    linear interpolation, so the oracle is value-exact at 4 dp. A
+    rows-frame percentile buffers its window per row — fine for
+    dashboard-scale partitions; at 100 TB the same question runs as
+    the mergeable fixed-boundary histogram sketch
+    (order_value_percentiles_approx) per tumbling window instead."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("moving_median"),
+    )
