@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "events_salted_agg",
     "stream_hourly_tumbling",
     "stream_upsert_latest",
+    "documents_pack_sequences",
+    "documents_chunk_overlap",
+    "split_decontamination",
+    "events_moving_median",
 ]
 
 
