@@ -124,7 +124,16 @@ def timed(spark, name: str, sf_dir: str) -> float | None:
     t.start()
     t0 = time.time()
     try:
-        plans.QUERIES[name](spark, sf_dir).count()
+        # noop sink, NOT .count(): count() lets Catalyst prune every
+        # column the row count doesn't need, which silently erases
+        # pure-projection work (a window-only query like
+        # events_moving_median measured 0.07 s under count() vs its
+        # real 4.5 s) — the same pruning trap CLAUDE.md documents
+        # for aggregate probes. The noop format evaluates every
+        # output column and discards the rows.
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         return round(time.time() - t0, 2)
     except Exception:  # noqa: BLE001 — cancelled or failed → over budget
         return None
