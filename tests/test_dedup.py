@@ -118,6 +118,31 @@ class TestMinHash:
         assert lsh_same_lang == brute  # same threshold, full recall here
 
 
+class TestFamilyParity:
+    """The sf-gated md5/xxhash minhash families must be
+    output-identical on the correctness corpora — the justification
+    for oracle-checking the md5 family while benching xxhash
+    (plans/dedup.py::dedup_minhash_lsh). Candidate SETS may differ
+    (different hash draws), but every difference sits below the
+    verification threshold, so the verified output cannot."""
+
+    def _run(self, spark, name, sf, family, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_MINHASH_FAMILY", family)
+        return {tuple(r) for r in plans.QUERIES[name](spark, sf).collect()}
+
+    def test_minhash_lsh_family_swap_identical(self, spark, monkeypatch):
+        sf = "/root/testdata/sf0.01"
+        md5 = self._run(spark, "dedup_minhash_lsh", sf, "md5", monkeypatch)
+        xx = self._run(spark, "dedup_minhash_lsh", sf, "xxhash", monkeypatch)
+        assert md5 == xx and len(md5) > 0
+
+    def test_clusters_lsh_family_swap_identical(self, spark, monkeypatch):
+        sf = "/root/testdata/sf0.001"
+        md5 = self._run(spark, "dedup_clusters_lsh", sf, "md5", monkeypatch)
+        xx = self._run(spark, "dedup_clusters_lsh", sf, "xxhash", monkeypatch)
+        assert md5 == xx and len(md5) > 0
+
+
 class TestSimhash:
     def test_near_dups_have_small_hamming(self, spark, docs):
         docs.createOrReplaceTempView("documents")
