@@ -117,3 +117,50 @@ def test_no_unintended_cartesian_products(spark):
         if "CartesianProduct" in _plan(spark, name):
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+class TestMovingMedianSharding:
+    """r4: events_moving_median runs its percentile window per
+    (event_type, time shard) with a carried 99-row tail, so window
+    parallelism grows with the data's time span instead of being
+    capped at |event_type| (~5)."""
+
+    def test_window_partitioned_by_shard(self, spark):
+        p = _plan(spark, "events_moving_median")
+        # the percentile window spec must key on the shard, not just
+        # the event type
+        seg = p.split("percentile", 1)[1][:300]
+        assert "shard" in seg
+        # partitioning is pinned (REPARTITION_BY_NUM) so AQE's
+        # byte-targeted coalescing can't re-serialize the CPU-dense
+        # percentile stage on small inputs
+        assert "REPARTITION_BY_NUM" in p
+
+    def test_sharded_output_matches_unsharded_window(self, spark):
+        """Parity vs the naive single-partition-per-type window at
+        sf0.001, where day shards hold ~7 rows each — every trailing
+        99-row tail spans many predecessor shards, exercising the
+        multi-source tail_map path."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r["event_id"]: r["moving_median"]
+            for r in plans.QUERIES["events_moving_median"](spark, SF).collect()
+        }
+        e = table(spark, SF, "events")
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-99, Window.currentRow)
+        )
+        want = {
+            r["event_id"]: r["m"]
+            for r in e.select(
+                "event_id",
+                F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("m"),
+            ).collect()
+        }
+        assert got == want
