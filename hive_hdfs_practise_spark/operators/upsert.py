@@ -68,7 +68,19 @@ def upsert_table(
     # executions — to route tiny results through the driver; the
     # write+read costs one extra parquet round-trip but never
     # collects, which is also the only shape that works at scale.)
-    tmp = f"/tmp/upsert_stage_{table_name.replace('.', '_')}"
-    result.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.select(cols).write.mode("overwrite").format("parquet").saveAsTable(table_name)
+    # Unique per-invocation staging path: a fixed name would race two
+    # concurrent upserts to the same table (or two sessions sharing
+    # the host) into overwriting each other's stage mid-read.
+    import shutil
+    import tempfile
+
+    stage_root = tempfile.mkdtemp(prefix=f"upsert_stage_{table_name.replace('.', '_')}_")
+    tmp = f"{stage_root}/stage"
+    try:
+        result.write.mode("overwrite").parquet(tmp)
+        out = spark.read.parquet(tmp)
+        out.select(cols).write.mode("overwrite").format("parquet").saveAsTable(
+            table_name
+        )
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)

@@ -23,7 +23,6 @@ oracle; the driver then records a weaker rows-only check.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -37,11 +36,38 @@ ORACLES: dict[str, str] = {}
 # ``--`` end-of-line SQL comments must be stripped BEFORE the oracle
 # is flattened to one line: flattening would otherwise turn the first
 # comment into a comment-to-end-of-string, silently swallowing the
-# rest of the query (DuckDB: "syntax error at end of input"). Applied
-# line-wise, so it cannot touch anything except a genuine comment
-# tail; oracles never carry ``--`` inside string literals
-# (test_entry asserts every registered oracle EXPLAIN-parses).
-_SQL_COMMENT = re.compile(r"--[^\n]*")
+# rest of the query (DuckDB: "syntax error at end of input"). The
+# scan is quote-aware — a ``--`` inside a '...' string literal or a
+# "..." quoted identifier is data, not a comment, so a future oracle
+# matching e.g. LIKE '%--%' is flattened intact instead of silently
+# truncated (the old regex would have corrupted it, and the EXPLAIN
+# test only catches that when the mangled SQL happens not to parse).
+
+
+def _strip_sql_comments(sql: str) -> str:
+    """Remove ``--``-to-end-of-line comments, honoring single-quoted
+    strings (with '' escapes) and double-quoted identifiers; quote
+    state carries across lines so multi-line literals stay intact."""
+    out: list[str] = []
+    quote: str | None = None
+    for line in sql.split("\n"):
+        i, n = 0, len(line)
+        while i < n:
+            ch = line[i]
+            if quote is not None:
+                if ch == quote:
+                    if quote == "'" and i + 1 < n and line[i + 1] == "'":
+                        i += 2  # escaped '' stays inside the literal
+                        continue
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "-" and i + 1 < n and line[i + 1] == "-":
+                line = line[:i]
+                break
+            i += 1
+        out.append(line)
+    return "\n".join(out)
 
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
@@ -52,7 +78,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = " ".join(_SQL_COMMENT.sub("", oracle).split())
+            ORACLES[name] = " ".join(_strip_sql_comments(oracle).split())
         return fn
 
     return deco

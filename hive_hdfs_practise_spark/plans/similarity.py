@@ -18,6 +18,13 @@ from .registry import register
 QUERY_VEC_ID = 0
 TOP_K = 10
 
+# IVF quantizer parameters — single source of truth for BOTH the
+# Spark plan (knn_ivf_plan) and its SQL oracle (_ivf_oracle), so
+# changing one can't silently desynchronize plan and oracle.
+IVF_NLIST = 8
+IVF_NPROBE = 2
+IVF_ITERS = 3
+
 
 @register(
     "knn_brute_cosine",
@@ -275,7 +282,9 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(nlist: int = 8, nprobe: int = 2, iters: int = 3) -> str:
+def _ivf_oracle(
+    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE, iters: int = IVF_ITERS
+) -> str:
     """DuckDB restatement of the ENTIRE IVF pipeline — deterministic
     k-means (lowest-id seeding, argmin ties to the lower cluster id,
     centroid components rounded to 9 dp exactly as
@@ -326,7 +335,9 @@ def _ivf_oracle(nlist: int = 8, nprobe: int = 2, iters: int = 3) -> str:
         FROM e, {prev} AS c
     )"""
     )
-    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})"
+    )
     parts.append(
         f"""probe AS (
         SELECT c.cid FROM {prev} AS c, q
@@ -338,7 +349,7 @@ def _ivf_oracle(nlist: int = 8, nprobe: int = 2, iters: int = 3) -> str:
         + f"""
     SELECT f.vec_id, round(list_cosine_similarity(f.v, q.qv), 6) AS cosine
     FROM a{final} AS f, probe, q
-    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> 0
+    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, f.vec_id
     LIMIT {TOP_K}
     """
@@ -357,7 +368,9 @@ def knn_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.knn import knn_ivf
 
     e = wide_table(spark, sf_dir, "embeddings")
-    return knn_ivf(e, QUERY_VEC_ID, TOP_K, nlist=8, nprobe=2)
+    return knn_ivf(
+        e, QUERY_VEC_ID, TOP_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE, iters=IVF_ITERS
+    )
 
 
 @register(

@@ -98,11 +98,12 @@ def knn_ivf(
     top_k: int = 10,
     nlist: int = 8,
     nprobe: int = 2,
+    iters: int = 3,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k cosine neighbors of a stored vector, searching only the
     query's ``nprobe`` nearest inverted lists."""
-    centroids = kmeans_centroids(emb, nlist)
+    centroids = kmeans_centroids(emb, nlist, iters)
     assigned = assign_clusters(emb, centroids, vec_col)
     qv = (
         emb.filter(F.col("vec_id") == query_vec_id)

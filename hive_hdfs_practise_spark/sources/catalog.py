@@ -76,22 +76,47 @@ def events_ts_unit(sf_dir: str) -> str:
     cached = _EVENTS_UNIT_CACHE.get(sf_dir)
     if cached is not None:
         return cached
+    path = f"{sf_dir}/events.parquet"
     try:
         import glob
 
         import pyarrow.parquet as pq
 
-        path = f"{sf_dir}/events.parquet"
         files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
         field = pq.ParquetFile(files[0]).schema_arrow.field("ts")
         unit = getattr(field.type, "unit", "ns")
-    except Exception:  # noqa: BLE001
-        # non-local sf_dir (hdfs://, s3://): local glob finds nothing
-        # and pyarrow can't open the URI — fall back to the testdata
-        # writer's unit rather than failing the whole catalog. (A
-        # cluster deployment would read the footer through the
-        # session's Hadoop filesystem instead.)
-        unit = "ns"
+    except (FileNotFoundError, IsADirectoryError, OSError, ValueError):
+        # Local open failed — typically a non-local sf_dir (hdfs://,
+        # s3://) where glob finds nothing and ParquetFile can't open
+        # the bare URI. Retry through pyarrow.dataset, which resolves
+        # filesystems from the URI scheme and handles directory
+        # layouts, so remote paths still get the REAL unit. (pyarrow
+        # IO errors are OSError subclasses; ValueError covers
+        # malformed-footer ArrowInvalid.) A missing `ts` field raises
+        # KeyError from either probe on purpose: that's a schema bug,
+        # not a reachability problem, and guessing would hide it.
+        try:
+            import pyarrow.dataset as ds
+
+            field = ds.dataset(path, format="parquet").schema.field("ts")
+            unit = getattr(field.type, "unit", "ns")
+        except (FileNotFoundError, OSError, ValueError, ImportError):
+            # Both probes failed — the path is unreachable from the
+            # driver. Guessing 'ns' keeps the testdata layout working
+            # but silently shifts every timestamp 1000x if the real
+            # unit is 'us' (the common cluster-writer default), so
+            # shout about it.
+            import warnings
+
+            warnings.warn(
+                f"events_ts_unit: cannot read a parquet footer under "
+                f"{path!r}; GUESSING unit='ns'. If events.ts is "
+                f"TIMESTAMP_MICROS this shifts every timestamp 1000x "
+                f"— make the path reachable from the driver or set "
+                f"the unit explicitly.",
+                stacklevel=2,
+            )
+            unit = "ns"
     _EVENTS_UNIT_CACHE[sf_dir] = unit
     return unit
 
