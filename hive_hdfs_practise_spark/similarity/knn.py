@@ -92,6 +92,99 @@ def kmeans_centroids(
     return centroids
 
 
+def write_ivf_index(
+    spark,
+    emb: DataFrame,
+    table_prefix: str,
+    nlist: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the module docstring promises:
+
+    - ``{prefix}_assign``: the corpus + cluster_id, written BUCKETED
+      by cluster_id (``write_bucketed``) so each inverted list is a
+      co-located set of files. A probe filter
+      ``cluster_id IN (<nprobe ids>)`` then bucket-prunes the scan to
+      nprobe/nlist of the data — no shuffle, no join, no full scan
+      (asserted on the plan in test_similarity).
+    - ``{prefix}_centroids``: the nlist × dim quantizer, a plain tiny
+      table the query side loads to pick its probe lists.
+    """
+    from ..sources.writers import write_bucketed
+
+    centroids = kmeans_centroids(emb, nlist, iters, vec_col)
+    centroids.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_centroids"
+    )
+    write_bucketed(
+        assign_clusters(emb, centroids, vec_col),
+        f"{table_prefix}_assign",
+        ["cluster_id"],
+        n_buckets=nlist,
+    )
+
+
+def knn_ivf_indexed(
+    spark,
+    table_prefix: str,
+    query_vec_id: int,
+    top_k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized IVF index. Driver-side work is bounded
+    by the index size, never the corpus: the centroid table (nlist
+    rows) and the query row (1 row) are collected to compute the
+    nprobe probe list as literal ints, precisely so the assignment
+    scan gets a ``cluster_id IN (...)`` filter it can bucket-prune —
+    a join, even broadcast, would read every bucket. The resulting
+    probe plan is a pruned scan + TakeOrdered: zero exchanges.
+
+    Same output as ``knn_ivf`` run inline (pinned by parity test)."""
+    # Spark's auto-bucketed-scan heuristic disables bucketed reads
+    # when no JOIN/AGG needs the hash distribution — but that also
+    # silently drops bucket PRUNING, turning the probe into a full
+    # scan ("Bucketed: false (disabled by query planner)"). Pruning
+    # is the entire point of this index, so pin bucketed reads on;
+    # the only cost is one-task-per-bucket parallelism on bucketed
+    # tables, which this engine reads only through paths that want
+    # exactly that.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    assign = spark.table(f"{table_prefix}_assign")
+    qrow = (
+        assign.filter(F.col("vec_id") == query_vec_id)
+        .select(vec.as_double(F.col(vec_col)).alias("qv"))
+        .head()
+    )
+    if qrow is None:
+        raise KeyError(f"query_vec_id {query_vec_id} not in index")
+    qv = list(qrow["qv"])
+    centroids = [
+        (r["cluster_id"], list(r["centroid"]))
+        for r in spark.table(f"{table_prefix}_centroids").collect()
+    ]
+    # argmin over nlist centroids, ties to the lower cluster_id —
+    # same rule as assign_clusters
+    scored = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qv, c)), cid) for cid, c in centroids
+    )
+    probe_ids = [cid for _, cid in scored[:nprobe]]
+    qv_col = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assign.filter(F.col("cluster_id").isin(probe_ids))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(vec.cosine(vec.as_double(F.col(vec_col)), qv_col), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 def knn_ivf(
     emb: DataFrame,
     query_vec_id: int,

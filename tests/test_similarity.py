@@ -197,3 +197,48 @@ class TestMultiProbe:
         for vid, cos in multi.items():
             want = float(np.dot(M[vid], q) / (np.linalg.norm(M[vid]) * np.linalg.norm(q)))
             assert abs(cos - round(want, 6)) < 1e-6
+
+
+class TestIvfIndexed:
+    """r4: the materialized IVF index (write_ivf_index /
+    knn_ivf_indexed) — the deployment path the module docstring
+    promises: assignment table bucketed by cluster_id, probe scan
+    bucket-pruned to nprobe lists, zero exchanges."""
+
+    @pytest.fixture(scope="class")
+    def ivf_index(self, spark, emb):
+        import shutil
+
+        from hive_hdfs_practise_spark.similarity.knn import write_ivf_index
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS ivf_test")
+        for t in ["idx_assign", "idx_centroids"]:
+            spark.sql(f"DROP TABLE IF EXISTS ivf_test.{t}")
+            shutil.rmtree(f"spark-warehouse/ivf_test.db/{t}", ignore_errors=True)
+        write_ivf_index(spark, emb, "ivf_test.idx", nlist=8, iters=3)
+        yield "ivf_test.idx"
+        for t in ["idx_assign", "idx_centroids"]:
+            spark.sql(f"DROP TABLE IF EXISTS ivf_test.{t}")
+
+    def test_probe_scan_bucket_pruned_and_exchange_free(self, spark, ivf_index):
+        from hive_hdfs_practise_spark.similarity.knn import knn_ivf_indexed
+
+        df = knn_ivf_indexed(spark, ivf_index, query_vec_id=0, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # bucket pruning engaged: only the 2 probed buckets of 8 scanned
+        assert "SelectedBucketsCount: 2 out of 8" in plan
+        # probe side is scan + TakeOrdered: no shuffle anywhere
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_indexed_matches_inline_ivf(self, spark, emb, ivf_index):
+        from hive_hdfs_practise_spark.similarity.knn import knn_ivf, knn_ivf_indexed
+
+        got = [
+            (r.vec_id, r.cosine)
+            for r in knn_ivf_indexed(spark, ivf_index, 0, top_k=10, nprobe=2).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in knn_ivf(emb, 0, top_k=10, nlist=8, nprobe=2, iters=3).collect()
+        ]
+        assert got == want
