@@ -267,6 +267,15 @@ def lsh_candidate_pairs(
     return pairs_within_buckets(banded, id_col, [*block_cols, "band", "band_key"])
 
 
+# Ids per chunk in the skew-guarded pair expansion. A bucket whose
+# id set exceeds this is split into position-chunks of the sorted
+# array; each (chunk_i, chunk_j) cell becomes its own row, so the
+# quadratic pair expansion of a boilerplate mega-bucket is spread
+# across ceil(B/c)^2/2 tasks instead of serializing in one. Worst
+# per-row work is c^2/2 ≈ 8M pair structs.
+PAIR_CHUNK = 4096
+
+
 def pairs_within_buckets(
     df: DataFrame, id_col: str, bucket_cols: list[str]
 ) -> DataFrame:
@@ -274,25 +283,71 @@ def pairs_within_buckets(
     bucket: one shuffle on the bucket key, then combinations inside
     each collected id set — never a self-join (see
     lsh_candidate_pairs for why). Shared by MinHash banding and the
-    hyperplane (cosine) LSH."""
+    hyperplane (cosine) LSH.
+
+    Skew guard (r4): pair expansion is CHUNKED. Each bucket's sorted
+    id array is cut into ``PAIR_CHUNK``-sized position slices and
+    exploded into one row per (i ≤ j) chunk pair — same-chunk rows
+    expand to combinations, cross-chunk rows to the full A×B product
+    (position slices of a sorted array keep doc_a < doc_b for free).
+    Normal buckets (≤ PAIR_CHUNK ids, the r=8 design point) yield
+    exactly one (0,0) row, i.e. the original combinations — the
+    output is bit-identical, only the physical distribution changes
+    (pinned by the planted-mega-bucket test in test_dedup). The
+    repartition between chunking and expansion is what moves the
+    cells of a hot bucket onto different tasks; it shuffles id
+    arrays, not text, and costs about one re-send of the collected
+    ids (~MBs at bench scale, measured negligible)."""
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_expr = F.explode(
+    c = PAIR_CHUNK
+    k = F.ceil(F.size("ids") / F.lit(c)).cast("int")
+    chunk_pair = F.explode(
         F.flatten(
             F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.transform(
+                    F.sequence(i, k - 1),
+                    lambda j: F.struct(i.alias("i"), j.alias("j")),
                 ),
             )
         )
+    ).alias("cp")
+    cells = buckets.select(F.col("ids"), chunk_pair).select(
+        F.slice("ids", F.col("cp.i") * c + 1, c).alias("ids_a"),
+        # same-chunk cells never read ids_b — ship an empty slice
+        # (length 0 keeps the element type, whatever the id type is)
+        # instead of a second copy
+        F.when(F.col("cp.i") == F.col("cp.j"), F.slice("ids", 1, 0))
+        .otherwise(F.slice("ids", F.col("cp.j") * c + 1, c))
+        .alias("ids_b"),
     )
+    spark = df.sparkSession
+    cells = cells.repartition(spark.sparkContext.defaultParallelism)
+    comb = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids_a"), i + 2, F.size(F.col("ids_a"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda x: F.transform(
+                F.col("ids_b"),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pair_expr = F.explode(F.when(F.size("ids_b") == 0, comb).otherwise(cross))
     return (
-        buckets.select(pair_expr.alias("p"))
+        cells.select(pair_expr.alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )

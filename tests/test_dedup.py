@@ -336,3 +336,69 @@ class TestSimhashBucketed:
         assert row.n > 0 and row.lo >= 0 and row.hi < (1 << SIMHASH_SCALE_BITS)
         checksum = h.agg(F.expr("bit_xor(simhash)").alias("s")).collect()[0].s
         assert checksum == h.agg(F.expr("bit_xor(simhash)").alias("s")).collect()[0].s
+
+
+class TestPairSkewGuard:
+    """r4: pairs_within_buckets chunks oversized buckets so one
+    boilerplate mega-bucket cannot serialize the quadratic pair
+    expansion in a single task (the planted-hot-bucket scenario from
+    SCALING.md's methodology note)."""
+
+    def _pairs(self, spark, rows):
+        from hive_hdfs_practise_spark.dedup.minhash import pairs_within_buckets
+
+        df = spark.createDataFrame(rows, "doc_id long, bucket string")
+        out = pairs_within_buckets(df, "doc_id", ["bucket"])
+        return {(r.doc_a, r.doc_b) for r in out.collect()}
+
+    def test_mega_bucket_pairs_exact_under_chunking(self, spark, monkeypatch):
+        """With PAIR_CHUNK forced tiny, a 120-id hot bucket spans 8
+        chunks (36 cells) — the chunked expansion must reproduce the
+        exact combination set, incl. a small bucket and overlap
+        dedup across buckets."""
+        import itertools
+
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+
+        monkeypatch.setattr(mh, "PAIR_CHUNK", 16)
+        hot = [(i, "hot") for i in range(120)]
+        small = [(i, "small") for i in (3, 5, 200)]
+        single = [(999, "lonely")]
+        want = {
+            tuple(sorted(p)) for p in itertools.combinations(range(120), 2)
+        } | {(3, 5), (3, 200), (5, 200)}
+        got = self._pairs(spark, hot + small + single)
+        assert got == want
+
+    def test_small_buckets_single_cell_identity(self, spark):
+        """At the default PAIR_CHUNK, ordinary buckets produce one
+        (0,0) cell — output identical to plain combinations."""
+        rows = [(i, "b1") for i in range(10)] + [(i, "b2") for i in (1, 2)]
+        import itertools
+
+        want = {tuple(sorted(p)) for p in itertools.combinations(range(10), 2)} | {
+            (1, 2)
+        }
+        assert self._pairs(spark, rows) == want
+
+    def test_expansion_happens_after_redistribution(self, spark):
+        """Structural pin: the pair-generating Generate sits ABOVE a
+        round-robin exchange, which sits above the bucket aggregate —
+        i.e. a hot bucket's cells are spread across tasks before the
+        quadratic explode runs, not expanded inside the aggregating
+        task."""
+        from hive_hdfs_practise_spark.dedup.minhash import pairs_within_buckets
+
+        df = spark.createDataFrame(
+            [(i, "b") for i in range(5)], "doc_id long, bucket string"
+        )
+        plan = (
+            pairs_within_buckets(df, "doc_id", ["bucket"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        gen = plan.index("Generate explode")
+        rr = plan.index("RoundRobinPartitioning")
+        agg = plan.index("collect_set")
+        assert gen < rr < agg
