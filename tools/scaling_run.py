@@ -27,7 +27,54 @@ BASE = "/root/testdata/sf0.1"
 SCALED = "/tmp/testdata/sfx10"
 TIMEOUT_S = 150
 
-FINDINGS = """## SimHash pair-stage crossover (round 3, tools/simhash_crossover.py)
+FINDINGS = """## Round-4 decomposition of the four ≥3.5×-ratio lines (+ the median re-measure)
+
+All probes best-of-2 warm through the noop sink, same session,
+local[32]; per-stage timings at 10× unless noted.
+
+- **events_moving_median — the 5.13 s / 5.13 s pair was an artifact
+  of the old plan and is superseded.** The r3 implementation
+  windowed per event_type (~5 tasks), so BOTH measurements were a
+  5-task serial percentile whose cost was insensitive to input size
+  at this range (per-row frame-buffer overhead + AQE-coalesced
+  partitions dominated; the identical 2-dp values were coincidence
+  within that plateau's noise). The r4 time-sharded implementation
+  measures 1.62 s → 1.76 s (ratio 1.1): the percentile stage now
+  spreads over 32 pinned partitions and fixed costs dominate both
+  points.
+- **split_decontamination (was 4.6, best-of-2 now 2.9) — linear by
+  construction, no defect.** Gram generation alone (tokenize +
+  8-gram transform + explode, both splits) is 1.96 s of the 2.30 s
+  total at 10×; the train⋈test match adds ~0.35 s and already runs
+  as a BroadcastHashJoin on the (small) test side — the exact shape
+  the docstring promises at 100 TB. The two scans each compute only
+  their own split's grams (the split filter pushes below the gram
+  projection), so total gram work ≈ 0.9× corpus, once.
+- **events_dedup_latest (3.7 → 4.5 best-of-2) — structural
+  Θ(rows), keep the window form.** Scan-only is 0.21 s of 1.54 s;
+  the rest is the keep-latest itself. The plan already carries
+  WindowGroupLimit (map-side top-1 per key before the shuffle), and
+  the replicas are key-disjoint so distinct keys grow 10× — like
+  lineitem_quality_report, there is no map-side reduction to win.
+  The hash-agg alternative (groupBy + max_by struct) was measured
+  SLOWER (1.81 s vs 1.57 s at 10×), so the window form stays; a
+  cluster scales this horizontally on the key hash.
+- **documents_chunk_overlap (3.7 → 3.8) — pure narrow map, no
+  defect.** Scan + token_count is 0.55 s of 0.99 s at 10×; the
+  remainder is the explode writing 10× more chunk rows. Zero
+  shuffles; the 1× point (0.25 s) is mostly task-launch floor,
+  which is the whole ratio story.
+- **dedup_simhash (3.5 → 3.6) — the quadratic term emerging, by
+  design, with the asymptotic path registered.** Decomposed: the
+  signature build is fixed-cost-dominated (≈2.2 s → ≈2.6 s), while
+  the lang-blocked pair join alone goes 0.22 s → 6.23 s (28×) —
+  block sizes grow 10×, hamming-evaluated pairs grow ~100×, and at
+  10× the n² term finally outweighs its tiny constant, exactly as
+  the crossover study below predicts (Q ≈ 1% of total at 10×,
+  crossover 2-3M docs/block). dedup_simhash_bucketed remains the
+  oracle-checked switch-over for blocks past that point.
+
+## SimHash pair-stage crossover (round 3, tools/simhash_crossover.py)
 
 Brute lang-blocked pair join vs the chunk-bucketed pigeonhole stage,
 documents-only scale-ups of sf0.1 (same alphabet-rotation
@@ -122,7 +169,7 @@ def timed(spark, name: str, sf_dir: str) -> float | None:
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
-    t0 = time.time()
+    best = None
     try:
         # noop sink, NOT .count(): count() lets Catalyst prune every
         # column the row count doesn't need, which silently erases
@@ -131,12 +178,19 @@ def timed(spark, name: str, sf_dir: str) -> float | None:
         # real 4.5 s) — the same pruning trap CLAUDE.md documents
         # for aggregate probes. The noop format evaluates every
         # output column and discards the rows.
-        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        return round(time.time() - t0, 2)
+        # Best-of-2 (same rationale as bench.py): ~15% hypervisor CPU
+        # steal on this host lands as random multi-second stalls on
+        # parallel stages; min-of-two measures the engine.
+        for _ in range(2):
+            t0 = time.time()
+            plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 2)
+            best = dt if best is None else min(best, dt)
+        return best
     except Exception:  # noqa: BLE001 — cancelled or failed → over budget
-        return None
+        return best
     finally:
         done.set()
 
@@ -166,8 +220,9 @@ def main() -> None:
         "",
         "sf0.1 (600k lineitem / 100k events / 5k docs) vs a 10× synthetic",
         "scale-up (6M / 1M / 50k; dims fixed; replicas key-disjoint and",
-        "text-perturbed — see tools/make_scaled.py). Same session, one",
-        f"run each, {TIMEOUT_S}s watchdog. Ratio ≈ 10 ⇒ linear scaling;",
+        "text-perturbed — see tools/make_scaled.py). Same session,",
+        f"best-of-2 runs each (see timed()), {TIMEOUT_S}s watchdog.",
+        "Ratio ≈ 10 ⇒ linear scaling;",
         "≪ 10 ⇒ fixed/dimension-bound costs dominate; > 10 or over budget",
         "⇒ super-linear (candidate/output growth) — called out below.",
         "",
