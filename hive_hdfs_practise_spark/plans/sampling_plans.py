@@ -184,3 +184,48 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "test_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# Per-source quota: cap how many documents any one source/domain may
+# contribute — the anti-domination step of corpus curation (one
+# crawled site must not swamp the mix). Selection within a source is
+# by md5(doc_id) rank: deterministic, engine-portable, and unbiased
+# w.r.t. document order (doc_id order would systematically prefer
+# early crawls).
+SOURCE_QUOTA = 10
+
+
+@register(
+    "documents_source_quota",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS INT) AS quota_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {SOURCE_QUOTA}
+    """,
+)
+def documents_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most SOURCE_QUOTA documents per source, chosen by
+    md5(doc_id) rank (tie-broken by doc_id — a unique key, per the
+    deterministic-ordering invariant). One shuffle on source; the
+    rank-filter pushes down as WindowGroupLimit, so each map task
+    forwards at most SOURCE_QUOTA rows per source it sees before the
+    exchange — at 100 TB the shuffle carries O(sources × quota ×
+    tasks), not the corpus."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("quota_rank"))
+        .filter(F.col("quota_rank") <= SOURCE_QUOTA)
+        .withColumn("quota_rank", F.col("quota_rank").cast("int"))
+    )

@@ -768,3 +768,63 @@ def documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_id") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n_tokens")
         ).alias("end_tok"),
     )
+
+
+# PII scrubbing: the redaction pass a training pipeline runs before
+# text ships — emails, bare IPv4s, and international-format phone
+# numbers masked with typed placeholders. Patterns are deliberately
+# conservative and dialect-portable (no lookarounds, no lazy
+# quantifiers): Java regex (Spark) and RE2 (DuckDB) agree on
+# character classes, {m,n} repetition and \b word boundaries, which
+# is what makes the oracle value-exact. Replacement runs as a
+# sequential cascade (email → ip → phone) and each pattern's
+# redaction count is taken on the text THAT pass saw, so counts and
+# replacements can never disagree on overlapping matches (an
+# IP-lookalike inside an already-masked email is neither counted nor
+# replaced). The corpus itself is PII-free, so at oracle scale the
+# value check pins the identity transform + zero counts over every
+# row; planted-PII behavior is pinned in test_text (Spark) and the
+# same patterns are exercised through DuckDB there too.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{8,15}"
+
+
+@register(
+    "documents_pii_scrub",
+    oracle=rf"""
+    WITH s1 AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n1
+        FROM documents
+    ),
+    s2 AS (
+        SELECT doc_id, t1,
+               regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2,
+               n1, len(regexp_extract_all(t1, '{PII_IPV4}')) AS n2
+        FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '\+\d{{8,15}}', '<PHONE>', 'g') AS text_scrubbed,
+           CAST(n1 + n2 + len(regexp_extract_all(t2, '\+\d{{8,15}}')) AS INT)
+               AS n_redactions
+    FROM s2
+    """,
+)
+def documents_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails / IPv4s / international phone numbers and count
+    redactions per document (see PII pattern notes above). Narrow
+    per-row map, no shuffle — scales as a pure scan."""
+    d = table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    n1 = F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n2 = F.regexp_count(t1, F.lit(PII_IPV4))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    n3 = F.regexp_count(t2, F.lit(PII_PHONE))
+    return d.select(
+        "doc_id",
+        t3.alias("text_scrubbed"),
+        (n1 + n2 + n3).cast("int").alias("n_redactions"),
+    )

@@ -130,3 +130,37 @@ class TestBloomSemiJoin:
         li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
         empty = spark.createDataFrame([], "s_suppkey LONG")
         assert bloom_semi_join(li, empty, "l_suppkey", "s_suppkey").count() == 0
+
+
+class TestSourceQuota:
+    """r4: documents_source_quota — per-source cap with md5-rank
+    selection."""
+
+    def test_cap_and_determinism(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.sampling_plans import SOURCE_QUOTA
+
+        sf = "/root/testdata/sf0.001"
+        df = plans.QUERIES["documents_source_quota"](spark, sf)
+        rows = df.collect()
+        per_source = {}
+        for r in rows:
+            per_source.setdefault(r.source, []).append(r.quota_rank)
+        for src, ranks in per_source.items():
+            assert len(ranks) <= SOURCE_QUOTA
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        # deterministic across runs
+        again = {(r.doc_id, r.quota_rank) for r in df.collect()}
+        assert again == {(r.doc_id, r.quota_rank) for r in rows}
+
+    def test_rank_filter_pushes_window_group_limit(self, spark):
+        from hive_hdfs_practise_spark import plans
+
+        p = (
+            plans.QUERIES["documents_source_quota"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # map-side top-K per source before the exchange
+        assert "WindowGroupLimit" in p and "Partial" in p

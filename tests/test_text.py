@@ -3,8 +3,10 @@ inputs (the oracle check covers engine parity; these pin semantics)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
+from hive_hdfs_practise_spark import plans
 from hive_hdfs_practise_spark.functions import text as tx
 
 
@@ -157,3 +159,55 @@ class TestCountMinSketch:
             # width 256, depth 4: overestimate ≤ corpus/width w.h.p.;
             # generous 4x slack keeps the bound corpus-independent
             assert r.n_cms - r.n_exact <= max(4 * total / 256, 50)
+
+
+class TestPiiScrub:
+    """r4: documents_pii_scrub. The shipped corpus is PII-free (the
+    sf oracle pins the identity transform), so planted-PII behavior
+    is exercised here black-box: write a documents.parquet with
+    seeded PII, run the registered query on that dir, and cross-run
+    the DuckDB oracle on the same file to pin engine agreement."""
+
+    DOCS = [
+        (1, "contact me at jane.doe+spam@example.co.uk today", "en", "s", 45),
+        (2, "server 10.0.254.3 then call +4915123456789 now", "en", "s", 46),
+        (3, "no pii here at all", "en", "s", 18),
+        (4, "a@b.io and 1.2.3.4 and +12345678", "en", "s", 32),
+    ]
+    WANT = {
+        1: ("contact me at <EMAIL> today", 1),
+        2: ("server <IP> then call <PHONE> now", 2),
+        3: ("no pii here at all", 0),
+        4: ("<EMAIL> and <IP> and <PHONE>", 3),
+    }
+
+    @pytest.fixture(scope="class")
+    def pii_dir(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("pii")
+        spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_spark_scrub_planted(self, spark, pii_dir):
+        got = {
+            r.doc_id: (r.text_scrubbed, r.n_redactions)
+            for r in plans.QUERIES["documents_pii_scrub"](spark, pii_dir).collect()
+        }
+        assert got == self.WANT
+
+    def test_oracle_agrees_on_planted(self, pii_dir):
+        import duckdb
+
+        from hive_hdfs_practise_spark.plans.registry import ORACLES
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{pii_dir}/documents.parquet/*.parquet')"
+        )
+        got = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(ORACLES["documents_pii_scrub"]).fetchall()
+        }
+        assert got == self.WANT

@@ -30,7 +30,10 @@ TIMEOUT_S = 150
 FINDINGS = """## Round-4 decomposition of the four ≥3.5×-ratio lines (+ the median re-measure)
 
 All probes best-of-2 warm through the noop sink, same session,
-local[32]; per-stage timings at 10× unless noted.
+local[32]; per-stage timings at 10× unless noted. Probe timings come
+from a dedicated decomposition session — headline ratios in the
+table above are a separate run and can differ by a point or two of
+host-steal noise; the per-stage SPLITS are what the verdicts rest on.
 
 - **events_moving_median — the 5.13 s / 5.13 s pair was an artifact
   of the old plan and is superseded.** The r3 implementation
