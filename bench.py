@@ -90,6 +90,14 @@ BENCH_QUERIES = [
     "documents_chunk_overlap",
     "split_decontamination",
     "events_moving_median",
+    # round 4: previously checked-but-unbenched operators + the two
+    # new curation operators
+    "events_props_variant",
+    "word_freq_cms_topk",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "documents_pii_scrub",
+    "documents_source_quota",
 ]
 
 

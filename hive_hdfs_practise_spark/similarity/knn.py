@@ -88,6 +88,15 @@ def kmeans_centroids(
                     F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
                 ).alias("centroid")
             )
+            # localCheckpoint per Lloyd round (the iterative-loop
+            # invariant): without it each round's plan nests the
+            # previous round's whole assign+update subtree, and every
+            # consumer of the final centroids replays the full stack.
+            # The checkpointed frame is nlist tiny rows; eager
+            # execution here makes centroid-consuming builders
+            # BUILD_EXECUTES (jobs run at plan time, measured ~0.5 s
+            # faster end-to-end at sf0.1 and O(1) plan depth).
+            .localCheckpoint(eager=True)
         )
     return centroids
 

@@ -45,6 +45,8 @@ BUILD_EXECUTES = {
     "word_freq_cms_topk",
     "events_theta_setops",
     "word_freq_countsketch_topk",
+    # r4: kmeans_centroids localCheckpoints per Lloyd round
+    "knn_ivf",
 }
 
 
