@@ -78,3 +78,46 @@ class TestFormatMatrix:
 
         with _pytest.raises(ValueError):
             write_table(order_df, str(tmp_path / "x"), "avro")
+
+
+class TestEventsTsUnitProbe:
+    """r4 (ADVICE): events_ts_unit must find the REAL unit through
+    pyarrow.dataset when the direct ParquetFile probe can't open the
+    layout, and must warn loudly when both probes fail and it falls
+    back to guessing 'ns'."""
+
+    def test_dataset_fallback_reads_real_unit(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_hdfs_practise_spark.sources import catalog
+
+        # a MICROS-unit events table in a nested directory layout the
+        # flat glob doesn't cover (subdir between table dir and files)
+        d = tmp_path / "events.parquet" / "part=0"
+        d.mkdir(parents=True)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([1.0]),
+                "props": pa.array(["{}"]),
+            }
+        )
+        pq.write_table(tbl, d / "part-0.parquet")
+        catalog._EVENTS_UNIT_CACHE.pop(str(tmp_path), None)
+        assert catalog.events_ts_unit(str(tmp_path)) == "us"
+
+    def test_unreachable_path_warns_and_guesses_ns(self):
+        import warnings
+
+        from hive_hdfs_practise_spark.sources import catalog
+
+        missing = "/nonexistent/sfdir-r4-probe"
+        catalog._EVENTS_UNIT_CACHE.pop(missing, None)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert catalog.events_ts_unit(missing) == "ns"
+        assert any("GUESSING" in str(w.message) for w in caught)
