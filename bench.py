@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "documents_pii_scrub",
     "documents_source_quota",
+    "documents_lang_rebalance",
 ]
 
 

@@ -229,3 +229,83 @@ def documents_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quota_rank") <= SOURCE_QUOTA)
         .withColumn("quota_rank", F.col("quota_rank").cast("int"))
     )
+
+
+# Language rebalancing by exponent smoothing: target share of lang l
+# ∝ p_l^alpha with alpha = 0.5 — the standard multilingual-mix
+# smoothing (upweights tail languages relative to their raw share);
+# each language keeps min(n_l, floor(total · q_l)) documents, chosen
+# by md5(doc_id) rank. Floats feed a floor() comparison, so every
+# aggregated double is round(9)ed on BOTH sides (the k-means
+# precedent): sqrt is IEEE-exact in both engines and the 9-dp
+# rounding kills merge-order ulp noise long before the integer
+# boundary.
+LANG_ALPHA_NOTE = "alpha = 0.5 (sqrt smoothing)"
+
+
+@register(
+    "documents_lang_rebalance",
+    oracle="""
+    WITH c AS (
+        SELECT lang, count(*) AS n, round(sqrt(count(*)), 9) AS w
+        FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS total, round(sum(w), 9) AS s FROM c
+    ),
+    k AS (
+        SELECT c.lang, c.n,
+               least(c.n, CAST(floor(round(t.total * c.w / t.s, 9)) AS BIGINT))
+                   AS keep_n
+        FROM c, t
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS lang_rank
+    FROM r JOIN k ON k.lang = r.lang
+    WHERE r.rn <= k.keep_n
+    """,
+)
+def documents_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample dominant languages toward the sqrt-smoothed target
+    mix (see note above): lang l keeps min(n_l, floor(total·q_l))
+    docs with q_l ∝ sqrt(n_l), selected by md5(doc_id) rank. The
+    per-lang keep counts come from a tiny counts aggregate broadcast
+    back onto the rank pass — one shuffle on lang for the ranks
+    (WindowGroupLimit does not apply since keep_n is data-dependent,
+    but the rank window is the same single-shuffle shape as
+    documents_source_quota); everything else is dimension-sized."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt(F.count(F.lit(1))), 9).alias("w"),
+    )
+    t = c.agg(
+        F.sum("n").cast("double").alias("total"), F.round(F.sum("w"), 9).alias("s")
+    )
+    k = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.col("n"),
+            F.floor(F.round(F.col("total") * F.col("w") / F.col("s"), 9)).cast(
+                "bigint"
+            ),
+        ).alias("keep_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select("doc_id", "lang", F.row_number().over(w).alias("lang_rank"))
+    return (
+        r.join(F.broadcast(k), "lang")
+        .filter(F.col("lang_rank") <= F.col("keep_n"))
+        .select("doc_id", "lang", F.col("lang_rank").cast("int").alias("lang_rank"))
+    )

@@ -164,3 +164,33 @@ class TestSourceQuota:
         )
         # map-side top-K per source before the exchange
         assert "WindowGroupLimit" in p and "Partial" in p
+
+
+class TestLangRebalance:
+    """r4: documents_lang_rebalance — sqrt-smoothed language mix."""
+
+    def test_keep_counts_match_formula_and_tails_kept(self, spark):
+        import math
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        docs = table(spark, sf, "documents")
+        n_by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        total = sum(n_by_lang.values())
+        s = round(sum(round(math.sqrt(n), 9) for n in n_by_lang.values()), 9)
+        want = {
+            lang: min(n, math.floor(round(total * round(math.sqrt(n), 9) / s, 9)))
+            for lang, n in n_by_lang.items()
+        }
+        out = plans.QUERIES["documents_lang_rebalance"](spark, sf).collect()
+        got = {}
+        for r in out:
+            got[r.lang] = got.get(r.lang, 0) + 1
+        assert got == want
+        # the dominant language is trimmed, the smallest keeps all
+        small = min(n_by_lang, key=n_by_lang.get)
+        big = max(n_by_lang, key=n_by_lang.get)
+        assert got[small] == n_by_lang[small]
+        assert got[big] < n_by_lang[big]
