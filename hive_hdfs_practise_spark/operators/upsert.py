@@ -28,7 +28,17 @@ def upsert(
 ) -> DataFrame:
     """Newest row per key across base ∪ changes; change rows win ties
     (same version) over base rows. With ``delete_col`` (boolean),
-    winning rows flagged True are dropped — tombstone semantics."""
+    winning rows flagged True are dropped — tombstone semantics.
+
+    Replay caveat (pinned in test_upsert::TestReplayIdempotence):
+    applying the same change batch twice is idempotent as long as
+    tombstones are RETAINED between applies (call without
+    ``delete_col`` and filter at read time). Passing ``delete_col``
+    drops winning tombstones physically, and a subsequent replay of
+    a STALE change (older version than the dropped tombstone) would
+    resurrect the deleted key — the standard reason log-structured
+    stores keep tombstones for a retention window covering the
+    at-least-once delivery horizon before compacting them away."""
     tagged_base = base.withColumn("_src", F.lit(0))
     tagged_changes = changes.withColumn("_src", F.lit(1))
     unioned = tagged_base.unionByName(tagged_changes)

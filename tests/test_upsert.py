@@ -135,18 +135,42 @@ class TestReplayIdempotence:
     @given(base_rows=_rows, change_rows=_rows)
     @settings(max_examples=8, deadline=None)
     def test_double_apply_equals_single_apply(self, spark, base_rows, change_rows):
+        """Idempotence holds when tombstones are RETAINED between
+        applies (merge without delete_col; filter at read time) —
+        the retention model the upsert docstring prescribes for
+        at-least-once delivery."""
         schema = "id LONG, v STRING, ver LONG, deleted BOOLEAN"
         base = spark.createDataFrame(base_rows, schema)
         changes = spark.createDataFrame(change_rows, schema)
-        once = upsert(base, changes, ["id"], "ver", delete_col="deleted")
-        # replay the same batch on top of the merged result; the
-        # merged result no longer carries the tombstone column, so
-        # re-add the surviving rows' (not-deleted) flag as the base
+
+        def read_view(df):
+            return sorted(
+                map(
+                    tuple,
+                    df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+                    .drop("deleted")
+                    .collect(),
+                )
+            )
+
+        once = upsert(base, changes, ["id"], "ver")
+        twice = upsert(once, changes, ["id"], "ver")
+        assert read_view(once) == read_view(twice)
+
+    def test_dropped_tombstone_resurrection_is_real(self, spark):
+        """The documented NON-property (found by hypothesis): if the
+        winning tombstone is physically dropped (delete_col applied)
+        and a STALE change for that key replays, the deleted key
+        resurrects — which is exactly why the docstring prescribes
+        tombstone retention across the delivery horizon."""
+        schema = "id LONG, v STRING, ver LONG, deleted BOOLEAN"
+        base = spark.createDataFrame([(0, "a", 1, True)], schema)
+        stale = spark.createDataFrame([(0, "a", 0, False)], schema)
+        once = upsert(base, stale, ["id"], "ver", delete_col="deleted")
+        assert once.collect() == []  # tombstone wins and is dropped
         merged_base = once.withColumn("deleted", F.lit(False))
-        twice = upsert(merged_base, changes, ["id"], "ver", delete_col="deleted")
-        assert sorted(map(tuple, once.collect())) == sorted(
-            map(tuple, twice.collect())
-        )
+        replayed = upsert(merged_base, stale, ["id"], "ver", delete_col="deleted")
+        assert [tuple(r) for r in replayed.collect()] == [(0, "a", 0)]
 
     def test_managed_table_double_apply(self, spark, base):
         spark.sql("DROP TABLE IF EXISTS upsert_replay_t")
