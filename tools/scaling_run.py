@@ -27,7 +27,33 @@ BASE = "/root/testdata/sf0.1"
 SCALED = "/tmp/testdata/sfx10"
 TIMEOUT_S = 150
 
-FINDINGS = """## Round-4 decomposition of the four ≥3.5×-ratio lines (+ the median re-measure)
+FINDINGS = """## Round-4: 40× points for the linear-trending lines
+
+`tools/make_scaled.py 40 /tmp/testdata/sfx40` (24M lineitem / 4M
+events / 200k docs), best-of-2 warm noop runs, same session. A ratio
+of 40 = perfect linearity:
+
+| query | 1× s | 10× s | 40× s | r40 |
+|---|---|---|---|---|
+| split_decontamination | 1.03 | 2.05 | 6.51 | 6.3 |
+| events_dedup_latest | 0.32 | 1.68 | 6.97 | 21.8 |
+| documents_chunk_overlap | 0.26 | 0.99 | 3.45 | 13.3 |
+| events_moving_median | 1.30 | 2.41 | 5.10 | 3.9 |
+| lineitem_quality_report | 0.80 | 4.12 | 16.94 | 21.2 |
+
+Verdicts hold at 40×: every line stays SUB-linear (worst r40 ≈ 22 ≈
+0.5× of linear), and the two that trend closest to linear are
+exactly the two with structural Θ(rows)/Θ(distinct keys) arguments
+(events_dedup_latest, lineitem_quality_report — no map-side
+reduction exists when keys are disjoint/unique). The r4-sharded
+events_moving_median is the flattest line of the set (r40 = 3.9).
+documents_pack_sequences measured 4.78 s at 10× vs 2.12 s at 40× in
+this session — an absolute inversion that is physically impossible
+for a narrow map and is the host-steal noise floor making the point
+for best-of-2 measurement discipline (its structural shape, per-shard
+integer cumsum, is not in question).
+
+## Round-4 decomposition of the four ≥3.5×-ratio lines (+ the median re-measure)
 
 All probes best-of-2 warm through the noop sink, same session,
 local[32]; per-stage timings at 10× unless noted. Probe timings come
