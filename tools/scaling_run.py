@@ -47,6 +47,22 @@ exactly the two with structural Θ(rows)/Θ(distinct keys) arguments
 (events_dedup_latest, lineitem_quality_report — no map-side
 reduction exists when keys are disjoint/unique). The r4-sharded
 events_moving_median is the flattest line of the set (r40 = 3.9).
+
+Dedup family at 40× (200k docs / 80k vectors, same method):
+dedup_exact 0.76 → 1.00 s (r40 1.3); dedup_minhash_lsh 7.78 →
+39.67 s (r40 5.1) — the banded design holds at 200k docs with
+text-disjoint replicas. dedup_embedding_lsh exceeded a 600 s
+watchdog at 40× for a corpus-construction reason, not a plan
+defect: make_scaled perturbs each replica's vectors only slightly,
+so every original's k replicas are MUTUAL near-dups and the true
+output pair set grows ~k² — measured 477 pairs at 1× vs 263,773 at
+10× (553×). The LSH plan is exactly what contains this (only
+colliding buckets expand; the r4 chunk guard spreads them across
+tasks); the blow-up is in the answer itself, the same category as
+dedup_simhash's documented superlinearity. A text-style
+rotation-disjoint embedding scale-up would need vectors resampled
+per replica, which would instead destroy all near-dup structure —
+either way the 40× number measures the corpus, not the engine.
 documents_pack_sequences measured 4.78 s at 10× vs 2.12 s at 40× in
 this session — an absolute inversion that is physically impossible
 for a narrow map and is the host-steal noise floor making the point
