@@ -271,9 +271,13 @@ def lsh_candidate_pairs(
 # id set exceeds this is split into position-chunks of the sorted
 # array; each (chunk_i, chunk_j) cell becomes its own row, so the
 # quadratic pair expansion of a boilerplate mega-bucket is spread
-# across ceil(B/c)^2/2 tasks instead of serializing in one. Worst
-# per-row work is c^2/2 ≈ 8M pair structs.
-PAIR_CHUNK = 4096
+# across ceil(B/c)^2/2 tasks instead of serializing in one. The cap
+# also bounds MEMORY, not just skew: Generate(explode) materializes
+# each cell's full pair array before exploding it, so a cell costs
+# ~c^2 structs of heap — c=1024 keeps that ≈32 MB/task (measured:
+# c=4096 × 32 concurrent tasks OOMed a 12k-id planted bucket whose
+# cells each held 16.7M structs).
+PAIR_CHUNK = 1024
 
 
 def pairs_within_buckets(
@@ -297,7 +301,11 @@ def pairs_within_buckets(
     repartition between chunking and expansion is what moves the
     cells of a hot bucket onto different tasks; it shuffles id
     arrays, not text, and costs about one re-send of the collected
-    ids (~MBs at bench scale, measured negligible)."""
+    ids (~MBs at bench scale, measured negligible). Planted-skew
+    measurement (12k-id mega-bucket → 72M pairs, local[32]): chunked
+    16 s vs 146 s for the single-task combinations shape — and the
+    old shape's one giant pair array OOMs outright at larger buckets,
+    which is what PAIR_CHUNK's memory bound prevents."""
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
