@@ -770,7 +770,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     design, but the md5-derived planes let the WHOLE pipeline
     restate in SQL (``_emb_lsh_oracle``), so the emitted pairs and
     cosines are value-checked; tests additionally pin determinism
-    and recall on planted duplicates."""
+    and recall on planted duplicates.
+
+    Band-width is THRESHOLD-driven (the 100 TB design note): at this
+    operator's deliberately low cosine threshold (0.4 — the corpus
+    holds no high-cos near-dups, its whole output lives at 0.4-0.6),
+    sign-bit agreement per plane is only ~0.63, so catching such
+    pairs at all forces coarse 4-bit bands and population-heavy
+    buckets; the r4 chunked pair expansion is what keeps those
+    buckets from serializing or OOMing one task. A production
+    embedding dedupe at threshold ≥0.95 (p_bit ≈ 0.9) flips the
+    economics: 16-bit bands give ~65k buckets/band with near-perfect
+    recall for true near-dups, near-singleton buckets, and a
+    candidate set linear in the corpus — tune PLANES_PER_BAND up
+    with the threshold, never independently of it."""
     from ..dedup.minhash import pairs_within_buckets
     from .similarity import _hyperplanes_from
 
