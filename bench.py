@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "documents_pii_scrub",
     "documents_source_quota",
     "documents_lang_rebalance",
+    "embedding_hard_negatives",
 ]
 
 

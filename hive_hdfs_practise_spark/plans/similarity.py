@@ -492,3 +492,74 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# Hard-negative mining for contrastive training: for each anchor
+# vector, the top-k most-similar vectors with a DIFFERENT label —
+# the negatives that actually move an embedding model. Anchors are
+# the N_ANCHORS lowest vec_ids (deterministic); ranking is by
+# 6dp-ROUNDED cosine (floats feeding a cross-engine rank must be
+# rounded first — the ordering invariant) with vec_id as the unique
+# tiebreak.
+N_ANCHORS = 8
+HARD_NEG_K = 5
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+          FROM e WHERE vec_id < {N_ANCHORS}),
+    scored AS (
+        SELECT a.anchor_id, e.vec_id,
+               round(list_cosine_similarity(a.av, e.v), 6) AS cosine
+        FROM a JOIN e ON e.label <> a.anchor_label
+    ),
+    ranked AS (
+        SELECT anchor_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT anchor_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {HARD_NEG_K}
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``HARD_NEG_K`` different-label neighbors per anchor (see
+    note above). Scale shape: the ``N_ANCHORS`` anchors broadcast
+    against one corpus scan (no shuffle of vectors), and the rank
+    filter pushes down as WindowGroupLimit — each map task forwards
+    at most k rows per anchor before the exchange, so the window
+    shuffle carries O(anchors x k x tasks) rows, never the corpus.
+    At 100 TB the anchor set is whatever batch the trainer is mining
+    for; the same plan serves it as long as the batch stays
+    broadcastable, and the ANN bucket paths take over beyond that."""
+    from pyspark.sql.window import Window
+
+    e = wide_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec.as_double(F.col("embedding")).alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+        )
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(vec.cosine(F.col("av"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

@@ -242,3 +242,43 @@ class TestIvfIndexed:
             for r in knn_ivf(emb, 0, top_k=10, nlist=8, nprobe=2, iters=3).collect()
         ]
         assert got == want
+
+
+class TestHardNegatives:
+    """r4: embedding_hard_negatives — different-label top-k mining."""
+
+    def test_matches_numpy_and_labels_differ(self, spark, emb):
+        import numpy as np
+
+        from hive_hdfs_practise_spark.plans.similarity import HARD_NEG_K, N_ANCHORS
+
+        vecs = {r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()}
+        got = plans.QUERIES["embedding_hard_negatives"](spark, SF).collect()
+        by_anchor = {}
+        for r in got:
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        assert set(by_anchor) == set(range(N_ANCHORS))
+        for aid, rows in by_anchor.items():
+            alabel, av = vecs[aid]
+            want = sorted(
+                (
+                    (round(float(np.dot(av, v) / (np.linalg.norm(av) * np.linalg.norm(v))), 6), vid)
+                    for vid, (lbl, v) in vecs.items()
+                    if lbl != alabel
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:HARD_NEG_K]
+            got_sorted = sorted(rows, key=lambda r: r.rnk)
+            assert [(r.cosine, r.vec_id) for r in got_sorted] == want
+            for r in rows:
+                assert vecs[r.vec_id][0] != alabel
+
+    def test_rank_filter_pushes_window_group_limit(self, spark):
+        p = (
+            plans.QUERIES["embedding_hard_negatives"](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in p and "Partial" in p
+        assert "SortMergeJoin" not in p  # anchors broadcast
