@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "documents_source_quota",
     "documents_lang_rebalance",
     "embedding_hard_negatives",
+    "events_funnel_conversion",
 ]
 
 

@@ -657,3 +657,86 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("carried") == 0)
         .select("event_id", "event_type", "moving_median")
     )
+
+
+# Ordered-funnel conversion (the MATCH_RECOGNIZE / windowFunnel
+# operator class): per user, the earliest signup, the earliest click
+# STRICTLY after it, and the earliest purchase strictly after that —
+# all within FUNNEL_DAYS of the funnel start. Reports users reaching
+# each step. Strict ts ordering (ties excluded) keeps the step
+# definition engine-exact at µs precision.
+FUNNEL_DAYS = 7
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT ev.user_id, min(ev.ts) AS t2
+           FROM ev JOIN s1 USING (user_id)
+           WHERE ev.event_type = 'click' AND ev.ts > s1.t1
+             AND ev.ts <= s1.t1 + INTERVAL {FUNNEL_DAYS} DAY
+           GROUP BY ev.user_id),
+    s3 AS (SELECT ev.user_id, min(ev.ts) AS t3
+           FROM ev JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+             AND ev.ts <= s1.t1 + INTERVAL {FUNNEL_DAYS} DAY
+           GROUP BY ev.user_id)
+    SELECT step, step_name, n_users FROM (
+        SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click_within_{FUNNEL_DAYS}d', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase_within_{FUNNEL_DAYS}d', count(*) FROM s3
+    )
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step counts (see note above). Scale shape (verified on
+    the executed plan): each step reads only ITS event-type slice —
+    the type filter pushes into the scan — and shuffles that slice
+    once on user_id for its aggregate, so no event row ever crosses
+    the wire more than once and the signup/click cohort tables join
+    back as broadcasts while the funnel cohort is small (the common
+    case: cohorts shrink monotonically down the funnel). When a
+    cohort outgrows the broadcast threshold Catalyst degrades that
+    join to a co-partitioned sort-merge on the same user_id keying.
+    The final union is three 1-row aggregates. Adding steps adds one
+    slice-shuffle each, never a re-shuffle of earlier steps."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    window_end = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_DAYS} DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= window_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= window_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def cnt(df, step, name):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        cnt(s1, 1, "signup")
+        .unionByName(cnt(s2, 2, f"click_within_{FUNNEL_DAYS}d"))
+        .unionByName(cnt(s3, 3, f"purchase_within_{FUNNEL_DAYS}d"))
+    )

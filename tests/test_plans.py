@@ -164,3 +164,47 @@ class TestMovingMedianSharding:
             ).collect()
         }
         assert got == want
+
+
+class TestFunnelPlan:
+    """r4: events_funnel_conversion — per-step slices scan-filtered
+    and cohort joins broadcast (no sort-merge at test scale)."""
+
+    def test_step_filters_pushed_and_cohorts_broadcast(self, spark):
+        p = _plan(spark, "events_funnel_conversion")
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    def test_counts_match_python_recompute(self, spark):
+        from hive_hdfs_practise_spark.plans.events import FUNNEL_DAYS
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        rows = {
+            r.step: r.n_users
+            for r in plans.QUERIES["events_funnel_conversion"](spark, SF).collect()
+        }
+        ev = [
+            (r.user_id, r.event_type, r.ts)
+            for r in table(spark, SF, "events").collect()
+        ]
+        import datetime
+
+        win = datetime.timedelta(days=FUNNEL_DAYS)
+        by_user = {}
+        for u, t, ts in ev:
+            by_user.setdefault(u, []).append((t, ts))
+        n1 = n2 = n3 = 0
+        for u, evs in by_user.items():
+            sign = [ts for t, ts in evs if t == "signup"]
+            if not sign:
+                continue
+            n1 += 1
+            t1 = min(sign)
+            clicks = [ts for t, ts in evs if t == "click" and t1 < ts <= t1 + win]
+            if not clicks:
+                continue
+            n2 += 1
+            t2 = min(clicks)
+            purch = [ts for t, ts in evs if t == "purchase" and t2 < ts <= t1 + win]
+            if purch:
+                n3 += 1
+        assert rows == {1: n1, 2: n2, 3: n3}
