@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "documents_lang_rebalance",
     "embedding_hard_negatives",
     "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 

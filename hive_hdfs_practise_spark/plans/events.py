@@ -740,3 +740,64 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(s2, 2, f"click_within_{FUNNEL_DAYS}d"))
         .unionByName(cnt(s3, 3, f"purchase_within_{FUNNEL_DAYS}d"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    cohort AS (
+        -- CAST: DuckDB date_trunc returns DATE, Spark returns
+        -- TIMESTAMP — align the output type
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT c.cohort_week,
+               CAST(date_diff('week', c.cohort_week,
+                              date_trunc('week', ev.ts)) AS INT) AS week_offset,
+               ev.user_id
+        FROM ev JOIN cohort c USING (user_id)
+        WHERE date_trunc('week', ev.ts) >= c.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, then
+    counted as active in each whole-week offset from their cohort
+    week — the standard retention triangle. Scale shape: the cohort
+    table is one filtered-slice aggregate (signup rows only) that
+    joins back as a broadcast while small / co-partitioned
+    sort-merge at scale; the distinct + count pair shuffles on
+    (cohort_week, week_offset, user_id) — map-side partial distinct
+    collapses each user's events within a week before the exchange,
+    so the shuffle carries at most one row per (user, week), not the
+    event log. Week truncation keeps the offset arithmetic integer-
+    exact across engines."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .withColumn("act_week", F.date_trunc("week", F.col("ts")))
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
