@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_anomaly_mad",
 ]
 
 

@@ -545,6 +545,29 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
+    unioned, w = _sharded_trailing_frame(spark, e, lookback=99)
+    return (
+        unioned.withColumn(
+            "moving_median",
+            F.round(F.percentile("value", F.lit(0.5)).over(w), 4),
+        )
+        .where(F.col("carried") == 0)
+        .select("event_id", "event_type", "moving_median")
+    )
+
+
+def _sharded_trailing_frame(spark, e: DataFrame, lookback: int):
+    """The r4 sharded trailing-ROWS-frame scaffolding shared by the
+    rank-based window operators (moving median, MAD anomaly): returns
+    ``(unioned, w)`` where ``unioned`` is the input re-keyed to
+    (event_type, time shard) with each shard prepended by the
+    ``lookback`` rows that globally precede it (flagged
+    ``carried=1``), and ``w`` is the per-(event_type, shard) trailing
+    window over (ts, event_id). Consumers compute frame aggregates
+    over ``w``, then drop carried rows — the result is exactly the
+    naive single-partition-per-type window, but with parallelism that
+    grows with the data's time span. See events_moving_median's
+    docstring for the full design rationale."""
     # Shard key: grain-truncated ts. Coarser than the (ts, event_id)
     # sort key, so equal-ts rows can never straddle a shard boundary
     # and carried rows always sort strictly before a shard's own rows.
@@ -590,7 +613,7 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # (source shard → target shard) pairs whose row ranges intersect
-    # the target's 99-row lookback; tail_len = how many of the source
+    # the target's lookback; tail_len = how many of the source
     # shard's last rows the target needs.
     src = ranked.select(
         F.col("event_type").alias("t"),
@@ -606,21 +629,21 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt,
         (src["t"] == tgt["t"])
         & (F.col("src_shard") < F.col("tgt_shard"))
-        & (F.col("src_end") >= F.col("tgt_start") - 99),
+        & (F.col("src_end") >= F.col("tgt_start") - lookback),
     ).select(
         src["t"].alias("event_type"),
         "src_shard",
         "tgt_shard",
-        (F.col("src_end") - F.col("tgt_start") + 100).alias("tail_len"),
+        (F.col("src_end") - F.col("tgt_start") + lookback + 1).alias("tail_len"),
     )
 
-    # Carried tails: the last min(99, tail_len) rows of each source
-    # shard, re-keyed to the target shard. rn_desc = cnt - rn_asc + 1
-    # comes straight from the shared rank pass — no descending
-    # re-sort, no second scan.
+    # Carried tails: the last min(lookback, tail_len) rows of each
+    # source shard, re-keyed to the target shard. rn_desc =
+    # cnt - rn_asc + 1 comes straight from the shared rank pass — no
+    # descending re-sort, no second scan.
     tail_candidates = base.withColumn(
         "rn_desc", F.col("cnt") - F.col("rn_asc") + 1
-    ).where(F.col("rn_desc") <= 99)
+    ).where(F.col("rn_desc") <= lookback)
     tails = (
         tail_candidates.join(
             F.broadcast(tail_map),
@@ -647,16 +670,9 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("event_type", "shard")
         .orderBy("ts", "event_id")
-        .rowsBetween(-99, Window.currentRow)
+        .rowsBetween(-lookback, Window.currentRow)
     )
-    return (
-        unioned.withColumn(
-            "moving_median",
-            F.round(F.percentile("value", F.lit(0.5)).over(w), 4),
-        )
-        .where(F.col("carried") == 0)
-        .select("event_id", "event_type", "moving_median")
-    )
+    return unioned, w
 
 
 # Ordered-funnel conversion (the MATCH_RECOGNIZE / windowFunnel
@@ -800,4 +816,106 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
+    )
+
+
+# Robust anomaly detection: |value − median| > MAD_K × MAD over the
+# same trailing 100-row frame as events_moving_median. Median +
+# median-absolute-deviation is the outlier rule that survives the
+# outliers themselves (mean/stddev z-scores get dragged by the very
+# points they should flag). Both engines evaluate the identical
+# interpolation arithmetic on the identical sorted frame, and the
+# flag comparison is 9dp-rounded on both sides, so the emitted
+# anomaly set is value-exact.
+MAD_K = 3
+
+
+def _interp_median_sql(arr: str) -> str:
+    """DuckDB linear-interpolated median of a sorted list expr —
+    textually the same formula the Spark side evaluates."""
+    h = f"(len({arr}) - 1) / 2.0"
+    lo = f"{arr}[CAST(floor({h}) AS INT) + 1]"
+    hi = f"{arr}[CAST(ceil({h}) AS INT) + 1]"
+    return f"({lo} + ({h} - floor({h})) * ({hi} - {lo}))"
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, event_type, value,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+    fr AS (
+        SELECT event_id, event_type, value,
+               list_sort(list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)) AS arr
+        FROM ev
+    ),
+    m AS (
+        SELECT event_id, event_type, value, arr,
+               {_interp_median_sql('arr')} AS med
+        FROM fr
+    ),
+    d AS (
+        SELECT event_id, event_type, value, med,
+               list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+        FROM m
+    ),
+    dm AS (
+        -- interp once per row (no reliance on engine CSE)
+        SELECT event_id, event_type, value, med,
+               {_interp_median_sql('dev')} AS mad
+        FROM d
+    )
+    SELECT event_id, event_type,
+           round(value, 4) AS value,
+           round(med, 4) AS med,
+           round(mad, 4) AS mad
+    FROM dm
+    WHERE round(abs(value - med), 9) > round({MAD_K} * mad, 9)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from the trailing-frame median by
+    more than MAD_K MADs (see note above). Runs on the same
+    ``_sharded_trailing_frame`` scaffolding as events_moving_median,
+    so the rank-based frame work parallelizes over (event_type, time
+    shard) instead of serializing per type; the per-row median/MAD
+    interpolation operates on the ≤100-element frame array — tiny,
+    per-row, no extra shuffle beyond the frame window's own."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    unioned, w = _sharded_trailing_frame(spark, e, lookback=99)
+
+    def interp(arr):
+        n = F.size(arr)
+        h = (n - F.lit(1)) / F.lit(2.0)
+        lo = F.element_at(arr, F.floor(h).cast("int") + 1)
+        hi = F.element_at(arr, F.ceil(h).cast("int") + 1)
+        return lo + (h - F.floor(h)) * (hi - lo)
+
+    framed = (
+        unioned.withColumn(
+            "arr", F.array_sort(F.collect_list("value").over(w))
+        )
+        .where(F.col("carried") == 0)
+        .withColumn("med", interp(F.col("arr")))
+        .withColumn(
+            "dev",
+            F.array_sort(
+                F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))
+            ),
+        )
+        .withColumn("mad", interp(F.col("dev")))
+    )
+    return framed.where(
+        F.round(F.abs(F.col("value") - F.col("med")), 9)
+        > F.round(MAD_K * F.col("mad"), 9)
+    ).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
     )
