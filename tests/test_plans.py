@@ -208,3 +208,44 @@ class TestFunnelPlan:
             if purch:
                 n3 += 1
         assert rows == {1: n1, 2: n2, 3: n3}
+
+
+def test_anomaly_mad_matches_unsharded_window(spark):
+    """Pin _sharded_trailing_frame's second consumer: the MAD flags
+    from the sharded frame must equal a naive single-partition-per-
+    type recompute at sf0.001 (tiny day shards → multi-predecessor
+    carried tails)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_hdfs_practise_spark.plans.events import MAD_K
+    from hive_hdfs_practise_spark.sources.catalog import table
+
+    got = {
+        (r.event_id, r.value, r.med, r.mad)
+        for r in plans.QUERIES["events_anomaly_mad"](spark, SF).collect()
+    }
+    e = table(spark, SF, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    rows = e.select(
+        "event_id",
+        "value",
+        F.percentile("value", F.lit(0.5)).over(w).alias("med"),
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+    ).collect()
+    want = set()
+    for r in rows:
+        dev = sorted(abs(x - r.med) for x in r.arr)
+        n = len(dev)
+        h = (n - 1) / 2.0
+        import math
+
+        lo, hi = dev[math.floor(h)], dev[math.ceil(h)]
+        mad = lo + (h - math.floor(h)) * (hi - lo)
+        if round(abs(r.value - r.med), 9) > round(MAD_K * mad, 9):
+            want.add((r.event_id, round(r.value, 4), round(r.med, 4), round(mad, 4)))
+    assert got == want
