@@ -69,6 +69,30 @@ for a narrow map and is the host-steal noise floor making the point
 for best-of-2 measurement discipline (its structural shape, per-shard
 integer cumsum, is not in question).
 
+## Round-4 operators at 1×/10×/40× (best-of-2 warm, same method)
+
+| query | 1× s | 10× s | 40× s | r40 |
+|---|---|---|---|---|
+| documents_pii_scrub | 0.49 | 2.50 | 8.59 | 17.5 |
+| documents_source_quota | 0.29 | 0.34 | 0.48 | 1.7 |
+| documents_lang_rebalance | 0.62 | 0.57 | 0.61 | 1.0 |
+| embedding_hard_negatives | 0.69 | 0.82 | 1.40 | 2.0 |
+| events_funnel_conversion | 0.64 | 0.82 | 1.35 | 2.1 |
+| events_retention_cohorts | 0.38 | 0.85 | 2.46 | 6.5 |
+| events_anomaly_mad | 3.77 | 26.57 | 106.97 | 28.4 |
+
+All sub-linear. The quota/rebalance/hard-negative/funnel lines are
+flat (WindowGroupLimit or broadcast shapes — fixed costs dominate);
+pii_scrub is the regex cascade trending linear in text bytes, as a
+narrow map must. events_anomaly_mad is linear with a LARGE constant
+(~25 µs/row of per-row frame math: a collect_list rebuild plus two
+interpreted sorts of the ≤100-element deviation array) — it
+parallelizes perfectly over the (type, time-shard) keying, so
+horizontal scaling absorbs it, but a 100 TB deployment that only
+needs approximate flags should prefer a mergeable histogram sketch
+per window (order_value_percentiles_approx's machinery) over the
+exact rank math, trading 4-dp exactness for ~5× less per-row work.
+
 ## Round-4 decomposition of the four ≥3.5×-ratio lines (+ the median re-measure)
 
 All probes best-of-2 warm through the noop sink, same session,
