@@ -878,7 +878,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the rank-based frame work parallelizes over (event_type, time
     shard) instead of serializing per type; the per-row median/MAD
     interpolation operates on the ≤100-element frame array — tiny,
-    per-row, no extra shuffle beyond the frame window's own."""
+    per-row, no extra shuffle beyond the frame window's own.
+
+    Scale cost (measured, SCALING.md): linear with a large constant
+    (~25 µs/row — a collect_list frame rebuild plus interpreted
+    sorts of the deviation array per row). The sharded keying makes
+    it scale horizontally, but a deployment that only needs
+    approximate flags should run the mergeable histogram-sketch form
+    per window instead of exact rank math."""
     e = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
