@@ -73,7 +73,7 @@ integer cumsum, is not in question).
 
 | query | 1× s | 10× s | 40× s | r40 |
 |---|---|---|---|---|
-| documents_pii_scrub | 0.49 | 2.50 | 8.59 | 17.5 |
+| documents_pii_scrub | 0.49 | 2.50 | 8.59 | 17.5 (→ 0.93 s / r40 1.9 after the rlike gate, below) |
 | documents_source_quota | 0.29 | 0.34 | 0.48 | 1.7 |
 | documents_lang_rebalance | 0.62 | 0.57 | 0.61 | 1.0 |
 | embedding_hard_negatives | 0.69 | 0.82 | 1.40 | 2.0 |
@@ -83,8 +83,13 @@ integer cumsum, is not in question).
 
 All sub-linear. The quota/rebalance/hard-negative/funnel lines are
 flat (WindowGroupLimit or broadcast shapes — fixed costs dominate);
-pii_scrub is the regex cascade trending linear in text bytes, as a
-narrow map must. events_anomaly_mad is linear with a LARGE constant
+pii_scrub WAS the regex cascade trending linear in text bytes —
+re-measured 0.93 s at 40× (r40 1.9) after gating the cascade on a
+cheap `rlike('[@0-9]')`: every pattern needs an '@' or a digit,
+so clean text skips all six regex evaluations (and the
+projection-collapse duplication that ran the email regex ~4×/row);
+on PII-dense corpora the gate passes everything and the cascade
+cost returns, still linear, still a narrow map. events_anomaly_mad is linear with a LARGE constant
 (~25 µs/row of per-row frame math: a collect_list rebuild plus two
 interpreted sorts of the ≤100-element deviation array) — it
 parallelizes perfectly over the (type, time-shard) keying, so
