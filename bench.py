@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_mad",
+    "text_bpe_merges",
 ]
 
 

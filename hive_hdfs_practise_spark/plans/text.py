@@ -837,3 +837,148 @@ def documents_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_redactions"),
     )
+
+
+# BPE merge induction: the first BPE_ROUNDS byte-pair-encoding merges
+# learned from the corpus — the tokenizer-training primitive. Classic
+# formulation: work on the DISTINCT-word table weighted by word
+# frequency (the standard BPE optimization — corpus size only affects
+# the word-count aggregate), start from character symbols, and per
+# round (1) count adjacent symbol pairs, (2) take the most frequent
+# (ties: lexicographically smallest pair — both engines compare ASCII
+# binary), (3) apply the merge greedily left-to-right to every word.
+# The greedy application is a LEFT FOLD: append the symbol, except
+# when the accumulator ends with `l` and the symbol is `r`, replace
+# the tail with the merged symbol — the fold naturally prevents
+# overlapping re-merges ('aaa' + (a,a) → ['aa','a']). Spark runs the
+# fold with F.aggregate (explicit empty-array init); DuckDB's
+# list_reduce has no init parameter, so the oracle prepends an empty
+# accumulator element to a wrapped element list. All counts are
+# integers and all symbols strings, so the learned merge table is
+# bit-exact cross-engine.
+BPE_ROUNDS = 3
+
+
+def _bpe_fold_sql(syms: str) -> str:
+    """DuckDB greedy merge fold of `syms` under scalars l, r."""
+    return (
+        f"list_reduce([[]::VARCHAR[]] || list_transform({syms}, x -> [x]), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = l "
+        f"AND x[1] = r THEN list_append(acc[1:len(acc)-1], l || r) "
+        f"ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        r"""
+    WITH w AS (
+        SELECT word, count(*) AS wc
+        FROM (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, wc,
+               list_transform(generate_series(1, length(word)),
+                              i -> substring(word, i, 1)) AS syms
+        FROM w
+    )"""
+    ]
+    prev = "s0"
+    for k in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{k} AS (
+        SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc) AS freq
+        FROM (SELECT wc, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM {prev})
+        GROUP BY syms[i], syms[i + 1]
+    ),
+    b{k} AS (
+        SELECT l, r, CAST(freq AS BIGINT) AS freq
+        FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
+    ),
+    s{k} AS (
+        SELECT word, wc, {_bpe_fold_sql('syms')} AS syms
+        FROM {prev}, b{k}
+    )"""
+        )
+        prev = f"s{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS round, l AS left_sym, r AS right_sym, freq FROM b{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS BPE merges from the corpus (see
+    note above). Scale shape: after the one word-count aggregate
+    (the only stage that touches corpus-sized data), every round
+    operates on the DISTINCT-word table — pairs explode to
+    (|word|-1) rows per distinct word, the argmax is a 1-row
+    TakeOrdered broadcast back onto the fold (never a driver
+    collect), and each round's symbol table is localCheckpointed
+    (the iterative-loop invariant; the frame is |distinct words|
+    rows). Vocabulary, not corpus, bounds the per-round cost —
+    exactly why classic BPE trainers pre-aggregate words."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    syms = w.select(
+        "word",
+        "wc",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    best_frames = []
+    for k in range(1, BPE_ROUNDS + 1):
+        # element_at (1-based) — Spark's [] subscript is 0-based while
+        # DuckDB's is 1-based; and the size >= 2 guard keeps Spark's
+        # sequence(1, 0) (which counts DOWN) out of the transform.
+        pairs = syms.where(F.size("syms") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        merged = syms.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wc",
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), "
+                "(acc, x) -> CASE WHEN size(acc) > 0 "
+                "AND element_at(acc, -1) = l AND x = r "
+                "THEN concat(slice(acc, 1, size(acc) - 1), array(l || r)) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+        )
+        syms = merged.localCheckpoint(eager=True)
+        best_frames.append(
+            best.select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("freq"),
+            )
+        )
+    out = best_frames[0]
+    for bf in best_frames[1:]:
+        out = out.unionByName(bf)
+    return out

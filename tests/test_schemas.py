@@ -47,6 +47,8 @@ BUILD_EXECUTES = {
     "word_freq_countsketch_topk",
     # r4: kmeans_centroids localCheckpoints per Lloyd round
     "knn_ivf",
+    # r4: per-round symbol-table checkpoints
+    "text_bpe_merges",
 }
 
 

@@ -211,3 +211,48 @@ class TestPiiScrub:
             for r in con.execute(ORACLES["documents_pii_scrub"]).fetchall()
         }
         assert got == self.WANT
+
+
+class TestBpeMerges:
+    """r4: text_bpe_merges — learned merge table equals a pure-Python
+    BPE trainer on the same corpus."""
+
+    def test_matches_python_bpe(self, spark):
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.text import BPE_ROUNDS
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = [
+            (r.round, r.left_sym, r.right_sym, r.freq)
+            for r in sorted(
+                plans.QUERIES["text_bpe_merges"](spark, sf).collect(),
+                key=lambda r: r.round,
+            )
+        ]
+        words = Counter()
+        for row in table(spark, sf, "documents").select("text").collect():
+            words.update(row.text.split())
+        vocab = {w: list(w) for w in words}
+        want = []
+        for k in range(1, BPE_ROUNDS + 1):
+            pair_freq = Counter()
+            for w, syms in vocab.items():
+                c = words[w]
+                for a, b in zip(syms, syms[1:]):
+                    pair_freq[(a, b)] += c
+            (l, r), freq = min(
+                pair_freq.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            want.append((k, l, r, freq))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if out and out[-1] == l and syms[i] == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(syms[i])
+                    i += 1
+                vocab[w] = out
+        assert got == want
