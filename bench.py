@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "events_anomaly_mad",
     "text_bpe_merges",
+    "dedup_embedding_lsh_strict",
 ]
 
 

@@ -713,14 +713,18 @@ N_EMB_BANDS = 4
 PLANES_PER_BAND = 4
 
 
-def _emb_lsh_oracle() -> str:
+def _emb_lsh_oracle(
+    n_bands: int = N_EMB_BANDS,
+    ppb: int = PLANES_PER_BAND,
+    threshold: float = COSINE_THRESHOLD,
+) -> str:
     """SQL restatement of the banded hyperplane-LSH pair pipeline:
     md5-derived planes, per-band sign-bit buckets, distinct a<b
     pairs sharing any (band, bucket), exact cosine ≥ threshold."""
     from .similarity import _md5_u32_sql
 
     u32 = _md5_u32_sql("concat(p.plane_id, ':', c.c)")
-    n_planes = N_EMB_BANDS * PLANES_PER_BAND
+    n_planes = n_bands * ppb
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pc AS (
@@ -729,7 +733,7 @@ def _emb_lsh_oracle() -> str:
              generate_series(0, 63) AS c(c)
     ),
     planes AS (
-        SELECT plane_id, plane_id // {PLANES_PER_BAND} AS band,
+        SELECT plane_id, plane_id // {ppb} AS band,
                list(comp ORDER BY c) AS plane
         FROM pc GROUP BY plane_id
     ),
@@ -742,7 +746,7 @@ def _emb_lsh_oracle() -> str:
     ),
     buckets AS (
         SELECT vec_id, band,
-               CAST(sum(bit * (1 << ({PLANES_PER_BAND - 1} - (plane_id % {PLANES_PER_BAND})))) AS BIGINT) AS bucket
+               CAST(sum(bit * (1 << ({ppb - 1} - (plane_id % {ppb})))) AS BIGINT) AS bucket
         FROM bits GROUP BY vec_id, band
     ),
     cand AS (
@@ -755,7 +759,7 @@ def _emb_lsh_oracle() -> str:
     FROM cand AS c
     JOIN e AS ea ON ea.vec_id = c.vec_a
     JOIN e AS eb ON eb.vec_id = c.vec_b
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COSINE_THRESHOLD}
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
     """
 
 
@@ -784,15 +788,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for true near-dups, near-singleton buckets, and a
     candidate set linear in the corpus — tune PLANES_PER_BAND up
     with the threshold, never independently of it."""
+    return _emb_lsh_pairs(
+        spark, sf_dir, N_EMB_BANDS, PLANES_PER_BAND, COSINE_THRESHOLD
+    )
+
+
+def _emb_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int,
+    ppb: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared banded hyperplane-LSH pair pipeline (see
+    dedup_embedding_lsh for the full design notes); parameterized so
+    the corpus-tuned low-threshold config and the production-shaped
+    strict config register as twins over one implementation."""
     from ..dedup.minhash import pairs_within_buckets
     from .similarity import _hyperplanes_from
 
     e = wide_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.as_double(F.col("embedding")).alias("v")
     )
-    planes = _hyperplanes_from(
-        e, "v", N_EMB_BANDS * PLANES_PER_BAND
-    ).withColumn("band", (F.col("plane_id") / PLANES_PER_BAND).cast("int"))
+    planes = _hyperplanes_from(e, "v", n_bands * ppb).withColumn(
+        "band", (F.col("plane_id") / ppb).cast("int")
+    )
     buckets = (
         e.join(F.broadcast(planes))
         .select(
@@ -827,5 +847,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("vec_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# Production-shaped strict twin: threshold 0.95, 8 bands x 16 bits.
+# P(bit agree) at cosine 0.95 is 1 - θ/π ≈ 0.90 → band match 0.9^16
+# ≈ 0.18 → detection 1-(1-0.18)^8 ≈ 0.80; at cosine 0.99 ≈ 0.98.
+# 65k buckets per band keep buckets near-singleton, so the candidate
+# set stays linear in the corpus — the economics the low-threshold
+# config's docstring derives. This corpus holds no ≥0.95 pairs, so
+# the sf oracle pins the empty answer (and every intermediate
+# md5-derived stage); planted-duplicate recall is test-pinned.
+STRICT_COS_THRESHOLD = 0.95
+STRICT_EMB_BANDS = 8
+STRICT_PLANES_PER_BAND = 16
+
+
+@register(
+    "dedup_embedding_lsh_strict",
+    oracle=_emb_lsh_oracle(
+        STRICT_EMB_BANDS, STRICT_PLANES_PER_BAND, STRICT_COS_THRESHOLD
+    ),
+)
+def dedup_embedding_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold embedding near-dup pairs with 16-bit bands —
+    the parameterization a 100 TB dedupe runs (see the band-width
+    note on dedup_embedding_lsh and the constants above). Same
+    implementation, same full SQL restatement."""
+    return _emb_lsh_pairs(
+        spark,
+        sf_dir,
+        STRICT_EMB_BANDS,
+        STRICT_PLANES_PER_BAND,
+        STRICT_COS_THRESHOLD,
     )

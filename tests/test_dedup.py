@@ -402,3 +402,38 @@ class TestPairSkewGuard:
         rr = plan.index("RoundRobinPartitioning")
         agg = plan.index("collect_set")
         assert gen < rr < agg
+
+
+class TestEmbeddingLshStrict:
+    """r4: the production-shaped strict twin (threshold 0.95,
+    8 x 16-bit bands) — empty on this corpus (pinned by the oracle),
+    perfect recall on planted exact duplicates (identical vectors
+    share every band bucket)."""
+
+    def test_corpus_has_no_strict_pairs(self, spark):
+        assert (
+            plans.QUERIES["dedup_embedding_lsh_strict"](
+                spark, "/root/testdata/sf0.001"
+            ).count()
+            == 0
+        )
+
+    def test_planted_duplicates_found(self, spark):
+        import os
+        import tempfile
+
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(50)
+        dup = base.filter(F.col("vec_id") < 2).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            base.union(dup).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            got = {
+                (r.vec_a, r.vec_b)
+                for r in plans.QUERIES["dedup_embedding_lsh_strict"](
+                    spark, tmp
+                ).collect()
+            }
+        assert (0, 100000) in got and (1, 100001) in got
