@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_mad",
+    "events_anomaly_mad_hist",
     "text_bpe_merges",
     "dedup_embedding_lsh_strict",
 ]

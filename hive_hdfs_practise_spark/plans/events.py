@@ -939,3 +939,139 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 4).alias("med"),
         F.round("mad", 4).alias("mad"),
     )
+
+
+# Approximate scale path for the MAD anomaly rule: per-window
+# fixed-boundary histogram sketches instead of per-row trailing-frame
+# rank math. The exact form above is linear with a ~25 µs/row
+# constant (collect_list frame rebuild + interpreted per-row sorts);
+# this twin is two hash aggregates + two tiny joins — the per-window
+# histograms merge by adding counts (the same mergeability contract
+# as t-digest), so parallelism grows with data and the shuffle
+# carries (key, bucket) counts, never values. Same machinery as
+# order_value_percentiles_approx (plans/stats.py), proven value-
+# exact cross-engine: every interpolation step is restated
+# identically in the oracle.
+_MAD_HIST_W = 5.0
+
+
+def _hist_median_sql(src: str, key: str, val: str, out: str) -> str:
+    """Fixed-boundary histogram median of ``val`` per (event_type, w)
+    from ``src`` — cumulative-count crossing + in-bucket linear
+    interpolation, 6dp-rounded so the downstream bucket assignment
+    and flag comparison see an identical double in both engines."""
+    W = _MAD_HIST_W
+    return f"""
+    {key}h AS (
+        SELECT event_type, w, CAST(floor({val} / {W}) AS BIGINT) AS b,
+               count(*) AS c
+        FROM {src} GROUP BY 1, 2, 3
+    ),
+    {key}cum AS (
+        SELECT event_type, w, b, c,
+               sum(c) OVER (PARTITION BY event_type, w ORDER BY b) AS cum,
+               sum(c) OVER (PARTITION BY event_type, w) AS n
+        FROM {key}h
+    ),
+    {key}pick AS (
+        SELECT event_type, w,
+               round(CAST(b AS DOUBLE) * {W}
+                     + {W} * (0.5 * n - (cum - c)) / c, 6) AS {out}
+        FROM {key}cum
+        WHERE (cum - c) < 0.5 * n AND cum >= 0.5 * n
+    )"""
+
+
+@register(
+    "events_anomaly_mad_hist",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, value,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS w
+        FROM events
+    ),
+    {_hist_median_sql('ev', 'm', 'value', 'med')},
+    dev AS (
+        SELECT ev.event_id, ev.event_type, ev.w, ev.value, mp.med,
+               abs(ev.value - mp.med) AS d
+        FROM ev JOIN mpick mp
+          ON ev.event_type = mp.event_type AND ev.w = mp.w
+    ),
+    {_hist_median_sql('dev', 'd', 'd', 'mad')}
+    SELECT dev.event_id, dev.event_type,
+           CAST(dev.w AS DATE) AS window_start,
+           round(dev.value, 4) AS value,
+           round(dev.med, 4) AS med_est,
+           round(dp.mad, 4) AS mad_est
+    FROM dev JOIN dpick dp
+      ON dev.event_type = dp.event_type AND dev.w = dp.w
+    WHERE round(dev.d, 9) > round({MAD_K} * dp.mad, 9)
+    """,
+)
+def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch MAD anomaly detection — the 100 TB twin of
+    ``events_anomaly_mad``. Per (event_type, day) window: (1) one
+    hash aggregate builds fixed-boundary value-bucket counts; (2)
+    the window median is interpolated inside the bucket whose
+    cumulative count crosses n/2 (6dp-rounded both engines so the
+    deviation pass sees an identical double); (3) a second hash
+    aggregate histograms |value − med| and interpolates the MAD the
+    same way; (4) rows with |value − med| > MAD_K·MAD are flagged.
+
+    Scale shape: the heavy inputs only ever pass through hash
+    aggregates whose output cardinality is (windows × buckets) —
+    mergeable map-side, so the exchanges carry counts. The two joins
+    bring one row per (event_type, day) back to the events — tiny
+    relative to the fact side at any SF (AQE broadcasts them; the
+    cardinality grows with the time span, not the data volume, so no
+    fixed-size broadcast hint). Estimate error is bounded by the
+    bucket width; the estimates themselves are value-checked against
+    the identical SQL restatement, not rows-only."""
+    W = _MAD_HIST_W
+
+    def hist_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        h = df.groupBy(
+            "event_type",
+            "w",
+            F.floor(F.col(val) / W).cast("bigint").alias("b"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        win = Window.partitionBy("event_type", "w")
+        cum = h.select(
+            "event_type",
+            "w",
+            "b",
+            "c",
+            F.sum("c").over(win.orderBy("b")).alias("cum"),
+            F.sum("c").over(win).alias("n"),
+        )
+        t = F.lit(0.5) * F.col("n")
+        est = F.col("b").cast("double") * F.lit(W) + F.lit(W) * (
+            t - (F.col("cum") - F.col("c"))
+        ) / F.col("c")
+        return cum.filter(
+            ((F.col("cum") - F.col("c")) < t) & (F.col("cum") >= t)
+        ).select("event_type", "w", F.round(est, 6).alias(out))
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("w"),
+    )
+    med = hist_median(ev, "value", "med")
+    dev = ev.join(med, ["event_type", "w"]).withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = hist_median(dev, "d", "mad")
+    return (
+        dev.join(mad, ["event_type", "w"])
+        .where(F.round(F.col("d"), 9) > F.round(F.lit(MAD_K) * F.col("mad"), 9))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("w").cast("date").alias("window_start"),
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("med_est"),
+            F.round("mad", 4).alias("mad_est"),
+        )
+    )

@@ -249,3 +249,48 @@ def test_anomaly_mad_matches_unsharded_window(spark):
         if round(abs(r.value - r.med), 9) > round(MAD_K * mad, 9):
             want.add((r.event_id, round(r.value, 4), round(r.med, 4), round(mad, 4)))
     assert got == want
+
+
+class TestMadHistPlan:
+    """r4: events_anomaly_mad_hist — the mergeable histogram-sketch
+    scale path must stay sketch-shaped (hash aggregates over bucket
+    counts, no per-row rank window) and its estimates must track the
+    exact per-window median/MAD within one bucket width."""
+
+    def test_no_per_row_rank_machinery(self, spark):
+        p = _plan(spark, "events_anomaly_mad_hist")
+        assert "HashAggregate" in p
+        # the exact form's per-row frame machinery must not leak in
+        assert "percentile" not in p and "collect_list" not in p
+
+    def test_estimates_within_bucket_width(self, spark):
+        """The crossing bucket provably contains the ⌈n/2⌉-th order
+        statistic, so each estimate is within one bucket width of it.
+        (NOT the interpolated even-n median: with sparse windows its
+        two middle values can sit buckets apart, and the sketch has
+        no information inside a bucket.)"""
+        import math
+
+        from hive_hdfs_practise_spark.plans.events import _MAD_HIST_W
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = plans.QUERIES["events_anomaly_mad_hist"](spark, SF).collect()
+        assert got  # non-vacuous at sf0.001
+        ev = table(spark, SF, "events").collect()
+        by_win = {}
+        for r in ev:
+            k = (r.event_type, r.ts.date())
+            by_win.setdefault(k, []).append(r.value)
+
+        def lower_median(xs):
+            s = sorted(xs)
+            return s[math.ceil(len(s) / 2) - 1]
+
+        for r in got:
+            vals = by_win[(r.event_type, r.window_start)]
+            assert abs(r.med_est - lower_median(vals)) <= _MAD_HIST_W
+            # deviations are measured from the ESTIMATED median (the
+            # sketch never sees the exact one), then bucketed — so the
+            # reference MAD uses med_est too
+            devs = [abs(v - r.med_est) for v in vals]
+            assert abs(r.mad_est - lower_median(devs)) <= _MAD_HIST_W
