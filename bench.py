@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "events_anomaly_mad_hist",
     "text_bpe_merges",
+    "text_bpe_apply",
     "dedup_embedding_lsh_strict",
 ]
 

@@ -869,7 +869,10 @@ def _bpe_fold_sql(syms: str) -> str:
     )
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> tuple[list[str], str]:
+    """Shared unrolled-training CTE chain: word counts → char symbols
+    → BPE_ROUNDS × (pair count, argmax, greedy fold). Returns the CTE
+    list and the name of the final symbol table."""
     parts = [
         r"""
     WITH w AS (
@@ -904,6 +907,11 @@ def _bpe_oracle() -> str:
     )"""
         )
         prev = f"s{k}"
+    return parts, prev
+
+
+def _bpe_oracle() -> str:
+    parts, _ = _bpe_ctes()
     selects = " UNION ALL ".join(
         f"SELECT {k} AS round, l AS left_sym, r AS right_sym, freq FROM b{k}"
         for k in range(1, BPE_ROUNDS + 1)
@@ -911,18 +919,11 @@ def _bpe_oracle() -> str:
     return ",\n    ".join(parts) + "\n    " + selects
 
 
-@register("text_bpe_merges", oracle=_bpe_oracle())
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_ROUNDS BPE merges from the corpus (see
-    note above). Scale shape: after the one word-count aggregate
-    (the only stage that touches corpus-sized data), every round
-    operates on the DISTINCT-word table — pairs explode to
-    (|word|-1) rows per distinct word, the argmax is a 1-row
-    TakeOrdered broadcast back onto the fold (never a driver
-    collect), and each round's symbol table is localCheckpointed
-    (the iterative-loop invariant; the frame is |distinct words|
-    rows). Vocabulary, not corpus, bounds the per-round cost —
-    exactly why classic BPE trainers pre-aggregate words."""
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Unrolled BPE training loop shared by text_bpe_merges and
+    text_bpe_apply: returns (syms, best_frames) — the distinct-word
+    table's segmentation after BPE_ROUNDS merges, and the per-round
+    winning merge (1-row frames)."""
     d = table(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
@@ -978,7 +979,72 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("freq"),
             )
         )
+    return syms, best_frames
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS BPE merges from the corpus (see
+    note above). Scale shape: after the one word-count aggregate
+    (the only stage that touches corpus-sized data), every round
+    operates on the DISTINCT-word table — pairs explode to
+    (|word|-1) rows per distinct word, the argmax is a 1-row
+    TakeOrdered broadcast back onto the fold (never a driver
+    collect), and each round's symbol table is localCheckpointed
+    (the iterative-loop invariant; the frame is |distinct words|
+    rows). Vocabulary, not corpus, bounds the per-round cost —
+    exactly why classic BPE trainers pre-aggregate words."""
+    _, best_frames = _bpe_learn(spark, sf_dir)
     out = best_frames[0]
     for bf in best_frames[1:]:
         out = out.unionByName(bf)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    parts, last = _bpe_ctes()
+    parts.append(
+        r"""dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS word
+        FROM documents
+    )"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(s.word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens
+    FROM dw JOIN {last} s USING (word)
+    GROUP BY dw.doc_id
+    """
+    )
+
+
+@register("text_bpe_apply", oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: per document,
+    the word / character / BPE-token counts under the BPE_ROUNDS-merge
+    vocabulary — the compression measurement a tokenizer-training
+    pipeline runs to pick its merge budget. The greedy left-to-right
+    application is the training fold itself: the distinct-word table
+    already carries each word's final segmentation, so applying the
+    tokenizer to the corpus is a join from exploded (doc_id, word)
+    back to the ≤|vocab|-row segmentation table (hash join on word;
+    the vocab side is the small one at any corpus size) and an
+    integer-sum aggregate per document — no per-document fold ever
+    runs, and every count is integer-exact cross-engine."""
+    syms, _ = _bpe_learn(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    seg = syms.select("word", F.length("word").alias("wlen"), F.size("syms").alias("ntok"))
+    return (
+        dw.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wlen").alias("n_chars"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )

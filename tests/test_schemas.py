@@ -49,6 +49,7 @@ BUILD_EXECUTES = {
     "knn_ivf",
     # r4: per-round symbol-table checkpoints
     "text_bpe_merges",
+    "text_bpe_apply",
 }
 
 

@@ -256,3 +256,55 @@ class TestBpeMerges:
                     i += 1
                 vocab[w] = out
         assert got == want
+
+
+class TestBpeApply:
+    """r4: text_bpe_apply — per-doc token counts under the learned
+    merges equal a pure-Python BPE trainer + greedy tokenizer."""
+
+    def test_matches_python_tokenizer(self, spark):
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.text import BPE_ROUNDS
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+            for r in plans.QUERIES["text_bpe_apply"](spark, sf).collect()
+        }
+        docs = {
+            row.doc_id: row.text.split()
+            for row in table(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        words = Counter(w for ws in docs.values() for w in ws)
+        vocab = {w: list(w) for w in words}
+        for _ in range(BPE_ROUNDS):
+            pair_freq = Counter()
+            for w, syms in vocab.items():
+                c = words[w]
+                for a, b in zip(syms, syms[1:]):
+                    pair_freq[(a, b)] += c
+            (l, r), _f = min(
+                pair_freq.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            for w, syms in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        want = {
+            d: (
+                len(ws),
+                sum(len(w) for w in ws),
+                sum(len(vocab[w]) for w in ws),
+            )
+            for d, ws in docs.items()
+            if ws
+        }
+        assert got == want
