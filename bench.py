@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_bpe_apply",
     "dedup_embedding_lsh_strict",
+    "graph_pagerank",
 ]
 
 

@@ -193,3 +193,97 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# PageRank over the customer↔supplier trade graph — the link-analysis
+# operator class (influence scoring over a relationship graph). The
+# iteration runs in FIXED-POINT INTEGER arithmetic: ranks are scaled
+# by PR_SCALE and every step is integer (floor-division by degree,
+# integer damping 17/20, integer teleport term), so partial sums
+# merge bit-exactly under ANY partitioning/aggregation order — the
+# property float ranks cannot give cross-engine (or even cross-run on
+# a cluster), which is what lets the whole power iteration be
+# value-checked against the unrolled SQL restatement instead of
+# rows-only. Precision: one unit = 1e-9 of an initial rank; overflow
+# headroom: a node of in-degree d carries ≤ d·PR_SCALE before the
+# ×17, so the BIGINT path is safe up to ~5e8 neighbors of max rank.
+PR_SCALE = 1_000_000_000
+PR_JUMP = 150_000_000  # 0.15 × PR_SCALE
+PR_ROUNDS = 3
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS pr FROM deg)""".format(
+            scale=PR_SCALE
+        )
+    ]
+    for k in range(1, PR_ROUNDS + 1):
+        parts.append(
+            f"""r{k} AS (
+        SELECT ed.dst AS node,
+               CAST({PR_JUMP} + (17 * sum(r.pr // ed.deg)) // 20
+                    AS BIGINT) AS pr
+        FROM ed JOIN r{k - 1} r ON ed.src = r.node
+        GROUP BY ed.dst
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT r.node, r.pr, d.deg AS degree
+    FROM r{PR_ROUNDS} r JOIN deg d ON r.node = d.src
+    """
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ROUNDS power-iteration rounds of fixed-point PageRank over
+    the undirected customer↔supplier graph (edge = the pair traded at
+    least once; see integer-arithmetic note above).
+
+    Scale shape: the only corpus-sized stage is the one distinct-pair
+    aggregate that builds the edge list (map-side partial distinct on
+    (custkey, suppkey) — the shuffle carries pairs, not lineitems).
+    The edge+degree table is localCheckpointed once and reused by
+    every round (without it each round re-scans lineitem); each round
+    is then one hash join (edges ⋈ ranks, both sides keyed on the
+    node id) plus one integer-sum aggregate whose map-side partials
+    are exact. Rank state is one row per node — never driver-side.
+    Undirected edges mean no dangling nodes, so total mass stays
+    bounded without a global renormalization step (which would need a
+    cross-partition scalar every round)."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(PR_ROUNDS):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("pr div deg").alias("c")
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(PR_JUMP) + F.expr("(17 * sum(c)) div 20")).alias("pr")
+        )
+    return ranks.join(
+        deg.select(F.col("src").alias("node"), F.col("deg").alias("degree")), "node"
+    ).select("node", "pr", "degree")

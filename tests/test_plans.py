@@ -294,3 +294,46 @@ class TestMadHistPlan:
             # reference MAD uses med_est too
             devs = [abs(v - r.med_est) for v in vals]
             assert abs(r.mad_est - lower_median(devs)) <= _MAD_HIST_W
+
+
+class TestPagerank:
+    """r4: graph_pagerank — fixed-point integer power iteration."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.plans.advanced import (
+            PR_JUMP,
+            PR_ROUNDS,
+            PR_SCALE,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r.node: (r.pr, r.degree)
+            for r in plans.QUERIES["graph_pagerank"](spark, SF).collect()
+        }
+        l = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        pairs = {
+            (f"c{r.o_custkey}", f"s{r.l_suppkey}")
+            for r in l.join(o, l.l_orderkey == o.o_orderkey).collect()
+        }
+        edges = list(pairs) + [(b, a) for a, b in pairs]
+        deg = defaultdict(int)
+        for s, _ in edges:
+            deg[s] += 1
+        pr = {n: PR_SCALE for n in deg}
+        for _ in range(PR_ROUNDS):
+            acc = defaultdict(int)
+            for s, d in edges:
+                acc[d] += pr[s] // deg[s]
+            pr = {n: PR_JUMP + (17 * v) // 20 for n, v in acc.items()}
+        assert got == {n: (pr[n], deg[n]) for n in pr}
+
+    def test_rank_state_never_collected(self, spark):
+        """The iteration must stay DataFrame-side: hash joins + hash
+        aggregates, no cartesian product, and the plan's only
+        materialization is the checkpointed edge table."""
+        p = _plan(spark, "graph_pagerank")
+        assert "CartesianProduct" not in p and "HashAggregate" in p

@@ -50,6 +50,8 @@ BUILD_EXECUTES = {
     # r4: per-round symbol-table checkpoints
     "text_bpe_merges",
     "text_bpe_apply",
+    # r4: edge+degree table checkpointed once, reused per round
+    "graph_pagerank",
 }
 
 
