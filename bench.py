@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "text_bpe_apply",
     "dedup_embedding_lsh_strict",
     "graph_pagerank",
+    "documents_boilerplate_ngrams",
 ]
 
 

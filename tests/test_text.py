@@ -308,3 +308,40 @@ class TestBpeApply:
             if ws
         }
         assert got == want
+
+
+class TestBoilerplate:
+    """r4: documents_boilerplate_ngrams — cross-doc frequent-gram
+    fraction equals a pure-Python recompute."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.plans.text import BP_MIN_DOCS, BP_N
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.doc_id: (r.n_grams, r.n_boilerplate, r.bp_fraction)
+            for r in plans.QUERIES["documents_boilerplate_ngrams"](
+                spark, sf
+            ).collect()
+        }
+        doc_grams = {}
+        docs_of = defaultdict(set)
+        for row in (
+            table(spark, sf, "documents").select("doc_id", "text").collect()
+        ):
+            w = row.text.split()
+            grams = [
+                " ".join(w[i : i + BP_N]) for i in range(len(w) - BP_N + 1)
+            ]
+            if grams:
+                doc_grams[row.doc_id] = grams
+                for g in grams:
+                    docs_of[g].add(row.doc_id)
+        want = {}
+        for d, grams in doc_grams.items():
+            bp = sum(1 for g in grams if len(docs_of[g]) >= BP_MIN_DOCS)
+            want[d] = (len(grams), bp, round(bp / len(grams), 6))
+        assert got == want
