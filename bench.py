@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_strict",
     "graph_pagerank",
     "documents_boilerplate_ngrams",
+    "part_fuzzy_name_match",
 ]
 
 

@@ -287,3 +287,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         deg.select(F.col("src").alias("node"), F.col("deg").alias("degree")), "node"
     ).select("node", "pr", "degree")
+
+
+# Record linkage / fuzzy join: near-identical entity names matched
+# under an edit-distance threshold with blocking. The join runs over
+# the DISTINCT-name dictionary (the standard entity-resolution move:
+# attribute cardinality, not row count, bounds the quadratic stage),
+# blocked on the name's last token so only names sharing a head noun
+# are ever compared — candidate pairs per block are |block|², with
+# |block| bounded by the adjective vocabulary, not the corpus.
+FUZZY_MAX_LEV = 2
+
+
+@register(
+    "part_fuzzy_name_match",
+    oracle=rf"""
+    WITH names AS (
+        SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    ),
+    p AS (
+        SELECT p_name, n_parts,
+               regexp_extract(p_name, '(\S+)$', 1) AS block
+        FROM names
+    )
+    SELECT a.block,
+           a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS lev_dist,
+           a.n_parts AS n_parts_a, c.n_parts AS n_parts_b
+    FROM p a JOIN p c
+      ON a.block = c.block AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= {FUZZY_MAX_LEV}
+    """,
+)
+def part_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match of part names: pairs of distinct names that
+    share a head noun (blocking key = last whitespace token) and sit
+    within FUZZY_MAX_LEV Levenshtein edits (see note above — both
+    engines implement classic unit-cost Levenshtein).
+
+    Scale shape: the only corpus-sized stage is the distinct-name
+    aggregate (map-side partial distinct — the shuffle carries one
+    row per name per partition at worst). The dictionary is
+    localCheckpointed so the blocked self-join doesn't re-run the
+    aggregate per side (the derived-pipeline self-join rule), and the
+    join itself shuffles only dictionary rows on the block key. The
+    `name_a < name_b` ordering halves the pair space and makes the
+    output deterministic without a window."""
+    p = table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("block", F.regexp_extract(F.col("p_name"), r"(\S+)$", 1))
+        .localCheckpoint(eager=True)
+    )
+    a = names.alias("a")
+    c = names.alias("c")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.block") == F.col("c.block"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .where(lev <= FUZZY_MAX_LEV)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            lev.cast("int").alias("lev_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("c.n_parts").alias("n_parts_b"),
+        )
+    )

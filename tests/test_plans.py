@@ -337,3 +337,58 @@ class TestPagerank:
         materialization is the checkpointed edge table."""
         p = _plan(spark, "graph_pagerank")
         assert "CartesianProduct" not in p and "HashAggregate" in p
+
+
+class TestFuzzyNameMatch:
+    """r4: part_fuzzy_name_match — blocked dictionary fuzzy join."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.advanced import FUZZY_MAX_LEV
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        def lev(s, t):
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ct in enumerate(t, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[-1] + 1,
+                            prev[j - 1] + (cs != ct),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        got = {
+            (r.name_a, r.name_b): (
+                r.block,
+                r.lev_dist,
+                r.n_parts_a,
+                r.n_parts_b,
+            )
+            for r in plans.QUERIES["part_fuzzy_name_match"](
+                spark, SF
+            ).collect()
+        }
+        counts = Counter(
+            r.p_name for r in table(spark, SF, "part").select("p_name").collect()
+        )
+        names = sorted(counts)
+        want = {}
+        for i, na in enumerate(names):
+            for nb in names[i + 1 :]:
+                if na.split()[-1] != nb.split()[-1]:
+                    continue
+                d = lev(na, nb)
+                if d <= FUZZY_MAX_LEV:
+                    want[(na, nb)] = (
+                        na.split()[-1],
+                        d,
+                        counts[na],
+                        counts[nb],
+                    )
+        assert got == want and got  # non-vacuous

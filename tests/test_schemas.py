@@ -52,6 +52,8 @@ BUILD_EXECUTES = {
     "text_bpe_apply",
     # r4: edge+degree table checkpointed once, reused per round
     "graph_pagerank",
+    # r4: name dictionary checkpointed before the blocked self-join
+    "part_fuzzy_name_match",
 }
 
 
