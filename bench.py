@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "documents_boilerplate_ngrams",
     "part_fuzzy_name_match",
+    "embeddings_quantize_int8",
 ]
 
 

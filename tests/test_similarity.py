@@ -282,3 +282,46 @@ class TestHardNegatives:
         )
         assert "WindowGroupLimit" in p and "Partial" in p
         assert "SortMergeJoin" not in p  # anchors broadcast
+
+
+class TestQuantizeInt8:
+    """r4: embeddings_quantize_int8 — code range, error bound, and
+    the per-element quantization identity."""
+
+    def test_codes_and_error_bounds(self, spark):
+        from hive_hdfs_practise_spark import plans
+
+        rows = plans.QUERIES["embeddings_quantize_int8"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert all(-127 <= c <= 127 for c in r.codes)
+            assert max(abs(c) for c in r.codes) == 127  # max-abs hits full range
+            # per-element |err| ≤ scale/254 → mean ≤ scale/254 (+6dp slack)
+            assert r.mean_abs_err <= r.scale / 254 + 1e-6
+
+    def test_roundtrip_matches_python(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.vec_id: list(r.codes)
+            for r in plans.QUERIES["embeddings_quantize_int8"](spark, sf).collect()
+        }
+        for row in table(spark, sf, "embeddings").collect():
+            v = [float(x) for x in row.embedding]
+            scale = max(abs(x) for x in v)
+            # Spark round = HALF_UP on the double's decimal form
+            import decimal
+
+            codes = [
+                int(
+                    decimal.Decimal(x * 127.0 / scale).quantize(
+                        0, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+                for x in v
+            ]
+            assert got[row.vec_id] == codes
