@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "documents_boilerplate_ngrams",
     "part_fuzzy_name_match",
     "embeddings_quantize_int8",
+    "knn_quantized_int8",
 ]
 
 

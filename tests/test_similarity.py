@@ -325,3 +325,25 @@ class TestQuantizeInt8:
                 for x in v
             ]
             assert got[row.vec_id] == codes
+
+
+class TestQuantizedKnn:
+    """r4: knn_quantized_int8 — compressed-domain search."""
+
+    def test_recall_vs_exact_and_plan_shape(self, spark):
+        from hive_hdfs_practise_spark import plans
+
+        sf = "/root/testdata/sf0.001"
+        df = plans.QUERIES["knn_quantized_int8"](spark, sf)
+        approx = [r.vec_id for r in df.collect()]
+        exact = [
+            r.vec_id
+            for r in plans.QUERIES["knn_brute_cosine"](spark, sf).collect()
+        ]
+        assert len(approx) == len(exact) == 10
+        # int8 on unit vectors keeps ~3 decimal places of the cosine:
+        # the top-10 sets should agree almost everywhere
+        assert len(set(approx) & set(exact)) >= 8
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
