@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "part_fuzzy_name_match",
     "embeddings_quantize_int8",
     "knn_quantized_int8",
+    "events_transition_matrix",
 ]
 
 

@@ -1075,3 +1075,59 @@ def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 4).alias("mad_est"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM ev
+    ),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of
+    event_type → next event_type (sequence mining's base table; the
+    input to next-action prediction and funnel-drop diagnostics).
+
+    Scale shape: one hash-partition exchange on user_id feeds the
+    lead() window (per-user sequences sort within partitions), the
+    pair counts reduce map-side before the (from, to) exchange, and
+    the row-normalizing window runs over the ≤|types|² aggregate —
+    driver-scale. Ordering inside a user is (ts, event_id): the
+    unique tiebreak that keeps lead() deterministic across engines.
+    The probability divides two exact integers — bit-identical
+    before the 6dp round."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )

@@ -392,3 +392,34 @@ class TestFuzzyNameMatch:
                         counts[nb],
                     )
         assert got == want and got  # non-vacuous
+
+
+class TestTransitionMatrix:
+    """r4: events_transition_matrix — Markov pair counts."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import Counter, defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            (r.from_type, r.to_type): (r.n, r.p)
+            for r in plans.QUERIES["events_transition_matrix"](
+                spark, SF
+            ).collect()
+        }
+        by_user = defaultdict(list)
+        for r in table(spark, SF, "events").collect():
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        pairs = Counter()
+        for evs in by_user.values():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                pairs[(a, b)] += 1
+        totals = defaultdict(int)
+        for (a, _), n in pairs.items():
+            totals[a] += n
+        want = {
+            (a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()
+        }
+        assert got == want
