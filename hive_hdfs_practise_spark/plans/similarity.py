@@ -635,46 +635,42 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ANN over the COMPRESSED vectors: unit-normalize, int8-quantize,
-# then score candidates with an INTEGER dot product of code arrays —
-# the search-side payoff of embeddings_quantize_int8 (4x smaller
-# scans; integer multiply-adds). Because vectors are unit-normalized
-# before quantization, dequantized-dot ≈ cosine: score =
-# dot_i8 · scale_c · scale_q / 127². The integer dot is bit-exact in
-# any evaluation order; the rescale is scalar double arithmetic
-# identical on both engines, so the ranking (rounded score, vec_id
-# tiebreak) is value-checked.
+# ANN over the COMPRESSED vectors: int8-quantize, then score
+# candidates with an INTEGER dot product of code arrays — the
+# search-side payoff of embeddings_quantize_int8 (4x smaller scans;
+# integer multiply-adds). Normalize-then-quantize collapses
+# algebraically: codes of the unit vector under max-abs scaling are
+# round((x/‖x‖)·127/(max|x|/‖x‖)) = round(x·127/max|x|) — so the
+# codes come straight off the RAW vector (one fewer nested lambda;
+# nesting is what made the first version 75x slower than brute: the
+# per-element normalize recomputed the norm fold 64x per row after
+# projection collapse). score = dot_i8 · (mx_c·mx_q)/(127²·‖c‖·‖q‖).
+# The integer dot is bit-exact in any order; every double factor is
+# a per-row scalar fold evaluated left-to-right identically on both
+# engines, so the ranking (6dp-rounded score, vec_id tiebreak) is
+# value-checked. The pre-limit scan evaluates ONE score expression
+# per row; dot_i8 is recomputed only for the TOP_K survivors.
 @register(
     "knn_quantized_int8",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    n AS (
+    s AS (
         SELECT vec_id, v,
+               list_reduce(list_transform(v, x -> abs(x)),
+                           (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx,
                sqrt(list_reduce(list_transform(v, x -> x * x),
                                 (a, b) -> a + b)) AS nrm
         FROM v
     ),
-    u AS (
-        SELECT vec_id,
-               CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
-                    ELSE v END AS u
-        FROM n
-    ),
-    s AS (
-        SELECT vec_id, u,
-               list_reduce(list_transform(u, x -> abs(x)),
-                           (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS scale
-        FROM u
-    ),
     q AS (
-        SELECT vec_id, scale,
-               list_transform(u, x -> CAST(round(x * 127.0 / scale) AS INT))
+        SELECT vec_id, mx, nrm,
+               list_transform(v, x -> CAST(round(x * 127.0 / mx) AS INT))
                    AS codes
         FROM s
     ),
-    qq AS (SELECT scale AS qs, codes AS qc FROM q
+    qq AS (SELECT mx AS qmx, nrm AS qnrm, codes AS qc FROM q
            WHERE vec_id = {QUERY_VEC_ID}),
     scored AS (
         SELECT c.vec_id,
@@ -684,7 +680,8 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(list_reduce(list_transform(list_zip(c.codes, qq.qc),
                                                 p -> p[1] * p[2]),
                                  (a, b) -> a + b)
-                     * c.scale * qq.qs / 16129.0, 6) AS score
+                     * c.mx * qq.qmx / (16129.0 * c.nrm * qq.qnrm), 6)
+                   AS score
         FROM q c, qq WHERE c.vec_id <> {QUERY_VEC_ID}
     )
     SELECT vec_id, dot_i8, score FROM scored
@@ -692,39 +689,57 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k nearest neighbors scored on int8-quantized unit vectors
-    (see note above). Plan shape mirrors knn_brute_cosine: the 1-row
-    query codes broadcast against the candidate scan, the integer
-    fold runs codegen'd JVM-side, and TakeOrderedAndProject keeps k
-    rows per partition — no global sort, no shuffle of the vectors
-    themselves. At deployment the codes come from the written
-    quantized table instead of being derived in-plan, dropping the
-    scan width 4x; deriving them here keeps the query self-contained
-    and the oracle total."""
+    """Top-k nearest neighbors scored on int8-quantized vectors (see
+    note above). Plan shape mirrors knn_brute_cosine: the 1-row query
+    codes broadcast against the candidate scan, the folds run
+    per-row in one projection, and TakeOrderedAndProject keeps k rows
+    per partition — no global sort, no shuffle of the vectors. The
+    TOP_K survivors carry their arrays through the limit so dot_i8's
+    recompute touches k rows, not the corpus. At deployment the codes
+    come from the written quantized table instead of being derived
+    in-plan, dropping the scan width 4x; deriving them here keeps the
+    query self-contained and the oracle total."""
     e = table(spark, sf_dir, "embeddings")
-    v = vec.as_double(F.col("embedding"))
-    u = vec.normalize(v)
-    scale = F.array_max(F.transform(u, lambda x: F.abs(x)))
-    codes = F.transform(u, lambda x: F.round(x * 127.0 / scale).cast("int"))
-    q = e.select("vec_id", scale.alias("scale"), codes.alias("codes"))
-    qq = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("scale").alias("qs"), F.col("codes").alias("qc")
-    )
-    dot_i8 = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("qc"), lambda a, b: a * b),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        q.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(qq))
-        .select(
-            "vec_id",
-            dot_i8.cast("bigint").alias("dot_i8"),
-            F.round(
-                dot_i8 * F.col("scale") * F.col("qs") / 16129.0, 6
-            ).alias("score"),
+
+    def mx(col):
+        return F.array_max(F.transform(col, lambda x: F.abs(x)))
+
+    def codes(col):
+        return F.transform(
+            col, lambda x: F.round(x * 127.0 / mx(col)).cast("int")
         )
+
+    def dot_i8(a, b):
+        return F.aggregate(
+            F.zip_with(codes(a), codes(b), lambda x, y: x * y),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    base = e.select("vec_id", vec.as_double(F.col("embedding")).alias("v"))
+    qq = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    score = F.round(
+        dot_i8(F.col("v"), F.col("qv"))
+        * mx(F.col("v"))
+        * mx(F.col("qv"))
+        / (
+            16129.0
+            * vec.norm(F.col("v"))
+            * vec.norm(F.col("qv"))
+        ),
+        6,
+    )
+    top = (
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qq))
+        .select("vec_id", "v", "qv", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(TOP_K)
+    )
+    return top.select(
+        "vec_id",
+        dot_i8(F.col("v"), F.col("qv")).cast("bigint").alias("dot_i8"),
+        "score",
     )
