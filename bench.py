@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "embeddings_quantize_int8",
     "knn_quantized_int8",
     "events_transition_matrix",
+    "events_gap_fill",
+    "lineitem_profile",
+    "sales_pivot_by_status",
 ]
 
 

@@ -277,3 +277,48 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+# Pivot: the wide-format dashboard table (one column per order
+# status). The status domain is the TPC-H enum {O, F, P} — pivoting
+# on an explicit value list keeps the output schema static (a
+# values-discovering pivot runs an extra distinct job and its column
+# order depends on data).
+PIVOT_STATUSES = ["O", "F", "P"]
+
+
+@register(
+    "sales_pivot_by_status",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+               AS status_o,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+               AS status_f,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+               AS status_p,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sales_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue pivoted to one column per order status, plus
+    the month's order count — the long→wide reshape every BI layer
+    runs. Implemented as conditional aggregates (what ``groupBy().
+    pivot(col, values)`` compiles to): one hash aggregate, map-side
+    combine, no distinct-values discovery job, and the column set is
+    schema-stable regardless of which statuses a data slice
+    contains. Sums are 2dp-rounded both engines."""
+    o = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    return o.groupBy(month).agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice"))),
+                2,
+            ).alias(f"status_{s.lower()}")
+            for s in PIVOT_STATUSES
+        ],
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1131,3 +1131,85 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS n, round(sum(value), 2) AS tv
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM ev
+    ),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             bounds, unnest(generate_series(bounds.h0, bounds.h1,
+                                            INTERVAL 1 HOUR)) AS g(h)
+    )
+    SELECT grid.event_type, grid.h AS hour,
+           CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events,
+           hourly.tv AS total_value,
+           last_value(hourly.tv IGNORE NULLS)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total_value_ffill
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: the complete (event_type × hour)
+    grid between the corpus's first and last hour, hourly counts
+    zero-filled and the hourly value total forward-filled across
+    gaps — the resample/densify operator every monitoring dashboard
+    and feature pipeline needs before windowed models.
+
+    Scale shape: the only corpus-sized stage is the hourly
+    pre-aggregate (map-side combine). The grid is |types| ×
+    |hours| — metadata-scale, built from a 1-row bounds aggregate
+    broadcast-crossed with the distinct types (both engines restate
+    the same construction); the left join back and the forward-fill
+    window run over grid-sized data. The fill value is the
+    2dp-rounded hourly total, so the carried value is bit-identical
+    cross-engine."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("tv").alias("total_value"),
+            F.last("tv", ignorenulls=True).over(w).alias("total_value_ffill"),
+        )
+    )

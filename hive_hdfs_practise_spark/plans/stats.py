@@ -233,3 +233,62 @@ def customer_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+# Column profiling — the DESCRIBE/data-quality surface: one row per
+# profiled column with row/null/distinct counts and value range. The
+# unpivot explodes the four numeric measures into (column, value)
+# pairs so a single grouped aggregate profiles them all in one scan.
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lineitem_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 4) AS min_value,
+           round(max({c}), 4) AS max_value
+    FROM lineitem"""
+        for c in PROFILE_COLS
+    ),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-column profile of lineitem: row count, null count,
+    exact distinct count, min and max per measure column — the
+    data-quality / catalog-statistics operator.
+
+    Scale shape: one scan pruned to the four measures, exploded to
+    (column_name, value) pairs, then a single grouped aggregate.
+    The count-DISTINCT alongside min/max/count makes Spark plan an
+    Expand (2x the exploded rows) — acceptable for a profiling pass
+    that runs once per dataset; a hot-loop deployment would swap
+    n_distinct to approx_count_distinct and lose the Expand (the
+    same exact-vs-HLL trade documented for quality_report). Distinct
+    counts of DOUBLE columns are well-defined cross-engine: both
+    engines compare binary doubles, and min/max/counts are
+    order-independent."""
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).alias("v"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.v")
+    return pairs.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+        F.count_distinct("v").alias("n_distinct"),
+        F.round(F.min("v"), 4).alias("min_value"),
+        F.round(F.max("v"), 4).alias("max_value"),
+    )

@@ -423,3 +423,90 @@ class TestTransitionMatrix:
             (a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()
         }
         assert got == want
+
+
+class TestGapFill:
+    """r4: events_gap_fill — densified grid + zero/forward fill."""
+
+    def test_grid_complete_and_fills_correct(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        rows = plans.QUERIES["events_gap_fill"](spark, SF).collect()
+        ev = table(spark, SF, "events").collect()
+        types = {r.event_type for r in ev}
+        hours = sorted({r.hour for r in rows})
+        # complete cartesian grid, hourly-contiguous
+        assert len(rows) == len(types) * len(hours)
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        # recompute totals
+        agg = defaultdict(lambda: [0, 0.0])
+        for r in ev:
+            k = (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+            agg[k][0] += 1
+            agg[k][1] += r.value
+        by_type = defaultdict(list)
+        for r in rows:
+            by_type[r.event_type].append(r)
+        for t, rs in by_type.items():
+            rs.sort(key=lambda r: r.hour)
+            carried = None
+            for r in rs:
+                n, tv = agg.get((t, r.hour), (0, None))
+                assert r.n_events == n
+                if n:
+                    assert r.total_value == round(agg[(t, r.hour)][1], 2)
+                    carried = r.total_value
+                else:
+                    assert r.total_value is None
+                assert r.total_value_ffill == carried
+
+
+class TestProfileAndPivot:
+    def test_profile_matches_python(self, spark):
+        from hive_hdfs_practise_spark.plans.stats import PROFILE_COLS
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r.column_name: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+            for r in plans.QUERIES["lineitem_profile"](spark, SF).collect()
+        }
+        data = table(spark, SF, "lineitem").select(*PROFILE_COLS).collect()
+        for c in PROFILE_COLS:
+            vals = [getattr(r, c) for r in data]
+            nn = [v for v in vals if v is not None]
+            assert got[c] == (
+                len(vals),
+                len(vals) - len(nn),
+                len(set(nn)),
+                round(min(nn), 4),
+                round(max(nn), 4),
+            )
+
+    def test_pivot_matches_python(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r.month: (r.status_o, r.status_f, r.status_p, r.n_orders)
+            for r in plans.QUERIES["sales_pivot_by_status"](spark, SF).collect()
+        }
+        acc = defaultdict(lambda: {"O": None, "F": None, "P": None, "n": 0})
+        for r in table(spark, SF, "orders").collect():
+            m = r.o_orderdate.strftime("%Y-%m")
+            a = acc[m]
+            a[r.o_orderstatus] = (a[r.o_orderstatus] or 0.0) + r.o_totalprice
+            a["n"] += 1
+        want = {
+            m: (
+                None if a["O"] is None else round(a["O"], 2),
+                None if a["F"] is None else round(a["F"], 2),
+                None if a["P"] is None else round(a["P"], 2),
+                a["n"],
+            )
+            for m, a in acc.items()
+        }
+        assert got == want
