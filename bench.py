@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "lineitem_profile",
     "sales_pivot_by_status",
+    "dataset_weighted_sample",
 ]
 
 

@@ -309,3 +309,71 @@ def documents_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang_rank") <= F.col("keep_n"))
         .select("doc_id", "lang", F.col("lang_rank").cast("int").alias("lang_rank"))
     )
+
+
+# Weighted (probability-proportional-to-size) sampling: include each
+# document independently with p = min(1, K·w/W) where w = n_chars —
+# the domain-mixing primitive (longer docs carry more training
+# tokens, so token-budget sampling weights by size). The inclusion
+# test u/2³² < K·w/W is evaluated as an EXACT integer comparison
+# u·W < K·w·2³² in DECIMAL(38,0) — no libm pow/ln (A-ES keys), whose
+# last-ulp differences across engines could flip membership at the
+# threshold. md5-derived u makes membership deterministic across
+# engines, runs, and partitionings.
+WSAMPLE_K = 50
+_U32 = (
+    "("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),"
+        f" {p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
+        for p in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "dataset_weighted_sample",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents)
+    SELECT doc_id, n_chars,
+           round(least(1.0, {WSAMPLE_K} * CAST(n_chars AS DOUBLE) / w_total), 6)
+               AS p_include
+    FROM documents, tot
+    WHERE CAST({_U32} AS DECIMAL(38,0)) * CAST(w_total AS DECIMAL(38,0))
+          < CAST({WSAMPLE_K} AS DECIMAL(38,0))
+            * CAST(n_chars AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+    """,
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sample of ~WSAMPLE_K documents weighted by
+    n_chars (see note above). Scale shape: the weight total is one
+    scalar aggregate broadcast back as a 1-row cross join; the
+    inclusion test is a narrow per-row predicate over the scan —
+    no shuffle of the table, no sort, no top-k structure. DECIMAL
+    keeps the comparison exact at any corpus size (u·W reaches
+    ~10²⁴ at 100 TB — past BIGINT, nowhere near DECIMAL(38))."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("w_total"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    return (
+        d.join(F.broadcast(tot))
+        .where(
+            dec(u32) * dec(F.col("w_total"))
+            < dec(F.lit(WSAMPLE_K)) * dec(F.col("n_chars")) * dec(F.lit(4294967296))
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    WSAMPLE_K * F.col("n_chars").cast("double") / F.col("w_total"),
+                ),
+                6,
+            ).alias("p_include"),
+        )
+    )

@@ -510,3 +510,35 @@ class TestProfileAndPivot:
             for m, a in acc.items()
         }
         assert got == want
+
+
+class TestWeightedSample:
+    """r4: dataset_weighted_sample — exact-integer PPS membership."""
+
+    def test_matches_python_recompute(self, spark):
+        import hashlib
+
+        from hive_hdfs_practise_spark.plans.sampling_plans import WSAMPLE_K
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r.doc_id: (r.n_chars, r.p_include)
+            for r in plans.QUERIES["dataset_weighted_sample"](
+                spark, SF
+            ).collect()
+        }
+        docs = [
+            (r.doc_id, r.n_chars)
+            for r in table(spark, SF, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        ]
+        w_total = sum(w for _, w in docs)
+        want = {}
+        for d, w in docs:
+            u = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            if u * w_total < WSAMPLE_K * w * (1 << 32):
+                want[d] = (w, round(min(1.0, WSAMPLE_K * w / w_total), 6))
+        assert got == want
+        # sanity: sample size near K (Poisson-ish; generous bound)
+        assert 0.4 * WSAMPLE_K <= len(got) <= 2 * WSAMPLE_K
