@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "lineitem_profile",
     "sales_pivot_by_status",
     "dataset_weighted_sample",
+    "documents_tfidf_similarity",
 ]
 
 

@@ -377,3 +377,117 @@ def part_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_parts").alias("n_parts_b"),
         )
     )
+
+
+# Sparse TF-IDF document similarity — term-based nearest neighbors,
+# the retrieval-side complement of the dense-embedding kNN family.
+# Weights are INTEGER-scaled: w(d,t) = tf(d,t) · ((N·1000) // df(t)).
+# The integer floor-division idf keeps every pairwise dot product and
+# squared norm an exact integer sum (order-independent under any
+# shuffle/merge), which is what lets the whole sparse pipeline be
+# value-checked — ln-based idf weights summed per pair would carry
+# engine-dependent last-ulp noise into the ranking. (The linear
+# N/df idf is a documented idf variant; the ranking behavior matches
+# log-idf closely on corpora with bounded df spread. At web scale
+# N·1000 overflows the weight square past BIGINT — deployments cap
+# idfi or widen to DECIMAL; the structure is unchanged.)
+TFIDF_SIM_QUERY_DOC = 0
+TFIDF_SIM_TOP_K = 10
+
+
+@register(
+    "documents_tfidf_similarity",
+    oracle=rf"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(trim(text), '\S+')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(tf.tf * ((n.n_docs * 1000) // df.dfreq) AS BIGINT) AS w
+        FROM tf JOIN df ON tf.word = df.word, n
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    qw AS (SELECT word, w AS qw FROM w WHERE doc_id = {TFIDF_SIM_QUERY_DOC}),
+    dots AS (
+        SELECT w.doc_id, CAST(sum(w.w * qw.qw) AS BIGINT) AS dot
+        FROM w JOIN qw ON w.word = qw.word
+        WHERE w.doc_id <> {TFIDF_SIM_QUERY_DOC}
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, d.dot,
+           round(d.dot / (a.nrm * q.nrm), 6) AS cosine
+    FROM dots d
+    JOIN nrm a ON a.doc_id = d.doc_id
+    JOIN nrm q ON q.doc_id = {TFIDF_SIM_QUERY_DOC}
+    ORDER BY round(d.dot / (a.nrm * q.nrm), 6) DESC, d.doc_id
+    LIMIT {TFIDF_SIM_TOP_K}
+    """,
+)
+def documents_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents most similar to doc TFIDF_SIM_QUERY_DOC under
+    integer-scaled TF-IDF cosine (see note above).
+
+    Scale shape: tf is the one corpus-sized aggregate (map-side
+    combine on (doc, word)); df is vocab-sized and joins back as a
+    hash join on the word; the query side is ONE document's terms —
+    broadcast — so candidate scoring is a broadcast semi-join that
+    only touches postings sharing a query term (the inverted-index
+    access pattern, not all-pairs). Norms are doc-cardinality. The
+    final ranking sorts integer dots rescaled by two per-doc scalars
+    — TakeOrderedAndProject, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = (
+        tf.join(df_t, "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.expr("(n_docs * 1000) div dfreq"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    qw = w.filter(F.col("doc_id") == TFIDF_SIM_QUERY_DOC).select(
+        "word", F.col("w").alias("qw")
+    )
+    dots = (
+        w.filter(F.col("doc_id") != TFIDF_SIM_QUERY_DOC)
+        .join(F.broadcast(qw), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("bigint").alias("dot"))
+    )
+    qn = nrm.filter(F.col("doc_id") == TFIDF_SIM_QUERY_DOC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    return (
+        dots.join(nrm, "doc_id")
+        .join(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "dot",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(TFIDF_SIM_TOP_K)
+    )

@@ -548,3 +548,51 @@ class TestWeightedSample:
         assert got == want
         # sanity: sample size near K (Poisson-ish; generous bound)
         assert 0.4 * WSAMPLE_K <= len(got) <= 2 * WSAMPLE_K
+
+
+class TestTfidfSimilarity:
+    """r4: documents_tfidf_similarity — integer-scaled sparse cosine."""
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.advanced import (
+            TFIDF_SIM_QUERY_DOC,
+            TFIDF_SIM_TOP_K,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = [
+            (r.doc_id, r.dot, r.cosine)
+            for r in plans.QUERIES["documents_tfidf_similarity"](
+                spark, SF
+            ).collect()
+        ]
+        docs = {
+            r.doc_id: Counter(r.text.split())
+            for r in table(spark, SF, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        n = len(docs)
+        df = Counter()
+        for c in docs.values():
+            df.update(c.keys())
+        w = {
+            d: {t: tf * ((n * 1000) // df[t]) for t, tf in c.items()}
+            for d, c in docs.items()
+        }
+        nrm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+        q = w[TFIDF_SIM_QUERY_DOC]
+        scored = []
+        for d, ws in w.items():
+            if d == TFIDF_SIM_QUERY_DOC:
+                continue
+            dot = sum(x * q[t] for t, x in ws.items() if t in q)
+            if dot:
+                scored.append(
+                    (d, dot, round(dot / (nrm[d] * nrm[TFIDF_SIM_QUERY_DOC]), 6))
+                )
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        assert got == scored[:TFIDF_SIM_TOP_K]
