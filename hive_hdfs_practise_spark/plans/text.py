@@ -1105,7 +1105,9 @@ def documents_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     form keeps the string so the restatement stays exact. The
     fraction divides two small per-doc integers — bit-identical
     cross-engine before the 6dp round."""
-    d = table(spark, sf_dir, "documents")
+    # wide_table: tokenize + gram explode is compute-dense per row
+    # and the documents file is small enough to scan as ONE partition
+    d = wide_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tx.tokens(F.col("text")).alias("w")).where(
         F.size("w") >= BP_N
     )
