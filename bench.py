@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "sales_pivot_by_status",
     "dataset_weighted_sample",
     "documents_tfidf_similarity",
+    "events_scd2_intervals",
+    "customer_rfm_segments",
 ]
 
 

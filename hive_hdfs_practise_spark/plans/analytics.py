@@ -322,3 +322,78 @@ def sales_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH horizon AS (SELECT max(o_orderdate) AS now_d FROM orders),
+    base AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                              (SELECT now_d FROM horizon)) AS BIGINT)
+                   AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, c_custkey)
+                AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC, c_custkey)
+                AS INT) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last
+    order, relative to the corpus horizon), frequency (order count)
+    and monetary (2dp-rounded revenue), each quintile-scored 1-5 —
+    the classic customer-value segmentation.
+
+    Scale shape: one hash aggregate per customer, then three global
+    ntile windows over the customer-cardinality aggregate. A global
+    ntile is a single-partition sort by construction — fine at BI
+    cardinalities (one row per customer); a 100 TB deployment with
+    billions of customers would swap ntile for percentile-threshold
+    bucketing (compute the 5 quantile cut points, then a narrow
+    map), same output semantics minus exact equal-size buckets. The
+    quintile ordering carries a unique custkey tiebreak, and
+    monetary is rounded to 2dp on BOTH sides before ordering — sums
+    of 2dp prices are decimal multiples of 0.01, so the round snaps
+    identically in both engines and the tiebreak settles equal
+    values."""
+    o = table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("now_d"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "c_custkey",
+            F.datediff("now_d", "last_d").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
+        .alias("m_score"),
+    )

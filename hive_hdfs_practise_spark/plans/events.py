@@ -1213,3 +1213,83 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("tv", ignorenulls=True).over(w).alias("total_value_ffill"),
         )
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               count(*) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM collapsed
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse
+    each user's consecutive same-type event runs into validity
+    intervals [valid_from, valid_to) — valid_to is the next run's
+    start, NULL for the open current run. The gaps-and-islands →
+    interval idiom every warehouse CDC pipeline runs.
+
+    Scale shape: ONE hash exchange on user_id serves the change-flag
+    window, the running-sum run numbering, the per-run aggregate,
+    and the lead() that closes the intervals — four operators, one
+    shuffle. Ordering inside a user is (ts, event_id), the unique
+    tiebreak; run ids and counts are integers and the interval
+    bounds are µs timestamps, so every emitted value is exact
+    cross-engine."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(run))
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )

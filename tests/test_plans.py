@@ -596,3 +596,53 @@ class TestTfidfSimilarity:
                 )
         scored.sort(key=lambda r: (-r[2], r[0]))
         assert got == scored[:TFIDF_SIM_TOP_K]
+
+
+class TestScd2AndRfm:
+    def test_scd2_intervals_match_python(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            (r.user_id, r.run_id): (
+                r.event_type,
+                r.valid_from,
+                r.valid_to,
+                r.n_events,
+            )
+            for r in plans.QUERIES["events_scd2_intervals"](spark, SF).collect()
+        }
+        by_user = defaultdict(list)
+        for r in table(spark, SF, "events").collect():
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        want = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for ts, _, t in evs:
+                if runs and runs[-1][0] == t:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([t, ts, 1])
+            # run_id is 1-based: the first row's lag() is NULL, which
+            # IS DISTINCT FROM any type, so the change flag fires
+            for i, (t, ts, n) in enumerate(runs, start=1):
+                vt = runs[i][1] if i < len(runs) else None
+                want[(u, i)] = (t, ts, vt, n)
+        assert got == want
+
+    def test_rfm_scores_are_quintiles(self, spark):
+        rows = plans.QUERIES["customer_rfm_segments"](spark, SF).collect()
+        n = len(rows)
+        assert n > 0
+        for dim in ("r_score", "f_score", "m_score"):
+            from collections import Counter
+
+            c = Counter(getattr(r, dim) for r in rows)
+            assert sorted(c) == [1, 2, 3, 4, 5]
+            assert max(c.values()) - min(c.values()) <= 1  # ntile balance
+        # monotonicity: higher m_score ⇒ not-lower monetary ranks
+        by_m = sorted(rows, key=lambda r: (r.monetary, r.c_custkey))
+        scores = [r.m_score for r in by_m]
+        assert scores == sorted(scores)
