@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "documents_tfidf_similarity",
     "events_scd2_intervals",
     "customer_rfm_segments",
+    "lineitem_checksum",
 ]
 
 

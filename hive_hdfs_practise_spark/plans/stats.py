@@ -292,3 +292,59 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 4).alias("min_value"),
         F.round(F.max("v"), 4).alias("max_value"),
     )
+
+
+# Order-independent table checksum — the migration-verification
+# primitive (exactly what this repo's own correctness gate does at
+# query granularity, expressed as an operator users can run against
+# any copy of a table). Each row contributes the md5-u32 of a
+# canonical key string; integer sums are exact under any partitioning
+# and merge order, so two engines (or two clusters) agree bit-for-bit
+# iff the row sets match. Value columns are folded in as integer
+# cents so float formatting can't enter the canonical string.
+_CKSUM_U32 = (
+    "("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substring({h}, "
+        f"{p + 1}, 1)) - 1 AS BIGINT) * {1 << (4 * (7 - p))}"
+        for p in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "lineitem_checksum",
+    oracle=f"""
+    WITH c AS (
+        SELECT md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR) || ':' ||
+                   CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        AS VARCHAR)) AS h
+        FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum({_CKSUM_U32.format(h='h')}) AS BIGINT) AS checksum
+    FROM c
+    """,
+)
+def lineitem_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent checksum of lineitem (see note above): one
+    narrow map (canonical string → md5 → u32) and one scalar sum —
+    scales as a pure scan with map-side partial sums; the 1-row
+    result is what two sides of a migration compare. The canonical
+    string uses the primary key plus the price in integer cents:
+    keys prove row membership, the value column proves content, and
+    no float ever renders into the string."""
+    l = table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    u32 = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(u32).cast("bigint").alias("checksum"),
+    )

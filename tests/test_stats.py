@@ -58,3 +58,34 @@ class TestKmvSketch:
             else:
                 # k=32 → relative std ≈ 1/sqrt(k-1) ≈ 18%; allow 4σ
                 assert abs(r.n_kmv - r.n_exact) / r.n_exact < 0.75
+
+
+class TestChecksum:
+    """r4: lineitem_checksum — order-independent membership+content
+    digest."""
+
+    def test_matches_python_and_detects_mutation(self, spark):
+        import hashlib
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = plans.QUERIES["lineitem_checksum"](spark, sf).collect()[0]
+        rows = table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ).collect()
+
+        def u32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        def canon(o, ln, p):
+            return f"{o}:{ln}:{int(round(p * 100))}"
+
+        want = sum(u32(canon(r.l_orderkey, r.l_linenumber, r.l_extendedprice)) for r in rows)
+        assert (got.n_rows, got.checksum) == (len(rows), want)
+        # a single-cent mutation or a dropped row changes the digest
+        r0 = rows[0]
+        mutated = want - u32(canon(r0.l_orderkey, r0.l_linenumber, r0.l_extendedprice)) \
+            + u32(canon(r0.l_orderkey, r0.l_linenumber, r0.l_extendedprice + 0.01))
+        assert mutated != want
