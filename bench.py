@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "events_scd2_intervals",
     "customer_rfm_segments",
     "lineitem_checksum",
+    "lineitem_ols",
 ]
 
 

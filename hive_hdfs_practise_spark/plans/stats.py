@@ -348,3 +348,98 @@ def lineitem_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(u32).cast("bigint").alias("checksum"),
     )
+
+
+# Closed-form OLS via aggregates — the distributed-ML primitive:
+# slope/intercept/R² of price-vs-quantity per return flag from the
+# six classical sums, computed EXACTLY. x = quantity (integral by
+# TPC-H construction), y = price in integer cents: every Σ is an
+# integer, carried as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so
+# the normal-equation numerators/denominators are bit-exact under
+# any partitioning; only the final three divisions run in double —
+# identical scalar IEEE ops on identical inputs on both engines.
+# (Float sums here would be merge-order-dependent and un-oracle-able
+# — the same reason graph_pagerank runs fixed-point.)
+@register(
+    "lineitem_ols",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM b GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n, sx, sy,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               n * syy - sy * sy AS deny
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_cents,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+               AS intercept_cents,
+           round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                 / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+    FROM d
+    """,
+)
+def lineitem_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag OLS fit of extended price (cents) on quantity
+    (see exact-integer note above). Scale shape: one hash aggregate
+    with map-side partials — the six sums are the entire shuffle
+    payload (3 groups × 6 numbers), which is why closed-form
+    regression is THE scalable fit for single-feature models; the
+    normal-equation arithmetic happens on the 3-row aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")
+    b = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    d = s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (dec(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return d.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept_cents"),
+        F.round(
+            F.col("num").cast("double")
+            * F.col("num").cast("double")
+            / (F.col("den").cast("double") * F.col("deny").cast("double")),
+            6,
+        ).alias("r2"),
+    )

@@ -89,3 +89,37 @@ class TestChecksum:
         mutated = want - u32(canon(r0.l_orderkey, r0.l_linenumber, r0.l_extendedprice)) \
             + u32(canon(r0.l_orderkey, r0.l_linenumber, r0.l_extendedprice + 0.01))
         assert mutated != want
+
+
+class TestOls:
+    """r4: lineitem_ols — closed-form fit equals numpy lstsq."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.l_returnflag: (r.n_rows, r.slope_cents, r.intercept_cents, r.r2)
+            for r in plans.QUERIES["lineitem_ols"](spark, sf).collect()
+        }
+        rows = table(spark, sf, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ).collect()
+        by_flag = {}
+        for r in rows:
+            by_flag.setdefault(r.l_returnflag, []).append(
+                (int(r.l_quantity), int(round(r.l_extendedprice * 100)))
+            )
+        for flag, pts in by_flag.items():
+            x = np.array([p[0] for p in pts], dtype=float)
+            y = np.array([p[1] for p in pts], dtype=float)
+            slope, intercept = np.polyfit(x, y, 1)
+            r = np.corrcoef(x, y)[0, 1]
+            n, g_slope, g_int, g_r2 = got[flag]
+            assert n == len(pts)
+            assert abs(g_slope - slope) < 1e-4
+            assert abs(g_int - intercept) < 1e-2
+            assert abs(g_r2 - r * r) < 1e-6
