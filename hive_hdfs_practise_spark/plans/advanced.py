@@ -452,6 +452,14 @@ def documents_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    # The postings table feeds THREE consumers (norms, query weights,
+    # candidate dots). The static plan prints the subtree thrice (15
+    # exchanges), but AQE's runtime exchange reuse deduplicates the
+    # identical shuffles — a localCheckpoint here was MEASURED as a
+    # wash at 10x/40x and slightly worse at 1x (materialization cost
+    # without a recompute to save), so the plan stays lazy. At
+    # deployment the postings are a persisted inverted index and the
+    # question disappears.
     w = (
         tf.join(df_t, "word")
         .join(F.broadcast(n_docs))
