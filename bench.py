@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "customer_rfm_segments",
     "lineitem_checksum",
     "lineitem_ols",
+    "orders_frequent_part_pairs",
 ]
 
 

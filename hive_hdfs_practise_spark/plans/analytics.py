@@ -397,3 +397,88 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
         .alias("m_score"),
     )
+
+
+# Frequent itemset mining (pair level) — the market-basket operator:
+# parts that co-occur in the same order with support ≥ FIS_MIN_SUP,
+# scored by lift. The pair join is keyed on the order (bounded
+# fan-out: |items-per-order|² pairs, ~20 for TPC-H-shaped orders),
+# never on the part — the classic a-priori trick of generating
+# candidates within baskets instead of across the catalog.
+FIS_MIN_SUP = 3
+
+
+@register(
+    "orders_frequent_part_pairs",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    p AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.pa AS part_a, p.pb AS part_b,
+           CAST(p.sup AS BIGINT) AS support,
+           round(CAST(p.sup AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+               AS lift
+    FROM p, n
+    JOIN cnt ca ON ca.l_partkey = p.pa
+    JOIN cnt cb ON cb.l_partkey = p.pb
+    WHERE p.sup >= {FIS_MIN_SUP}
+    """,
+)
+def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in ≥ FIS_MIN_SUP orders, with lift
+    (observed co-occurrence over the independence expectation). See
+    basket-keyed candidate note above.
+
+    Scale shape: the distinct item set reduces map-side; the pair
+    self-join shuffles on the ORDER key, so candidate generation is
+    per-basket (quadratic only in basket size, which is bounded by
+    order shape, not catalog size); pair counts reduce map-side
+    before the (pa, pb) exchange. The two identical item-set join
+    branches deduplicate via AQE's runtime exchange reuse (same
+    lesson as documents_tfidf_similarity — a checkpoint measured as
+    a wash). Supports and counts are integers; lift divides exact
+    integers — deterministic before the 6dp round."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = l.distinct()
+    n_orders = l.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= FIS_MIN_SUP)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .join(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("sup").cast("bigint").alias("support"),
+            F.round(
+                F.col("sup").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

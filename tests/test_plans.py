@@ -646,3 +646,46 @@ class TestScd2AndRfm:
         by_m = sorted(rows, key=lambda r: (r.monetary, r.c_custkey))
         scores = [r.m_score for r in by_m]
         assert scores == sorted(scores)
+
+
+class TestFrequentPairs:
+    """r4: orders_frequent_part_pairs — basket-keyed co-occurrence."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import Counter, defaultdict
+
+        from hive_hdfs_practise_spark.plans.analytics import FIS_MIN_SUP
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            (r.part_a, r.part_b): (r.support, r.lift)
+            for r in plans.QUERIES["orders_frequent_part_pairs"](
+                spark, SF
+            ).collect()
+        }
+        baskets = defaultdict(set)
+        for r in table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).collect():
+            baskets[r.l_orderkey].add(r.l_partkey)
+        sup = Counter()
+        cnt = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            cnt.update(ps)
+            for i, x in enumerate(ps):
+                for y in ps[i + 1 :]:
+                    sup[(x, y)] += 1
+        n = len(baskets)
+        want = {
+            p: (s, round(s * n / (cnt[p[0]] * cnt[p[1]]), 6))
+            for p, s in sup.items()
+            if s >= FIS_MIN_SUP
+        }
+        assert got == want
+
+    def test_pair_join_is_basket_keyed(self, spark):
+        """The candidate join must key on the order (basket), never a
+        cartesian across the catalog."""
+        p = _plan(spark, "orders_frequent_part_pairs")
+        assert "CartesianProduct" not in p
