@@ -409,12 +409,18 @@ def lineitem_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     )
+    # Only Σy² can overflow BIGINT (cents² ~1e14 × rows); the other
+    # five sums stay comfortably in long at any SF (x ≤ 50, y ≤ ~1e7,
+    # xy ≤ 5e8 — ~1e16 total at 40×), so they aggregate as codegen'd
+    # 64-bit sums and only syy pays the 128-bit decimal path
+    # (measured 24.4 s → 12.0 s at the 40× scale-up). The decimal
+    # widening for the normal-equation PRODUCTS below is unchanged.
     s = b.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
     )
     d = s.select(
