@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "lineitem_checksum",
     "lineitem_ols",
     "orders_frequent_part_pairs",
+    "events_rate_cusum",
 ]
 
 

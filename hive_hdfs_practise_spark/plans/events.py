@@ -1293,3 +1293,104 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wl).alias("valid_to"),
         "n_events",
     )
+
+
+# CUSUM change-point detection over hourly event rates. The
+# textbook recursion s_h = max(0, s_{h-1} + (c_h − K)) is not a
+# window function, but it has a closed form two windows CAN express:
+# s_h = cum_h − min(0, min_{j≤h} cum_j) where cum is the running sum
+# of (c_h − K). Everything is integer (counts, drift K, threshold H),
+# so the whole detector is value-exact cross-engine. Hours with no
+# events matter (they DECAY the statistic by K), hence the dense
+# hour grid, same construction as events_gap_fill.
+CUSUM_K = 3
+CUSUM_H = 6
+
+
+@register(
+    "events_rate_cusum",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1 FROM ev),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM ev) t, b,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT grid.event_type, grid.h, coalesce(c.n, 0) AS n
+        FROM grid LEFT JOIN c
+          ON grid.event_type = c.event_type AND grid.h = c.h
+    ),
+    cum AS (
+        SELECT event_type, h, n,
+               sum(n - {CUSUM_K})
+                   OVER (PARTITION BY event_type ORDER BY h) AS cs
+        FROM j
+    )
+    SELECT event_type, h AS hour, CAST(n AS BIGINT) AS n_events,
+           CAST(cs - least(min(cs) OVER (PARTITION BY event_type ORDER BY h),
+                           0) AS BIGINT) AS cusum
+    FROM cum
+    QUALIFY cusum > {CUSUM_H}
+    """,
+)
+def events_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where a type's event rate is in a sustained burst: the
+    one-sided CUSUM statistic (drift CUSUM_K/hour) exceeds CUSUM_H
+    (see closed-form note above) — change-point detection, the
+    sequential-analysis complement of the per-row MAD outlier rule.
+
+    Scale shape: the corpus collapses to per-(type, hour) counts
+    map-side; the grid, running sum, and running min all operate on
+    |types| × |hours| rows — metadata-scale, one partition key. The
+    statistic is integer arithmetic end to end."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "h"
+            ),
+        )
+    )
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    j = grid.join(c, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        "event_type", "h", "n", F.sum(F.col("n") - CUSUM_K).over(w).alias("cs")
+    )
+    cusum = (
+        F.col("cs") - F.least(F.min("cs").over(w), F.lit(0))
+    ).cast("bigint")
+    return (
+        cum.select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            cusum.alias("cusum"),
+        )
+        .where(F.col("cusum") > CUSUM_H)
+    )

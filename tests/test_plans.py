@@ -689,3 +689,41 @@ class TestFrequentPairs:
         cartesian across the catalog."""
         p = _plan(spark, "orders_frequent_part_pairs")
         assert "CartesianProduct" not in p
+
+
+class TestCusum:
+    """r4: events_rate_cusum — closed form equals the textbook
+    recursion s_h = max(0, s_{h-1} + c_h − K)."""
+
+    def test_matches_recursive_recompute(self, spark):
+        import datetime
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.events import CUSUM_H, CUSUM_K
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        # sf0.01, not the usual sf0.001: at the smaller SF the hourly
+        # rate never crosses the drift and the parity holds vacuously
+        sf = "/root/testdata/sf0.01"
+        got = {
+            (r.event_type, r.hour): (r.n_events, r.cusum)
+            for r in plans.QUERIES["events_rate_cusum"](spark, sf).collect()
+        }
+        ev = table(spark, sf, "events").select("event_type", "ts").collect()
+        counts = Counter(
+            (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+            for r in ev
+        )
+        types = {r.event_type for r in ev}
+        h0 = min(r.ts for r in ev).replace(minute=0, second=0, microsecond=0)
+        h1 = max(r.ts for r in ev).replace(minute=0, second=0, microsecond=0)
+        want = {}
+        for t in types:
+            s, h = 0, h0
+            while h <= h1:
+                n = counts.get((t, h), 0)
+                s = max(0, s + n - CUSUM_K)
+                if s > CUSUM_H:
+                    want[(t, h)] = (n, s)
+                h += datetime.timedelta(hours=1)
+        assert got == want and got
