@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "lineitem_ols",
     "orders_frequent_part_pairs",
     "events_rate_cusum",
+    "sales_mom_growth",
+    "documents_curriculum_deciles",
 ]
 
 

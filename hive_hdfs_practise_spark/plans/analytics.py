@@ -482,3 +482,46 @@ def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "sales_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, CAST(n_orders AS BIGINT) AS n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+               AS revenue_delta,
+           round((revenue / lag(revenue) OVER (ORDER BY month) - 1.0)
+                 * 100, 4) AS growth_pct
+    FROM m
+    """,
+)
+def sales_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the period-over-period lag
+    comparison every finance dashboard runs. The lag window operates
+    on the months-cardinality aggregate (metadata-scale single
+    partition — bounded by the calendar, not the data); revenue is
+    2dp-rounded BEFORE the delta/ratio so both engines difference
+    identical snapped decimals, and month strings sort identically
+    (zero-padded ISO)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
+        F.round((F.col("revenue") / prev - 1.0) * 100, 4).alias("growth_pct"),
+    )

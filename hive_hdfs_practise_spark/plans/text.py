@@ -1135,3 +1135,60 @@ def documents_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bp_fraction"),
         )
     )
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT * FROM ({_quality_oracle()})),
+    j AS (
+        SELECT q.doc_id, q.quality, d.n_chars
+        FROM q JOIN documents d ON q.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, quality, n_chars,
+               CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT)
+                   AS bucket
+        FROM j
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(min(quality), 4) AS min_quality,
+           round(max(quality), 4) AS max_quality,
+           round(round(sum(quality), 4) / count(*), 6) AS avg_quality
+    FROM b GROUP BY bucket
+    """
+
+
+@register("documents_curriculum_deciles", oracle=_curriculum_oracle())
+def documents_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: documents decile-bucketed by quality score
+    (easy→hard ordering for curriculum training schedules), with
+    per-bucket doc and character budgets — what a data-mixing config
+    consumes. Reuses the oracle-checked quality pipeline; the decile
+    ordering carries the doc_id tiebreak (quality is 4dp and heavily
+    tied), and avg_quality snaps the 4dp sum before the division so
+    both engines divide identical doubles. The global ntile sorts
+    one row per document — same BI-cardinality stance (and the same
+    percentile-threshold remedy at extreme scale) as
+    customer_rfm_segments."""
+    q = text_quality_score(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = q.join(d, "doc_id")
+    b = j.select(
+        "doc_id",
+        "quality",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.orderBy("quality", "doc_id"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+        F.round(F.max("quality"), 4).alias("max_quality"),
+        F.round(F.round(F.sum("quality"), 4) / F.count(F.lit(1)), 6).alias(
+            "avg_quality"
+        ),
+    )

@@ -727,3 +727,49 @@ class TestCusum:
                     want[(t, h)] = (n, s)
                 h += datetime.timedelta(hours=1)
         assert got == want and got
+
+
+class TestGrowthAndCurriculum:
+    def test_mom_growth_matches_python(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = {
+            r.month: (r.revenue, r.n_orders, r.revenue_delta, r.growth_pct)
+            for r in plans.QUERIES["sales_mom_growth"](spark, SF).collect()
+        }
+        acc = defaultdict(lambda: [0.0, 0])
+        for r in table(spark, SF, "orders").collect():
+            m = r.o_orderdate.strftime("%Y-%m")
+            acc[m][0] += r.o_totalprice
+            acc[m][1] += 1
+        months = sorted(acc)
+        want = {}
+        prev = None
+        for m in months:
+            rev = round(acc[m][0], 2)
+            want[m] = (
+                rev,
+                acc[m][1],
+                None if prev is None else round(rev - prev, 2),
+                None if prev is None else round((rev / prev - 1.0) * 100, 4),
+            )
+            prev = rev
+        assert got == want
+
+    def test_curriculum_buckets_partition_corpus(self, spark):
+        rows = plans.QUERIES["documents_curriculum_deciles"](
+            spark, SF
+        ).collect()
+        assert sorted(r.bucket for r in rows) == list(range(1, 11))
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        n = table(spark, SF, "documents").count()
+        assert sum(r.n_docs for r in rows) == n
+        assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+        # easy→hard ordering: bucket quality ranges are non-decreasing
+        by_b = sorted(rows, key=lambda r: r.bucket)
+        for a, b in zip(by_b, by_b[1:]):
+            assert a.max_quality <= b.min_quality + 1e-9
+            assert a.min_quality <= a.max_quality
