@@ -126,6 +126,13 @@ BENCH_QUERIES = [
     "events_rate_cusum",
     "sales_mom_growth",
     "documents_curriculum_deciles",
+    # exact-recall set-similarity join: the priciest line by design —
+    # this corpus's pairwise-similarity mass sits just under tau, so
+    # ~1.2M candidates need exact verification (bitmap popcounts);
+    # the measured optimization ladder is in the plan's docstring
+    "dedup_jaccard_prefix_join",
+    "graph_triangle_count",
+    "part_price_skyline",
 ]
 
 

@@ -10,30 +10,31 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 # Import for registration side effects. ORDER IS LOAD-BEARING: the
 # driver's correctness gate walks the registry in registration order
-# under a budget (~50 entries/round) — so the modules whose queries
-# have NEVER been driver-sampled or whose oracles CHANGED this round
-# register FIRST, and modules that already hold green rows in BOTH
-# prior CORRECTNESS files go last. Round-3 front block: the six
-# streaming twins + the LSH/IVF similarity family (rows-only →
-# value-checked this round), dedup (4 never-sampled + 3 changed),
-# pipeline (never sampled), distinct/stats (sketch conversions),
-# text (new pack_sequences). CORRECTNESS_local.json carries the
-# full-sweep evidence for whatever the driver doesn't reach.
-from . import streaming_plans  # noqa: F401,E402  (6, all newly oracle-checked)
-from . import similarity  # noqa: F401,E402  (6: knn_ivf/lsh newly oracle-checked)
-from . import dedup  # noqa: F401,E402  (10: clusters/ngram/simhash never sampled)
-from . import pipeline  # noqa: F401,E402  (2, never sampled)
-from . import distinct  # noqa: F401,E402  (theta fix + KMV conversion)
-from . import stats  # noqa: F401,E402  (histogram-sketch conversion)
-from . import text  # noqa: F401,E402  (new documents_pack_sequences)
-# --- below here: driver-green in rounds 1-2, unchanged since ---
+# under a budget (~50 entries/round) — so the modules richest in
+# NEVER-driver-sampled queries register FIRST. Round-4 front block
+# (union of r1-r3 driver samples = 114 names; 35 current entries
+# never sampled): mining (3/3 new this round), events (9/21 never:
+# moving_median, funnel, retention, MAD pair, transition, gap_fill,
+# SCD2, CUSUM), sampling_plans (4/8), advanced (3/7), stats (3/8) —
+# 47 entries, 22 never-sampled inside the budget. The rest (text 5,
+# analytics 4, similarity 3, dedup 1) carry their evidence in the
+# committed full-sweep CORRECTNESS_local.json and queue for round 5.
+from . import mining  # noqa: F401,E402
+from . import events  # noqa: F401,E402
+from . import sampling_plans  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402
+from . import stats  # noqa: F401,E402
+# --- below here: sampled in rounds 1-3 (or next in the r5 queue) ---
+from . import text  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import streaming_plans  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402
+from . import distinct  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import json_ops  # noqa: F401,E402
-from . import sampling_plans  # noqa: F401,E402
 from . import chunks  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
-from . import advanced  # noqa: F401,E402
-from . import analytics  # noqa: F401,E402
-from . import events  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402

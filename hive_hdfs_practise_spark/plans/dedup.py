@@ -37,10 +37,8 @@ from ..functions import simhash as sh
 from ..functions import text as tx
 from ..functions import vectors as vec
 from ..sources.catalog import table, wide_table
+from .constants import JACCARD_THRESHOLD, SHINGLE_K  # noqa: F401  (re-export)
 from .registry import register
-
-SHINGLE_K = 5
-JACCARD_THRESHOLD = 0.7
 
 
 @register(

@@ -1,0 +1,467 @@
+"""Set-similarity join, graph triangle counting, and skyline —
+classic data-mining operator classes re-expressed Spark-first.
+
+All three are EXACT (recall-1, fully integer/decimal comparisons
+before any rounding), so each whole algorithm is restated in ANSI
+SQL and value-checked by the DuckDB oracle:
+
+- ``dedup_jaccard_prefix_join``: the AllPairs/PPJoin prefix-filter
+  set-similarity self-join (Bayardo et al., WWW'07; Xiao et al.,
+  WWW'08) — the deterministic scale path for the exact char-shingle
+  Jaccard output that ``dedup_ngram_jaccard`` computes all-pairs.
+- ``graph_triangle_count``: degree-ordered (a.k.a. "forward")
+  triangle enumeration over the part co-purchase graph — the
+  orientation trick bounds each node's out-degree by O(√m), turning
+  the naive Θ(Σ deg²) wedge explosion into the join plan that
+  survives power-law degree skew.
+- ``part_price_skyline``: 2-D Pareto frontier (min price, max size)
+  via the sort + running-max sweep — O(grid) after one per-price
+  aggregate, vs the quadratic NOT EXISTS the oracle states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import table, wide_table
+from .constants import JACCARD_THRESHOLD, SHINGLE_K
+from .registry import register
+
+# Jaccard >= 0.7 as exact integer predicates (10·inter >= 7·union,
+# 10·|small| >= 7·|large|): the threshold never touches a float, so
+# candidate pruning and the final filter are bit-identical in both
+# engines. Derived from the SAME constant dedup_ngram_jaccard uses.
+_TAU_NUM = int(round(JACCARD_THRESHOLD * 10))  # 7
+assert abs(_TAU_NUM / 10 - JACCARD_THRESHOLD) < 1e-12
+
+# Bitmap-verify slot budget: past this many 64-bit words per doc
+# (vocab > 8192 — a non-saturating corpus) the wide bit_or aggregate
+# would blow the codegen field budget, so verification falls back to
+# the materialized-array intersect. Test hook: test_mining forces the
+# fallback by zeroing this.
+_BITMAP_MAX_WORDS = 128
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS INTEGER) AS n_inter,
+               CAST(len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS INTEGER) AS n_union
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+    FROM pairs
+    WHERE n_union > 0 AND 10 * n_inter >= {_TAU_NUM} * n_union
+    """,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-{5}-shingle Jaccard self-join at tau=0.7 via prefix
+    filtering — same output set as the all-pairs ``dedup_ngram_jaccard``
+    (equality pinned in test_mining), reached without enumerating the
+    quadratic pair space.
+
+    Lossless pruning (recall = 1, so the naive SQL restatement is a
+    valid oracle):
+
+    - **prefix filter**: order every doc's shingle set by global
+      (document-frequency asc, shingle asc) and keep only the first
+      ``sz - ceil(tau·sz) + 1`` shingles; any pair with J >= tau must
+      share a prefix shingle (J >= tau implies overlap >= tau·max(|a|,|b|),
+      and two sets ordered by one global total order whose suffixes of
+      kept-overlap length don't reach that bound must collide in the
+      prefix — Bayardo et al.'s theorem).
+    - **length filter**: J >= tau implies tau·|b| <= |a| (both
+      directions), as integers ``10·sz >= 7·sz_other``.
+
+    Scale shape: shingling is the compute-dense corpus stage
+    (wide_table + explode, codegen'd substring — no higher-order
+    lambdas); df is a vocab-sized aggregate that joins back on the
+    shingle key; prefix ranking is a PER-DOC window (parallelism grows
+    with the corpus, not the vocab — no global rank); candidate
+    generation shuffles only prefix postings on (shingle, lang) and
+    emits distinct id pairs; verification joins candidates to per-doc
+    shingle ARRAYS materialized once by an aggregate (never rebuilt
+    per pair) and only the intersect touches them — union sizes come
+    from the set-size table. On Heaps-law corpora the rare-shingle prefix is
+    the workhorse filter; on this shared-vocab synthetic corpus it
+    prunes ~23% and the length filter another ~2x (measured at
+    sf0.01: 33,487 lang-blocked pairs -> 12,773 candidates -> 6 true
+    pairs), so verification, not candidate generation, bounds cost —
+    both honest regimes are exact.
+    """
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # distinct shingle postings via EXPLODE + codegen'd substring —
+    # never materialize the (interpreted) transform-built array on
+    # the corpus path. length>=K guard: sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, not empty.
+    sh = (
+        d.where(F.length("text") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(SHINGLE_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"substring(text, i, {SHINGLE_K})").alias("s"),
+        )
+        .distinct()
+        # feeds sz, dfreq, ranked AND the verification arrays below —
+        # checkpoint once instead of replaying the explode per consumer
+        .localCheckpoint(eager=True)
+    )
+    # vocab with dense integer ids in (document-frequency, shingle)
+    # order: the shingle space of a char-5 shingle saturates (bounded
+    # by the underlying word vocabulary — ~2k distinct on this corpus
+    # at ANY sf), so the id-assignment window is metadata-scale. The
+    # vid replaces the (dfreq, string) pair everywhere downstream:
+    # the prefix ordering IS ascending vid, and postings/candidates
+    # shuffle ints, never shingle strings.
+    vocab = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .withColumn("vid", F.row_number().over(Window.orderBy("dfreq", "s")) - 1)
+        .select("s", "vid")
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = vocab.count()
+    post = sh.join(F.broadcast(vocab), "s").select("doc_id", "lang", "vid")
+    # one per-doc window pass yields BOTH the prefix rank and the set
+    # size (count over the same partition) — no separate size
+    # aggregate + join
+    wd = Window.partitionBy("doc_id")
+    ranked = post.select(
+        "doc_id",
+        "lang",
+        "vid",
+        F.row_number().over(wd.orderBy("vid")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("sz"),
+    )
+    # prefix length sz - ceil(tau*sz) + 1, integer ceil = (7*sz+9) div 10
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr(f"({_TAU_NUM}*sz+9) div 10") + 1
+    ).select("doc_id", "lang", "vid", "sz")
+    # the prefix table feeds both sides of the candidate self-join —
+    # without the checkpoint the vid-join + window pipeline executes
+    # twice (sh itself is already checkpointed above)
+    pref = pref.localCheckpoint(eager=True)
+    sz = pref.select("doc_id", "sz").distinct()
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "lang", "vid", F.col("sz").alias("sz_a")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("vid").alias("vid_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("vid") == F.col("vid_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (10 * F.col("sz_b") >= _TAU_NUM * F.col("sz_a"))
+            & (10 * F.col("sz_a") >= _TAU_NUM * F.col("sz_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification: exact |a∩b| via per-doc BITMAPS over the dense
+    # shingle ids — a codegen'd wide bit_or aggregate (the proven
+    # 128-slot minhash pattern) builds ceil(|vocab|/64) longs per doc
+    # once; each candidate pair then costs nwords AND+popcount ops
+    # instead of a string-array intersect (first cut: 17.3 s of the
+    # 26.6 s sf0.1 runtime was 1.2M array_intersects; and the cut
+    # before THAT re-shingled per pair per reference — the
+    # CollapseProject inlining trap). Sizes come from sz, so the
+    # bitmaps are verify-only. Wide-agg guard: past 128 words (vocab
+    # > 8192 — a non-saturating corpus) the slots would blow the
+    # codegen field budget, so verification falls back to the
+    # materialized-array intersect; both branches are exact.
+    nwords = (n_vocab + 63) // 64
+    sz_a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sz_b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    if nwords <= _BITMAP_MAX_WORDS:
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))")
+        slots = [
+            F.bit_or(
+                F.when(
+                    (F.col("vid") >= k * 64) & (F.col("vid") < (k + 1) * 64), bit
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias(f"w{k}")
+            for k in range(nwords)
+        ]
+        bmp = post.groupBy("doc_id").agg(*slots)
+        ba = bmp.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"w{k}").alias(f"wa{k}") for k in range(nwords)],
+        )
+        bb = bmp.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"w{k}").alias(f"wb{k}") for k in range(nwords)],
+        )
+        inter_col = sum(
+            (
+                F.bit_count(F.col(f"wa{k}").bitwiseAND(F.col(f"wb{k}")))
+                for k in range(nwords)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        # broadcast the index tables: the bitmap index is vocab/8
+        # bytes per doc (~260 B here), so the candidate stream — the
+        # side that grows quadratically with corpus overlap — is
+        # never shuffled and the popcount runs in ONE codegen stage;
+        # without the hints the static plan cascades SortMergeJoins
+        # that re-shuffle every candidate row carrying all 32 bitmap
+        # words between joins (AQE converts most back at runtime —
+        # the hints pin the right plan instead of relying on it).
+        # Past the broadcast budget (~40M docs) the deployment swap
+        # is a doc-bucketed persisted index joined exchange-free —
+        # the write_ivf_index pattern.
+        scored = (
+            cand.join(F.broadcast(ba), "doc_a")
+            .join(F.broadcast(bb), "doc_b")
+            .select("doc_a", "doc_b", inter_col.alias("n_inter"))
+            .join(F.broadcast(sz_a), "doc_a")
+            .join(F.broadcast(sz_b), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                (F.col("sza") + F.col("szb")).cast("int").alias("sz_sum"),
+            )
+        )
+    else:
+        arrs = post.groupBy("doc_id").agg(F.collect_list("vid").alias("shingles"))
+        arr_a = arrs.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        arr_b = arrs.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        scored = (
+            cand.join(arr_a, "doc_a")
+            .join(arr_b, "doc_b")
+            .join(sz_a, "doc_a")
+            .join(sz_b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                inter.alias("n_inter"),
+                (F.col("sza") + F.col("szb")).cast("int").alias("sz_sum"),
+            )
+        )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("sz_sum") - F.col("n_inter")).alias("n_union"),
+        )
+        .filter(
+            (F.col("n_union") > 0)
+            & (10 * F.col("n_inter") >= _TAU_NUM * F.col("n_union"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# Part co-purchase graph: edge = pair of parts bought together in >= 2
+# distinct orders (the support threshold sparsifies the shared-order
+# clique blowup the same way orders_frequent_part_pairs does).
+TRI_MIN_SUP = 2
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS (SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT v, count(*) AS deg FROM und GROUP BY v),
+    o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst
+        FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+    ),
+    o2 AS (SELECT o.src, o.dst, d.deg AS degd FROM o JOIN deg d ON d.v = o.dst),
+    tris AS (
+        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM o2 w1 JOIN o2 w2
+          ON w1.src = w2.src
+         AND (w1.degd < w2.degd OR (w1.degd = w2.degd AND w1.dst < w2.dst))
+        JOIN o e3 ON e3.src = w1.dst AND e3.dst = w2.dst
+    ),
+    nodes AS (
+        SELECT a AS part_id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    )
+    SELECT part_id, count(*) AS n_triangles FROM nodes GROUP BY part_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts over the part
+    co-purchase graph (edge = co-bought in >= TRI_MIN_SUP distinct
+    orders), by degree-ordered enumeration.
+
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one; a triangle a<b<c (in that total order) is found exactly
+    once, as the wedge (a->b, a->c) closed by the edge (b->c). The
+    orientation caps every node's out-degree at O(sqrt(m)), so the
+    wedge join generates O(m^1.5) rows worst case instead of the
+    Θ(Σ deg²) a hub node causes in the naive plan — THE standard
+    degree-skew defense for distributed triangle counting.
+
+    Scale shape: the only corpus-sized stages are the distinct-items
+    aggregate and the per-basket pair generation (shuffles on the
+    ORDER key — quadratic in basket size, not catalog size, as in
+    orders_frequent_part_pairs); the support filter then shrinks the
+    edge set before any graph work. All comparisons and counts are
+    integers — bit-exact under any partitioning, hence the full SQL
+    restatement. The oriented edge list feeds three joins (two wedge
+    sides + closure), so it is localCheckpointed once.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = l.distinct()
+    ia = items.alias("ia")
+    ib = items.alias("ib")
+    edges = (
+        ia.join(
+            ib,
+            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
+            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
+        )
+        .groupBy(
+            F.col("ia.l_partkey").alias("pa"), F.col("ib.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+        # consumed by deg (twice, via the direction union) and the
+        # orientation join: without the checkpoint the items
+        # self-join + pair aggregate replays per consumer
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionByName(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).select(F.col("pa").alias("v"))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("degb"))
+    ed = edges.join(da, "pa").join(db, "pb")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    # used by both wedge sides AND the closure join: checkpoint once
+    # (and the edge pipeline above would otherwise replay 3x)
+    oriented = oriented.localCheckpoint(eager=True)
+    dd = deg.select(F.col("v").alias("dst"), F.col("deg").alias("degd"))
+    o2 = oriented.join(dd, "dst")
+    w1 = o2.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("degd").alias("degb_")
+    )
+    w2 = o2.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("c"),
+        F.col("degd").alias("degc_"),
+    )
+    wedges = w1.join(
+        w2,
+        (F.col("src") == F.col("src2"))
+        & (
+            (F.col("degb_") < F.col("degc_"))
+            | ((F.col("degb_") == F.col("degc_")) & (F.col("b") < F.col("c")))
+        ),
+    ).select(F.col("src").alias("a"), "b", "c")
+    closure = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closure, ["b", "c"]).select("a", "b", "c")
+    nodes = (
+        tris.select(F.col("a").alias("part_id"))
+        .unionByName(tris.select(F.col("b").alias("part_id")))
+        .unionByName(tris.select(F.col("c").alias("part_id")))
+    )
+    return nodes.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "part_price_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (price low, size high) — q dominates p iff q is <= on price, >= on
+    size, and strictly better on at least one.
+
+    The oracle states the quadratic NOT EXISTS semantics; the Spark
+    plan is the sort-sweep: aggregate to the per-price grid (max size
+    at each price — one map-side-combining shuffle over the corpus),
+    then one running-max window over STRICTLY-lower prices on the
+    grid. A part survives iff its size equals its price's max AND
+    beats every lower price's best. The window is a single partition,
+    but over the price GRID — cardinality bounded by the price domain
+    (cents), not the row count, the same metadata-scale argument as
+    events_gap_fill. Decimal/integer comparisons only — no float
+    noise anywhere.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    grid = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_prices = grid.withColumn("prior_best", F.max("gmax").over(w)).filter(
+        F.col("prior_best").isNull() | (F.col("gmax") > F.col("prior_best"))
+    )
+    return (
+        p.join(F.broadcast(sky_prices), "p_retailprice")
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

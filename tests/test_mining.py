@@ -1,0 +1,151 @@
+"""Tests for plans/mining.py: prefix-filter Jaccard join, degree-
+ordered triangle counting, and the 2-D skyline.
+
+Each test verifies the SPARK plan against an independent recompute
+(the naive algorithm in Python, or its registered all-pairs twin) —
+the same strategy the oracle uses, but engine-internal so it runs in
+the suite without DuckDB.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from hive_hdfs_practise_spark import plans
+from hive_hdfs_practise_spark.sources.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestJaccardPrefixJoin:
+    def test_matches_allpairs_twin(self, spark):
+        """Prefix filtering is lossless: output set == the quadratic
+        dedup_ngram_jaccard's output (same shingles, same tau)."""
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in plans.QUERIES["dedup_jaccard_prefix_join"](
+                spark, SF
+            ).collect()
+        }
+        brute = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in plans.QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+        }
+        assert fast == brute
+        assert fast  # non-vacuous at sf0.001 (8 pairs)
+
+    def test_intersection_counts_exact(self, spark):
+        """n_inter/n_union match a Python set recompute per pair."""
+        docs = {
+            r.doc_id: r.text
+            for r in table(spark, SF, "documents").collect()
+        }
+
+        def shingles(t: str) -> set[str]:
+            return {t[i : i + 5] for i in range(max(len(t) - 4, 0))}
+
+        for r in plans.QUERIES["dedup_jaccard_prefix_join"](spark, SF).collect():
+            a, b = shingles(docs[r.doc_a]), shingles(docs[r.doc_b])
+            assert r.n_inter == len(a & b)
+            assert r.n_union == len(a | b)
+
+    def test_array_fallback_branch_matches(self, spark, monkeypatch):
+        """Force the >128-word fallback (array intersect) and pin
+        output equality with the bitmap branch on the same corpus."""
+        import hive_hdfs_practise_spark.plans.mining as mining
+
+        bitmap = {
+            tuple(r)
+            for r in plans.QUERIES["dedup_jaccard_prefix_join"](
+                spark, SF
+            ).collect()
+        }
+        # shrink the slot budget so any real vocab exceeds it
+        monkeypatch.setattr(mining, "_BITMAP_MAX_WORDS", 0)
+        fallback = {
+            tuple(r)
+            for r in plans.QUERIES["dedup_jaccard_prefix_join"](
+                spark, SF
+            ).collect()
+        }
+        assert fallback == bitmap
+
+
+class TestTriangleCount:
+    def test_matches_python_enumeration(self, spark):
+        rows = table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).collect()
+        baskets: dict[int, set[int]] = {}
+        for r in rows:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        from collections import Counter
+
+        sup: Counter = Counter()
+        for parts in baskets.values():
+            for a, b in combinations(sorted(parts), 2):
+                sup[(a, b)] += 1
+        edges = {e for e, c in sup.items() if c >= 2}
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri: Counter = Counter()
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:  # a < b < c by id enumerates each once
+                    if (a, c) in edges or (c, a) in edges:
+                        tri[a] += 1
+                        tri[b] += 1
+                        tri[c] += 1
+        got = {
+            r.part_id: r.n_triangles
+            for r in plans.QUERIES["graph_triangle_count"](spark, SF).collect()
+        }
+        assert got == {k: v for k, v in tri.items() if v}
+        assert got  # non-vacuous
+
+    def test_no_duplicate_nodes(self, spark):
+        df = plans.QUERIES["graph_triangle_count"](spark, SF)
+        rows = df.collect()
+        assert len({r.part_id for r in rows}) == len(rows)
+        assert all(r.n_triangles >= 1 for r in rows)
+
+
+class TestSkyline:
+    def test_dominance_semantics(self, spark):
+        parts = [
+            (r.p_partkey, r.p_retailprice, r.p_size)
+            for r in table(spark, SF, "part")
+            .select("p_partkey", "p_retailprice", "p_size")
+            .collect()
+        ]
+
+        def dominated(p):
+            return any(
+                q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+                for q in parts
+            )
+
+        want = {p for p in parts if not dominated(p)}
+        got = {
+            (r.p_partkey, r.p_retailprice, r.p_size)
+            for r in plans.QUERIES["part_price_skyline"](spark, SF).collect()
+        }
+        assert got == want
+        assert got
+
+    def test_frontier_is_monotone(self, spark):
+        rows = sorted(
+            plans.QUERIES["part_price_skyline"](spark, SF).collect(),
+            key=lambda r: r.p_retailprice,
+        )
+        # strictly increasing size as price increases (Pareto shape),
+        # except exact coordinate ties which are mutually undominated
+        for a, b in zip(rows, rows[1:]):
+            if a.p_retailprice == b.p_retailprice:
+                assert a.p_size == b.p_size
+            else:
+                assert b.p_size > a.p_size

@@ -54,6 +54,11 @@ BUILD_EXECUTES = {
     "graph_pagerank",
     # r4: name dictionary checkpointed before the blocked self-join
     "part_fuzzy_name_match",
+    # r4: shingle postings / vocab / prefix tables checkpointed; the
+    # bitmap width is a plan-time vocab count
+    "dedup_jaccard_prefix_join",
+    # r4: edge list + oriented edges checkpointed (3 consumers each)
+    "graph_triangle_count",
 }
 
 
