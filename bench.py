@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix_join",
     "graph_triangle_count",
     "part_price_skyline",
+    "lineitem_weighted_median",
+    "documents_source_entropy",
+    "documents_top_phrase",
 ]
 
 

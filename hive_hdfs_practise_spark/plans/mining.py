@@ -465,3 +465,81 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") == F.col("gmax"))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# Frequent-phrase mining over positional postings: the corpus's most
+# frequent word trigram (data-derived, so the query is meaningful and
+# non-empty at every sf), then its per-document occurrence counts —
+# the positional-postings join that phrase search engines run.
+PHRASE_LEN = 3
+
+
+@register(
+    "documents_top_phrase",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+        FROM documents
+    ), tri AS (
+        SELECT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS phrase
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), top AS (
+        SELECT phrase FROM tri GROUP BY phrase
+        ORDER BY count(*) DESC, phrase LIMIT 1
+    )
+    SELECT tri.doc_id, tri.phrase, count(*) AS n_occurrences
+    FROM tri JOIN top USING (phrase)
+    GROUP BY tri.doc_id, tri.phrase
+    """,
+)
+def documents_top_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word trigram in the corpus and its per-document
+    occurrence counts.
+
+    Trigrams come from ONE pass of per-doc lead() windows over the
+    positional postings (posexplode) — no self-joins on position.
+    The phrase-count aggregate reduces map-side (the shuffle carries
+    distinct trigrams, a saturating set on any bounded vocabulary);
+    top-1 is a TakeOrdered with a lexicographic tiebreak, and the
+    occurrence scan joins against that 1-row broadcast. The trigram
+    stream feeds both the count and the occurrence join, so it is
+    checkpointed once instead of replaying the explode+window per
+    consumer. All counts integer — exact under any merge order.
+    """
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..functions import text as tx
+
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "word")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("word"),
+                F.lead("word", 1).over(wd),
+                F.lead("word", 2).over(wd),
+            ).alias("phrase"),
+            F.lead("word", 2).over(wd).alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", "phrase")
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(1)
+        .select("phrase")
+    )
+    return (
+        tri.join(F.broadcast(top), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("doc_id", "phrase", "n_occurrences")
+    )

@@ -149,3 +149,36 @@ class TestSkyline:
                 assert a.p_size == b.p_size
             else:
                 assert b.p_size > a.p_size
+
+
+class TestTopPhrase:
+    def test_matches_python_recompute(self, spark):
+        from collections import Counter
+
+        docs = {
+            r.doc_id: r.text.strip().split()
+            for r in table(spark, SF, "documents").collect()
+        }
+        counts: Counter = Counter()
+        per_doc: dict[tuple[int, str], int] = {}
+        for doc_id, toks in docs.items():
+            for i in range(len(toks) - 2):
+                g = " ".join(toks[i : i + 3])
+                counts[g] += 1
+        top = min(
+            (g for g, c in counts.items() if c == max(counts.values())),
+        )
+        for doc_id, toks in docs.items():
+            n = sum(
+                1
+                for i in range(len(toks) - 2)
+                if " ".join(toks[i : i + 3]) == top
+            )
+            if n:
+                per_doc[(doc_id, top)] = n
+        got = {
+            (r.doc_id, r.phrase): r.n_occurrences
+            for r in plans.QUERIES["documents_top_phrase"](spark, SF).collect()
+        }
+        assert got == per_doc
+        assert got

@@ -59,6 +59,8 @@ BUILD_EXECUTES = {
     "dedup_jaccard_prefix_join",
     # r4: edge list + oriented edges checkpointed (3 consumers each)
     "graph_triangle_count",
+    # r4: trigram stream checkpointed (feeds top-1 agg + occurrence join)
+    "documents_top_phrase",
 }
 
 

@@ -123,3 +123,59 @@ class TestOls:
             assert abs(g_slope - slope) < 1e-4
             assert abs(g_int - intercept) < 1e-2
             assert abs(g_r2 - r * r) < 1e-6
+
+
+class TestWeightedMedianAndEntropy:
+    def test_weighted_median_recompute(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        rows = table(spark, SF, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        ).collect()
+        from collections import defaultdict
+
+        groups: dict[str, list] = defaultdict(list)
+        for r in rows:
+            groups[r.l_returnflag].append((r.l_extendedprice, int(r.l_quantity)))
+        want = {}
+        for flag, pairs in groups.items():
+            pairs.sort()
+            tot = sum(w for _, w in pairs)
+            cum = 0
+            for p, w in pairs:
+                cum += w
+                if 2 * cum >= tot:
+                    want[flag] = (p, tot)
+                    break
+        got = {
+            r.l_returnflag: (r.w_median_price, r.total_qty)
+            for r in plans.QUERIES["lineitem_weighted_median"](spark, SF).collect()
+        }
+        assert got == want
+
+    def test_entropy_recompute(self, spark):
+        import math
+        from collections import Counter, defaultdict
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        per_source: dict[str, Counter] = defaultdict(Counter)
+        for r in table(spark, SF, "documents").collect():
+            per_source[r.source].update(r.text.strip().split())
+        got = {
+            r.source: r
+            for r in plans.QUERIES["documents_source_entropy"](spark, SF).collect()
+        }
+        assert set(got) == set(per_source)
+        for src, wc in per_source.items():
+            n = sum(wc.values())
+            ent = math.log(n) - sum(c * math.log(c) for c in wc.values()) / n
+            r = got[src]
+            assert r.n_tokens == n
+            assert r.vocab_size == len(wc)
+            assert abs(r.entropy - ent) < 1e-5
+            assert abs(r.type_token_ratio - len(wc) / n) < 1e-5
+            # entropy bounded by ln(vocab)
+            assert 0 <= r.entropy <= math.log(len(wc)) + 1e-9
