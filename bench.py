@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "lineitem_weighted_median",
     "documents_source_entropy",
     "documents_top_phrase",
+    "lineitem_zorder_buckets",
+    "events_time_weighted_avg",
+    "lineitem_winsorized_stats",
 ]
 
 

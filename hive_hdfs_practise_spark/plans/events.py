@@ -1394,3 +1394,61 @@ def events_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cusum") > CUSUM_H)
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events
+    ), steps AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value
+    FROM steps WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: treat each user's
+    event stream as a step function (the value holds until the next
+    event) and integrate — Σ value·Δt / Σ Δt. The irregular-sampling
+    average a plain AVG gets wrong whenever event spacing correlates
+    with value (the classic sensor/telemetry pitfall).
+
+    Δt is exact integer microseconds from one lead() over the
+    (user, ts, event_id) order — per-user windows, so parallelism
+    grows with users, and one shuffle total (the groupBy reuses the
+    window's user partitioning). Zero-length steps (same-µs ties)
+    carry no weight and are excluded on both sides. The only float
+    sum (Σ value·Δt) is rounded at 6dp after the division.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    )
+    return (
+        steps.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twa_value"),
+        )
+    )

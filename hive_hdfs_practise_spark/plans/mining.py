@@ -543,3 +543,96 @@ def documents_top_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .select("doc_id", "phrase", "n_occurrences")
     )
+
+
+# Z-order (Morton) clustering key: the multi-dimensional data-layout
+# primitive (Delta OPTIMIZE ZORDER / Iceberg sort orders). Interleave
+# the low ZORDER_BITS bits of two join/filter dimensions so rows close
+# in BOTH dimensions land in the same file — range scans on either
+# dimension then prune most buckets. The bit math is plain integer
+# div/mod arithmetic (identical semantics in Spark SQL and DuckDB for
+# non-negative ints), generated ONCE in Python and interpolated into
+# both engines so the two sides cannot desynchronize.
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 2 * ZORDER_BITS - 8  # top 8 z-bits -> 256 buckets
+
+
+def _zorder_expr(x: str, y: str, idiv: str) -> str:
+    """idiv: the engine's integer-division operator — Spark ``div``,
+    DuckDB ``//`` (the ONLY dialect difference in the expression)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "lineitem_zorder_buckets",
+    oracle=f"""
+    WITH m AS (
+        SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+    ), sc AS (
+        SELECT l_partkey, l_suppkey,
+               (l_partkey * 65536) // (m.mp + 1) AS xs,
+               (l_suppkey * 65536) // (m.ms + 1) AS ys
+        FROM lineitem, m
+    ), z AS (
+        SELECT l_partkey, l_suppkey,
+               ({_zorder_expr("xs", "ys", "//")}) AS zval
+        FROM sc
+    )
+    SELECT CAST(zval // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+           min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+    FROM z GROUP BY 1
+    """,
+)
+def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan for lineitem on (l_partkey, l_suppkey):
+    Morton-interleave the low 16 bits of both keys, split the z-range
+    into 256 buckets (the target files), and report each bucket's row
+    count and per-dimension key ranges — the ranges ARE the file-skip
+    index a z-ordered rewrite would produce (each bucket covers a
+    narrow rectangle in (part, supp) space instead of a full-width
+    stripe).
+
+    Scale shape: one map-side-combining aggregate keyed by the
+    derived bucket — the z-value is 32 codegen'd div/mod terms per
+    row, no shuffle before the 256-group reduction. Fixed-width
+    truncation (``% 65536``) is the standard z-map normalization;
+    at key domains past 2^16 the modulo wraps and a deployment
+    widens ZORDER_BITS (the expression generator is parametric).
+    All arithmetic integer — bit-exact cross-engine.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # per-dimension scale factors: one 1-row aggregate, broadcast
+    # cross join (the repo's scalar-join pattern) — normalizes each
+    # key to the full 16-bit width so the top-8-bit bucket split
+    # covers the POPULATED z-space at any key domain
+    m = l.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    )
+    sc = l.join(F.broadcast(m)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("(l_partkey * 65536) div (mp + 1)").alias("xs"),
+        F.expr("(l_suppkey * 65536) div (ms + 1)").alias("ys"),
+    )
+    zval = F.expr(_zorder_expr("xs", "ys", "div"))
+    return (
+        sc.withColumn("zval", zval)
+        .withColumn(
+            "bucket",
+            F.expr(f"zval div {1 << ZORDER_BUCKET_SHIFT}").cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+    )

@@ -594,3 +594,68 @@ def documents_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+@register(
+    "lineitem_winsorized_stats",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round(avg(l.l_extendedprice), 2) AS mean_raw,
+           round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 2)
+               AS mean_winsorized
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clip extended price to its
+    group's [p1, p99] and compare raw vs robust means, with clip
+    counts — the outlier-capping preprocessing step of a feature
+    pipeline, expressed as one exact-percentile pass plus one scan.
+
+    Scale shape: the bounds table is |groups| rows (exact percentile
+    buffers per group feed it — at 100 TB the documented swap is
+    approx_percentile, same plan shape); it broadcasts back onto the
+    scan, so the clip+aggregate is a single map-side-combining pass.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition; means are rounded at 2dp (the
+    sums reach ~2e10 — 4dp would sit inside float merge-order noise).
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    b = wide_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        l.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+        )
+    )

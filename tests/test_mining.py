@@ -182,3 +182,25 @@ class TestTopPhrase:
         }
         assert got == per_doc
         assert got
+
+
+class TestZorderBuckets:
+    def test_locality_bound(self, spark):
+        """Each top-8-bit z-bucket fixes 4 high bits of BOTH scaled
+        dimensions, so per-bucket key ranges are <= 1/16 of the
+        domain — the file-skipping property z-ordering exists for."""
+        rows = plans.QUERIES["lineitem_zorder_buckets"](spark, SF).collect()
+        li = table(spark, SF, "lineitem")
+        from pyspark.sql import functions as F
+
+        mp, ms = li.agg(F.max("l_partkey"), F.max("l_suppkey")).head()
+        assert rows
+        for r in rows:
+            assert r.part_max - r.part_min <= (mp + 1) // 16 + 1
+            assert r.supp_max - r.supp_min <= (ms + 1) // 16 + 1
+
+    def test_partitions_all_rows(self, spark):
+        rows = plans.QUERIES["lineitem_zorder_buckets"](spark, SF).collect()
+        n = table(spark, SF, "lineitem").count()
+        assert sum(r.n_rows for r in rows) == n
+        assert len({r.bucket for r in rows}) == len(rows)

@@ -773,3 +773,38 @@ class TestGrowthAndCurriculum:
         for a, b in zip(by_b, by_b[1:]):
             assert a.max_quality <= b.min_quality + 1e-9
             assert a.min_quality <= a.max_quality
+
+
+class TestTimeWeightedAvg:
+    def test_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        per_user = defaultdict(list)
+        for r in table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "value"
+        ).collect():
+            per_user[r.user_id].append((r.ts, r.event_id, r.value))
+        want = {}
+        for uid, evs in per_user.items():
+            evs.sort(key=lambda t: (t[0], t[1]))
+            num = den = 0.0
+            n = 0
+            for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+                dt = (t1 - t0).total_seconds() * 1e6
+                if dt > 0:
+                    num += v * dt
+                    den += dt
+                    n += 1
+            if n:
+                want[uid] = (n, int(round(den)), num / den)
+        got = {
+            r.user_id: (r.n_intervals, r.span_us, r.twa_value)
+            for r in plans.QUERIES["events_time_weighted_avg"](spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for uid, (n, span, twa) in want.items():
+            gn, gspan, gtwa = got[uid]
+            assert gn == n and gspan == span
+            assert abs(gtwa - twa) < 1e-4

@@ -179,3 +179,38 @@ class TestWeightedMedianAndEntropy:
             assert abs(r.type_token_ratio - len(wc) / n) < 1e-5
             # entropy bounded by ln(vocab)
             assert 0 <= r.entropy <= math.log(len(wc)) + 1e-9
+
+
+class TestWinsorizedStats:
+    def test_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        vals = defaultdict(list)
+        for r in table(spark, SF, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        ).collect():
+            vals[r.l_returnflag].append(r.l_extendedprice)
+
+        def qcont(xs, q):
+            xs = sorted(xs)
+            h = (len(xs) - 1) * q
+            lo = int(h)
+            return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+        got = {
+            r.l_returnflag: r
+            for r in plans.QUERIES["lineitem_winsorized_stats"](spark, SF).collect()
+        }
+        assert set(got) == set(vals)
+        for flag, xs in vals.items():
+            lo, hi = qcont(xs, 0.01), qcont(xs, 0.99)
+            r = got[flag]
+            assert r.n_rows == len(xs)
+            assert r.n_clipped_low == sum(1 for x in xs if x < lo)
+            assert r.n_clipped_high == sum(1 for x in xs if x > hi)
+            wmean = sum(min(max(x, lo), hi) for x in xs) / len(xs)
+            assert abs(r.mean_winsorized - wmean) < 0.02
+            assert r.mean_winsorized <= r.mean_raw + 0.02 or r.n_clipped_low > 0
