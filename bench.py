@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "lineitem_zorder_buckets",
     "events_time_weighted_avg",
     "lineitem_winsorized_stats",
+    "lineitem_chi2_flag_status",
+    "orders_ks_statistic",
+    "customer_spend_gini",
 ]
 
 

@@ -486,46 +486,29 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per row: 594k grid rows at sf0.1), so a per-flag ordered
     window would push the whole grid through |flags| = 3 partitions —
     the low-cardinality window trap. Instead the cumulative sum is
-    TWO-LEVEL (the distributed prefix-sum pattern): shard the price
-    axis into fixed ranges, run the ordered window per (flag, shard)
-    — parallelism grows with the grid — and add each shard's offset
-    (the running total of all PRIOR shards, computed on the
-    flags×shards metadata-scale table and broadcast back). Shard
-    boundaries are monotone in price, so offset + in-shard cum IS the
-    global cumulative weight, exactly, in integers. Measured 2.6 s →
-    1.3 s warm at sf0.1.
+    TWO-LEVEL (``operators/prefix_sum.py::sharded_cumsum``): shard
+    the price axis into fixed ranges, run the ordered window per
+    (flag, shard) — parallelism grows with the grid — and add each
+    shard's offset (the running total of all PRIOR shards, computed
+    on the flags×shards metadata-scale table and broadcast back).
+    Shard boundaries are monotone in price, so offset + in-shard cum
+    IS the global cumulative weight, exactly, in integers. Measured
+    2.6 s → 1.3 s warm at sf0.1.
     """
+    from ..operators.prefix_sum import sharded_cumsum
+
     l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    g = (
-        l.groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
-        .withColumn(
-            "shard", F.floor(F.col("l_extendedprice") / F.lit(1024.0)).cast("int")
-        )
+    g = l.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
     )
-    ws = Window.partitionBy("l_returnflag", "shard").orderBy("l_extendedprice")
-    st = g.groupBy("l_returnflag", "shard").agg(F.sum("w").alias("sw"))
-    wf = Window.partitionBy("l_returnflag")
-    off = st.select(
-        "l_returnflag",
-        "shard",
-        F.coalesce(
-            F.sum("sw").over(wf.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("off"),
-        F.sum("sw").over(wf).alias("tot"),
-    )
-    c = (
-        g.withColumn("cum_in", F.sum("w").over(ws))
-        .join(F.broadcast(off), ["l_returnflag", "shard"])
-        .select(
-            "l_returnflag",
-            "l_extendedprice",
-            (F.col("off") + F.col("cum_in")).alias("cum"),
-            "tot",
-        )
+    c = sharded_cumsum(
+        g,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "w",
+        F.floor(F.col("l_extendedprice") / F.lit(1024.0)).cast("int"),
     )
     return (
         c.filter(2 * F.col("cum") >= F.col("tot"))
@@ -658,4 +641,246 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
             F.round(F.avg(clipped), 2).alias("mean_winsorized"),
         )
+    )
+
+
+@register(
+    "lineitem_chi2_flag_status",
+    oracle="""
+    WITH ct AS (
+        SELECT l_returnflag AS f, l_linestatus AS m, count(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT f, m, coalesce(o, 0) AS o FROM
+        (SELECT DISTINCT f FROM ct) CROSS JOIN (SELECT DISTINCT m FROM ct)
+        LEFT JOIN ct USING (f, m)
+    ),
+    rs AS (SELECT f, sum(o) AS r FROM grid GROUP BY f),
+    cs AS (SELECT m, sum(o) AS c FROM grid GROUP BY m),
+    n AS (SELECT sum(o) AS n FROM grid)
+    SELECT CAST(max(n.n) AS BIGINT) AS n_rows,
+           CAST((count(DISTINCT grid.f) - 1) * (count(DISTINCT grid.m) - 1)
+                AS INTEGER) AS dof,
+           round(sum(
+               (grid.o - CAST(rs.r * cs.c AS DOUBLE) / n.n)
+             * (grid.o - CAST(rs.r * cs.c AS DOUBLE) / n.n)
+             / (CAST(rs.r * cs.c AS DOUBLE) / n.n)), 6) AS chi2
+    FROM grid JOIN rs USING (f) JOIN cs USING (m), n
+    """,
+)
+def lineitem_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic of independence for the (return flag ×
+    line status) contingency table — the categorical drift test a
+    data-quality monitor runs between snapshots.
+
+    The corpus collapses to the |flags|×|statuses| contingency table in
+    one map-side-combining aggregate; absent combinations are
+    re-added as observed-0 cells via the dimension-grid outer join
+    (they still contribute e to the statistic — dropping them
+    understates chi2). Everything after the count table is
+    metadata-scale; all counts integer, the ~21-term float sum is
+    rounded at 6dp.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    ct = (
+        l.groupBy(F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("m"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    fs = ct.select("f").distinct()
+    ms = ct.select("m").distinct()
+    grid = (
+        fs.crossJoin(F.broadcast(ms))
+        .join(ct, ["f", "m"], "left")
+        .select("f", "m", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    rs = grid.groupBy("f").agg(F.sum("o").alias("r"))
+    cs = grid.groupBy("m").agg(F.sum("o").alias("c"))
+    n = grid.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    return (
+        grid.join(F.broadcast(rs), "f")
+        .join(F.broadcast(cs), "m")
+        .join(F.broadcast(n))
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            (
+                (F.count_distinct(F.col("f")) - 1)
+                * (F.count_distinct(F.col("m")) - 1)
+            )
+            .cast("int")
+            .alias("dof"),
+            F.round(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+            ).alias("chi2"),
+        )
+    )
+
+
+@register(
+    "orders_ks_statistic",
+    oracle="""
+    WITH v AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS c1,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS c2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    g AS (SELECT x, sum(c1) AS c1, sum(c2) AS c2 FROM v GROUP BY x),
+    c AS (
+        SELECT x,
+               sum(c1) OVER (ORDER BY x) AS k1,
+               sum(c2) OVER (ORDER BY x) AS k2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2
+        FROM g
+    ),
+    d AS (SELECT x, abs(k1 * n2 - k2 * n1) AS dnum, n1, n2 FROM c),
+    mx AS (SELECT max(dnum) AS dmax FROM d)
+    SELECT CAST(max(d.n1) AS BIGINT) AS n1,
+           CAST(max(d.n2) AS BIGINT) AS n2,
+           round(CAST(mx.dmax AS DOUBLE) / (max(d.n1) * max(d.n2)), 9)
+               AS ks_stat,
+           min(d.x) FILTER (WHERE d.dnum = mx.dmax) AS at_value
+    FROM d, mx
+    GROUP BY mx.dmax
+    """,
+)
+def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the order-value
+    distributions of finished ('F') vs open ('O') orders — the
+    numeric-drift twin of the chi-square test. EXACT: the max is
+    taken over integer cross-products |k1·n2 − k2·n1| (the D
+    statistic times n1·n2), so the supremum location and value carry
+    no float noise; only the final display ratio is rounded (9dp).
+
+    Scale shape: one aggregate to the value grid, then the two-level
+    sharded cumulative sum (``operators/prefix_sum.py`` — the value
+    domain is wide, a bare ORDER BY window would be single-task),
+    then a scalar max and a broadcast join-back to locate the
+    supremum deterministically (min x among ties).
+    """
+    from ..operators.prefix_sum import sharded_cumsum
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("c1"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("c2"),
+    )
+    g = v.groupBy("x").agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    shard = F.floor(F.col("x") / F.lit(8192.0)).cast("int")
+    k1 = sharded_cumsum(g, [], "x", "c1", shard, cum_name="k1", tot_name="n1")
+    k = sharded_cumsum(
+        k1, [], "x", "c2", shard, cum_name="k2", tot_name="n2"
+    )
+    d = k.select(
+        "x",
+        F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).alias(
+            "dnum"
+        ),
+        "n1",
+        "n2",
+    )
+    mx = d.agg(F.max("dnum").alias("dmax"))
+    return (
+        d.join(F.broadcast(mx))
+        .groupBy("dmax")
+        .agg(
+            F.max("n1").cast("bigint").alias("n1"),
+            F.max("n2").cast("bigint").alias("n2"),
+            F.round(
+                F.col("dmax").cast("double") / (F.max("n1") * F.max("n2")), 9
+            ).alias("ks_stat"),
+            F.min(F.when(F.col("dnum") == F.col("dmax"), F.col("x"))).alias(
+                "at_value"
+            ),
+        )
+        .select("n1", "n2", "ks_stat", "at_value")
+    )
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT cents, count(*) AS k FROM spend GROUP BY cents),
+    c AS (
+        SELECT cents, k,
+               sum(k) OVER (ORDER BY cents) AS ck,
+               sum(k) OVER () AS n,
+               sum(cents * k) OVER () AS s
+        FROM g
+    ),
+    terms AS (
+        SELECT n, s,
+               cents * (k * (ck - k) + k * (k + 1) / 2) AS ix
+        FROM c
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(s) AS BIGINT) AS total_cents,
+           round(2.0 * sum(ix) / (max(n) * CAST(max(s) AS DOUBLE))
+                 - CAST(max(n) + 1 AS DOUBLE) / max(n), 9) AS gini
+    FROM terms
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (inequality profiling —
+    the same math budget-weighted sampling uses to reason about
+    domination by heavy sources). Uses the rank formula
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n, but NEVER ranks rows:
+    customers collapse to the (cents, count) grid and each grid
+    cell's Σ i·x block is closed-form from the cumulative count
+    (ranks r+1..r+k contribute cents·(k·r + k(k+1)/2)). Spend is
+    exact integer cents (2-dp doubles scaled per row BEFORE the
+    sum), so Σ i·x is a bit-exact integer under any merge order;
+    only the final ratio is rounded.
+
+    Scale shape: one corpus aggregate to per-customer spend, one to
+    the spend grid, then the two-level sharded cumsum over the grid.
+    """
+    from ..operators.prefix_sum import sharded_cumsum
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    g = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("k"))
+    c = sharded_cumsum(
+        g,
+        [],
+        "cents",
+        "k",
+        F.expr("cents div 1000000").cast("int"),
+        cum_name="ck",
+        tot_name="n",
+    )
+    s = g.agg(F.sum(F.col("cents") * F.col("k")).alias("s"))
+    terms = c.join(F.broadcast(s)).select(
+        "n",
+        "s",
+        (
+            F.col("cents")
+            * (
+                F.col("k") * (F.col("ck") - F.col("k"))
+                + F.col("k") * (F.col("k") + 1) / 2
+            )
+        ).alias("ix"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("s").cast("bigint").alias("total_cents"),
+        F.round(
+            2.0 * F.sum("ix") / (F.max("n") * F.max("s").cast("double"))
+            - (F.max("n") + 1).cast("double") / F.max("n"),
+            9,
+        ).alias("gini"),
     )

@@ -214,3 +214,82 @@ class TestWinsorizedStats:
             wmean = sum(min(max(x, lo), hi) for x in xs) / len(xs)
             assert abs(r.mean_winsorized - wmean) < 0.02
             assert r.mean_winsorized <= r.mean_raw + 0.02 or r.n_clipped_low > 0
+
+
+class TestDriftAndInequality:
+    def test_chi2_recompute(self, spark):
+        from collections import Counter
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        ct = Counter()
+        for r in table(spark, SF, "lineitem").select(
+            "l_returnflag", "l_linestatus"
+        ).collect():
+            ct[(r.l_returnflag, r.l_linestatus)] += 1
+        flags = {f for f, _ in ct}
+        stats = {s for _, s in ct}
+        n = sum(ct.values())
+        rs = {f: sum(c for (ff, _), c in ct.items() if ff == f) for f in flags}
+        cs = {s: sum(c for (_, ss), c in ct.items() if ss == s) for s in stats}
+        chi2 = 0.0
+        for f in flags:
+            for s in stats:
+                e = rs[f] * cs[s] / n
+                o = ct.get((f, s), 0)
+                chi2 += (o - e) ** 2 / e
+        r = plans.QUERIES["lineitem_chi2_flag_status"](spark, SF).collect()[0]
+        assert r.n_rows == n
+        assert r.dof == (len(flags) - 1) * (len(stats) - 1)
+        assert abs(r.chi2 - chi2) < 1e-4
+
+    def test_ks_recompute(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        f_vals, o_vals = [], []
+        for r in table(spark, SF, "orders").select(
+            "o_orderstatus", "o_totalprice"
+        ).collect():
+            if r.o_orderstatus == "F":
+                f_vals.append(r.o_totalprice)
+            elif r.o_orderstatus == "O":
+                o_vals.append(r.o_totalprice)
+        grid = sorted(set(f_vals) | set(o_vals))
+        n1, n2 = len(f_vals), len(o_vals)
+        f_sorted, o_sorted = sorted(f_vals), sorted(o_vals)
+        import bisect
+
+        best = (0, None)
+        for x in grid:
+            k1 = bisect.bisect_right(f_sorted, x)
+            k2 = bisect.bisect_right(o_sorted, x)
+            dnum = abs(k1 * n2 - k2 * n1)
+            if dnum > best[0]:
+                best = (dnum, x)
+        r = plans.QUERIES["orders_ks_statistic"](spark, SF).collect()[0]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert abs(r.ks_stat - best[0] / (n1 * n2)) < 1e-9
+        assert r.at_value == best[1]
+
+    def test_gini_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        cents = defaultdict(int)
+        for r in table(spark, SF, "orders").select(
+            "o_custkey", "o_totalprice"
+        ).collect():
+            cents[r.o_custkey] += round(r.o_totalprice * 100)
+        xs = sorted(cents.values())
+        n, s = len(xs), sum(xs)
+        gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (
+            n + 1
+        ) / n
+        r = plans.QUERIES["customer_spend_gini"](spark, SF).collect()[0]
+        assert r.n_customers == n and r.total_cents == s
+        assert abs(r.gini - gini) < 1e-9
+        assert 0 <= r.gini <= 1
