@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "lineitem_chi2_flag_status",
     "orders_ks_statistic",
     "customer_spend_gini",
+    "stream_session_windows",
+    "stream_sliding_rate",
 ]
 
 

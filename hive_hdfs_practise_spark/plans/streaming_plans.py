@@ -212,3 +212,86 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round("value", 2).alias("value"),
     )
+
+
+_SESSION_WINDOWS_ORACLE = """
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """
+
+
+@register("stream_session_windows", oracle=_SESSION_WINDOWS_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE session windows: ``F.session_window(ts, gap)``
+    run by the streaming engine (state-backed window merging), the
+    streaming-native form of events_sessionize's gaps-and-islands
+    batch idiom. Two intervals [t, t+gap) merge iff the later starts
+    STRICTLY inside the earlier, so a gap of exactly ``gap`` starts a
+    new session — the oracle's island flag uses ``>=`` accordingly
+    (where the batch twin's own output uses ``>``; the two agree
+    whenever no gap is exactly 30:00.000000, which the value check
+    confirms on this data). session_end = last event + gap, Spark's
+    definition. Complete mode on bounded input — equals the batch
+    restatement (also asserted in tests)."""
+    from ..streaming.windows import session_aggregate
+
+    stream = _events_stream(spark, sf_dir)
+    out = session_aggregate(stream, "30 minutes", "2 hours")
+    return run_available_now(out, "stream_session_windows", "complete").select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+
+
+_SLIDING_RATE_ORACLE = """
+    WITH ev AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), slots AS (
+        SELECT event_type,
+               ((us // 1000000) // 900) * 900 - k.k * 900 AS ws_s,
+               us
+        FROM ev, unnest(generate_series(0, 3)) AS k(k)
+    )
+    SELECT epoch_ms(ws_s * 1000) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM slots
+    WHERE us >= ws_s * 1000000 AND us < (ws_s + 3600) * 1000000
+    GROUP BY 1, 2
+    """
+
+
+@register("stream_sliding_rate", oracle=_SLIDING_RATE_ORACLE)
+def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE sliding windows: ``F.window(ts, '1 hour',
+    '15 minutes')`` by the streaming engine — each event lands in 4
+    overlapping windows (state per open window, expired by the
+    watermark). The oracle restates the window-assignment arithmetic
+    exactly: window starts are the 4 slide-aligned slots in
+    (ts − 1h, ts], computed in integer µs the same way Spark's
+    window expression aligns (floor to the slide modulus), so the
+    per-(window, type) counts are value-checked, not rows-only.
+    Complete mode on bounded input."""
+    from ..streaming.windows import sliding_rate
+
+    stream = _events_stream(spark, sf_dir)
+    out = sliding_rate(stream, "1 hour", "15 minutes", "2 hours")
+    return run_available_now(out, "stream_sliding_rate", "complete").select(
+        "window_start", "event_type", "n_events"
+    )

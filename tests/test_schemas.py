@@ -61,6 +61,9 @@ BUILD_EXECUTES = {
     "graph_triangle_count",
     # r4: trigram stream checkpointed (feeds top-1 agg + occurrence join)
     "documents_top_phrase",
+    # r4: streaming queries execute at build (availableNow sink)
+    "stream_session_windows",
+    "stream_sliding_rate",
 }
 
 

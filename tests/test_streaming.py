@@ -224,3 +224,56 @@ class TestDirectoryLayoutSource:
         )
         got = plans.QUERIES["stream_dedup_keys"](spark, sf_dir).count()
         assert got > 0
+
+
+class TestSessionAndSlidingStreams:
+    def test_stream_session_windows_equal_batch_islands(self, spark):
+        """Engine session windows == gaps-and-islands recompute
+        (merge rule: a gap of exactly the 30-min duration starts a
+        new session)."""
+        from collections import defaultdict
+
+        per_user = defaultdict(list)
+        for r in table(spark, SF, "events").select(
+            "user_id", "ts", "event_id"
+        ).collect():
+            per_user[r.user_id].append((r.ts, r.event_id))
+        want = set()
+        import datetime
+
+        gap = datetime.timedelta(minutes=30)
+        for uid, evs in per_user.items():
+            evs.sort()
+            start = evs[0][0]
+            last = evs[0][0]
+            n = 1
+            for ts, _ in evs[1:]:
+                if ts - last >= gap:
+                    want.add((start, last + gap, uid, n))
+                    start, n = ts, 0
+                last = ts
+                n += 1
+            want.add((start, last + gap, uid, n))
+        got = {
+            (r.session_start, r.session_end, r.user_id, r.n_events)
+            for r in plans.QUERIES["stream_session_windows"](spark, SF).collect()
+        }
+        assert got == want
+
+    def test_stream_sliding_rate_equals_batch_window(self, spark):
+        """Engine sliding windows == batch F.window on the same data."""
+        from hive_hdfs_practise_spark.streaming.windows import sliding_rate
+
+        ev = table(spark, SF, "events")
+        batch = {
+            (r.window_start, r.event_type, r.n_events)
+            for r in sliding_rate(ev, "1 hour", "15 minutes").collect()
+        }
+        got = {
+            (r.window_start, r.event_type, r.n_events)
+            for r in plans.QUERIES["stream_sliding_rate"](spark, SF).collect()
+        }
+        assert got == batch
+        # every event contributes to exactly 4 windows
+        n_events = ev.count()
+        assert sum(r[2] for r in got) == 4 * n_events
