@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "customer_spend_gini",
     "stream_session_windows",
     "stream_sliding_rate",
+    "sales_seasonal_decomposition",
+    "word_freq_zipf_slope",
 ]
 
 

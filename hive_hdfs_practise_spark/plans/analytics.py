@@ -525,3 +525,108 @@ def sales_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
         F.round((F.col("revenue") / prev - 1.0) * 100, 4).alias("growth_pct"),
     )
+
+
+@register(
+    "sales_seasonal_decomposition",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(month(o_orderdate) AS INTEGER) AS moy,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT month, moy, cents,
+               CASE WHEN lag(cents, 6) OVER w IS NOT NULL
+                     AND lead(cents, 6) OVER w IS NOT NULL
+                    THEN 2 * sum(cents) OVER (ORDER BY month
+                              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                          + lag(cents, 6) OVER w
+                          + lead(cents, 6) OVER w
+               END AS tnum
+        FROM m WINDOW w AS (ORDER BY month)
+    ),
+    s AS (
+        SELECT moy,
+               CAST(round(CAST(sum(24 * cents - tnum) AS DOUBLE)
+                          / (count(*) * 2400) * 1000000) AS BIGINT) AS raw_u
+        FROM t WHERE tnum IS NOT NULL GROUP BY moy
+    ),
+    st AS (SELECT sum(raw_u) AS tot_u, count(*) AS n_moy FROM s),
+    s0 AS (
+        SELECT s.moy, st.n_moy * s.raw_u - st.tot_u AS snum, st.n_moy
+        FROM s, st
+    )
+    SELECT t.month, round(t.cents / 100.0, 2) AS revenue,
+           round(t.tnum / 2400.0, 6) AS trend,
+           round(CAST(s0.snum AS DOUBLE) / (s0.n_moy * 1000000.0), 6)
+               AS seasonal,
+           round(t.cents / 100.0 - t.tnum / 2400.0
+                 - CAST(s0.snum AS DOUBLE) / (s0.n_moy * 1000000.0), 6)
+               AS residual
+    FROM t JOIN s0 USING (moy)
+    WHERE t.tnum IS NOT NULL
+    """,
+)
+def sales_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    centered 12-month moving-average trend (half-weight endpoints —
+    the textbook CMA-12), month-of-year seasonal indices normalized
+    to mean zero, and the residual. Edge months without a full ±6
+    window are excluded (no partial-window trend).
+
+    Determinism: ALL linear combinations run on exact integer
+    numerators — monthly revenue in cents, the trend as its x2400
+    numerator (2·MA-window sum + both half-weight endpoints), the
+    seasonal index as micro-unit integers snapped once after the only
+    unavoidable division — so no float SUM exists anywhere (window
+    frame sums are engine-order-dependent on doubles; on bigints they
+    are bit-exact). The final divisions/subtractions are fixed-shape
+    IEEE expressions over identical integers — identical cross-engine.
+    The corpus collapses to the month grid in one aggregate; every
+    window runs on the ~|months| grid (metadata scale).
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("month")
+    ma = F.sum("cents").over(w.rowsBetween(-5, 5))
+    l6 = F.lag("cents", 6).over(w)
+    d6 = F.lead("cents", 6).over(w)
+    t = m.select(
+        "month",
+        "moy",
+        "cents",
+        F.when(l6.isNotNull() & d6.isNotNull(), 2 * ma + l6 + d6).alias("tnum"),
+    )
+    tn = t.filter(F.col("tnum").isNotNull())
+    s = tn.groupBy("moy").agg(
+        F.round(
+            F.sum(24 * F.col("cents") - F.col("tnum")).cast("double")
+            / (F.count(F.lit(1)) * 2400)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("raw_u")
+    )
+    st = s.agg(F.sum("raw_u").alias("tot_u"), F.count(F.lit(1)).alias("n_moy"))
+    s0 = s.join(F.broadcast(st)).select(
+        "moy",
+        (F.col("n_moy") * F.col("raw_u") - F.col("tot_u")).alias("snum"),
+        "n_moy",
+    )
+    seasonal = F.col("snum").cast("double") / (F.col("n_moy") * 1000000.0)
+    return tn.join(F.broadcast(s0), "moy").select(
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("tnum") / 2400.0, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(
+            F.col("cents") / 100.0 - F.col("tnum") / 2400.0 - seasonal, 6
+        ).alias("residual"),
+    )

@@ -1192,3 +1192,63 @@ def documents_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality"
         ),
     )
+
+
+@register(
+    "word_freq_zipf_slope",
+    oracle=r"""
+    WITH wf AS (
+        SELECT word, count(*) AS c
+        FROM (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM wf
+    ),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 6) AS intercept
+    FROM pts
+    """,
+)
+def word_freq_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution: OLS
+    slope of ln(frequency) on ln(rank) — a natural-text corpus sits
+    near −1; templated/boilerplate corpora flatten toward 0. The
+    corpus-profiling scalar a curation pipeline tracks per source mix.
+
+    Scale shape: one corpus explode→(word) aggregate (map-side
+    combining into the saturating vocabulary), ranking and the OLS
+    sums on the |vocab| grid. The float sums span ~|vocab| ln-scale
+    terms (≤ ~50 each), rounded at 6dp.
+    """
+    from ..functions import text as tx
+
+    d = wide_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wf.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("word")))
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        n.cast("bigint").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("intercept"),
+    )

@@ -808,3 +808,33 @@ class TestTimeWeightedAvg:
             gn, gspan, gtwa = got[uid]
             assert gn == n and gspan == span
             assert abs(gtwa - twa) < 1e-4
+
+
+class TestSeasonalDecomposition:
+    def test_identity_and_zero_mean(self, spark):
+        rows = plans.QUERIES["sales_seasonal_decomposition"](spark, SF).collect()
+        assert rows
+        # revenue == trend + seasonal + residual (within output rounding)
+        for r in rows:
+            assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 2e-6
+        # seasonal indices sum to ~zero over the distinct month-of-years
+        by_moy = {r.month.month: r.seasonal for r in rows}
+        assert abs(sum(by_moy.values())) < 1e-4
+        # trend is the CMA-12: recompute from the monthly grid
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        cents = defaultdict(int)
+        for o in table(spark, SF, "orders").collect():
+            key = (o.o_orderdate.year, o.o_orderdate.month)
+            cents[key] += round(o.o_totalprice * 100)
+        months = sorted(cents)
+        got = {(r.month.year, r.month.month): r.trend for r in rows}
+        for i, mth in enumerate(months):
+            if i < 6 or i + 6 >= len(months):
+                assert mth not in got
+                continue
+            num = 2 * sum(cents[months[j]] for j in range(i - 5, i + 6))
+            num += cents[months[i - 6]] + cents[months[i + 6]]
+            assert abs(got[mth] - num / 2400.0) < 2e-6

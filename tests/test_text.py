@@ -345,3 +345,30 @@ class TestBoilerplate:
             bp = sum(1 for g in grams if len(docs_of[g]) >= BP_MIN_DOCS)
             want[d] = (len(grams), bp, round(bp / len(grams), 6))
         assert got == want
+
+
+class TestZipfSlope:
+    def test_matches_numpy_polyfit(self, spark):
+        import math
+        from collections import Counter
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        wc = Counter()
+        for r in table(spark, "/root/testdata/sf0.001", "documents").collect():
+            wc.update(r.text.strip().split())
+        ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [math.log(i + 1) for i in range(len(ranked))]
+        ys = [math.log(c) for _, c in ranked]
+        n = len(xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(a * a for a in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r = plans.QUERIES["word_freq_zipf_slope"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r.n_words == n
+        assert abs(r.zipf_slope - slope) < 1e-4
+        assert r.zipf_slope < 0  # frequency decreases with rank
