@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "stream_sliding_rate",
     "sales_seasonal_decomposition",
     "word_freq_zipf_slope",
+    "anonymize_join_preservation",
+    "orders_snapshot_diff",
+    "orders_psi_value_drift",
 ]
 
 

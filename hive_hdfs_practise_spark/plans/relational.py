@@ -331,3 +331,115 @@ def customer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("balance"),
         F.upper("c_mktsegment").alias("segment"),
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH now AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 103 <> 0),
+    prev AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 AND o_orderstatus = 'O'
+                    THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0
+                    THEN round(o_totalprice + 10.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    d AS (
+        SELECT coalesce(n.o_orderkey, p.o_orderkey) AS k,
+               CASE
+                 WHEN p.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN n.o_orderstatus <> p.o_orderstatus
+                   OR n.o_totalprice <> p.o_totalprice THEN 'changed'
+                 ELSE 'unchanged'
+               END AS kind,
+               CASE WHEN n.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                     AND n.o_orderstatus <> p.o_orderstatus
+                    THEN 1 ELSE 0 END AS status_changed,
+               CASE WHEN n.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                     AND n.o_totalprice <> p.o_totalprice
+                    THEN 1 ELSE 0 END AS price_changed
+        FROM now n FULL OUTER JOIN prev p ON n.o_orderkey = p.o_orderkey
+    )
+    SELECT kind, count(*) AS n_rows,
+           CAST(sum(status_changed) AS BIGINT) AS n_status_changed,
+           CAST(sum(price_changed) AS BIGINT) AS n_price_changed
+    FROM d GROUP BY kind
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    versions as added / removed / changed / unchanged, with
+    per-column change counts — the row-level complement of
+    lineitem_checksum's order-independent digest (the checksum says
+    THAT snapshots differ; the diff says WHERE). The 'previous'
+    snapshot is derived deterministically from the current one
+    (status flip on keys ≡0 mod 97, +10.00 price on ≡0 mod 89,
+    absent-from-prev on ≡0 mod 101 → 'added', absent-from-now on
+    ≡0 mod 103 → 'removed') so the query is self-contained, every
+    diff kind occurs, and the oracle restates the derivation.
+
+    Scale shape: one FULL OUTER hash join co-partitioned on the key
+    (both sides shuffle once on o_orderkey), then a map-side-combining
+    aggregate to the 4-kind summary. Comparisons are exact (status
+    string; price doubles compared for identity, not arithmetic —
+    both sides read the same parquet bits, and the +10.00 derivation
+    is a single deterministic IEEE add in both engines).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    now = o.filter(F.col("o_orderkey") % 103 != 0)
+    prev = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderstatus") == "O"),
+            F.lit("P"),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("p_status"),
+        F.when(
+            F.col("o_orderkey") % 89 == 0,
+            F.round(F.col("o_totalprice") + 10.0, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_price"),
+    )
+    n = now.select(
+        F.col("o_orderkey").alias("n_key"), "o_orderstatus", "o_totalprice"
+    )
+    p = prev.select(F.col("o_orderkey").alias("p_key"), "p_status", "p_price")
+    d = n.join(p, n.n_key == p.p_key, "full_outer")
+    both = F.col("n_key").isNotNull() & F.col("p_key").isNotNull()
+    kind = (
+        F.when(F.col("p_key").isNull(), "added")
+        .when(F.col("n_key").isNull(), "removed")
+        .when(
+            (F.col("o_orderstatus") != F.col("p_status"))
+            | (F.col("o_totalprice") != F.col("p_price")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            kind.alias("kind"),
+            F.when(
+                both & (F.col("o_orderstatus") != F.col("p_status")), 1
+            )
+            .otherwise(0)
+            .alias("status_changed"),
+            F.when(both & (F.col("o_totalprice") != F.col("p_price")), 1)
+            .otherwise(0)
+            .alias("price_changed"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("status_changed").cast("bigint").alias("n_status_changed"),
+            F.sum("price_changed").cast("bigint").alias("n_price_changed"),
+        )
+    )

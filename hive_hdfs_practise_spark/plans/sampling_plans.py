@@ -377,3 +377,74 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_include"),
         )
     )
+
+
+# Consistent pseudonymization: salted-hash surrogate keys applied to
+# every table that carries the identifier. The salt is a pipeline
+# secret; a public fixed value here keeps the query reproducible.
+_ANON_SALT = "graft-salt-v1"
+
+
+@register(
+    "anonymize_join_preservation",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               sha256('{_ANON_SALT}' || CAST(user_id AS VARCHAR)) AS pseud
+        FROM events
+    ),
+    c AS (
+        SELECT c_custkey,
+               sha256('{_ANON_SALT}' || CAST(c_custkey AS VARCHAR)) AS pseud
+        FROM customer
+    )
+    SELECT count(*) AS n_events,
+           CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_joined_raw,
+           CAST(sum(CASE WHEN cp.pseud IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_joined_pseudo,
+           count(DISTINCT e.user_id) AS n_distinct_users,
+           count(DISTINCT e.pseud) AS n_distinct_pseudonyms
+    FROM e
+    LEFT JOIN c ON e.user_id = c.c_custkey
+    LEFT JOIN (SELECT DISTINCT pseud FROM c) cp ON e.pseud = cp.pseud
+    """,
+)
+def anonymize_join_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization audit: replace the user identifier
+    with a salted sha256 surrogate in BOTH the fact stream and the
+    dimension, and prove referential structure survives — every event
+    that joined by raw key still joins by pseudonym, and the
+    pseudonym space is collision-free on this domain (distinct users
+    == distinct pseudonyms). This is the de-identification primitive
+    a training-data pipeline applies before text extraction, and the
+    audit IS the operator's correctness certificate.
+
+    Scale shape: the surrogate is a per-row codegen'd hash (no
+    shuffle to assign); the two probe joins are on user-cardinality
+    keys. sha256 hex matches bit-for-bit across engines (the md5/
+    sha256 invariant), so counts are value-checked.
+    """
+    e = table(spark, sf_dir, "events").select("user_id")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    pseud = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit(_ANON_SALT), col.cast("string")), 256
+    )
+    ep = e.select("user_id", pseud(F.col("user_id")).alias("pseud"))
+    cp = c.select("c_custkey", pseud(F.col("c_custkey")).alias("c_pseud"))
+    cp_keys = cp.select("c_pseud").distinct()
+    joined = (
+        ep.join(cp.select("c_custkey"), ep.user_id == F.col("c_custkey"), "left")
+        .join(cp_keys, ep.pseud == F.col("c_pseud"), "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_joined_raw"),
+        F.sum(F.when(F.col("c_pseud").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_joined_pseudo"),
+        F.count_distinct(F.col("user_id")).alias("n_distinct_users"),
+        F.count_distinct(F.col("pseud")).alias("n_distinct_pseudonyms"),
+    )

@@ -838,3 +838,39 @@ class TestSeasonalDecomposition:
             num = 2 * sum(cents[months[j]] for j in range(i - 5, i + 6))
             num += cents[months[i - 6]] + cents[months[i + 6]]
             assert abs(got[mth] - num / 2400.0) < 2e-6
+
+
+class TestPseudonymizationAndDiff:
+    def test_anonymize_preserves_joins(self, spark):
+        r = plans.QUERIES["anonymize_join_preservation"](spark, SF).collect()[0]
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        ev = table(spark, SF, "events")
+        assert r.n_events == ev.count()
+        assert r.n_joined_raw == r.n_joined_pseudo
+        assert r.n_distinct_users == r.n_distinct_pseudonyms
+        assert r.n_joined_raw > 0
+
+    def test_snapshot_diff_counts(self, spark):
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        rows = {r.kind: r for r in plans.QUERIES["orders_snapshot_diff"](spark, SF).collect()}
+        keys = [
+            r.o_orderkey
+            for r in table(spark, SF, "orders").select("o_orderkey").collect()
+        ]
+        n_added = sum(1 for k in keys if k % 101 == 0 and k % 103 != 0)
+        n_removed = sum(1 for k in keys if k % 103 == 0 and k % 101 != 0)
+        assert rows["added"].n_rows == n_added
+        assert rows["removed"].n_rows == n_removed
+        both = [k for k in keys if k % 101 != 0 and k % 103 != 0]
+        assert (
+            rows["changed"].n_rows + rows["unchanged"].n_rows == len(both)
+        )
+        # every changed row changed status or price
+        assert (
+            rows["changed"].n_status_changed + rows["changed"].n_price_changed
+            >= rows["changed"].n_rows
+        )
+        assert rows["unchanged"].n_status_changed == 0
+        assert rows["unchanged"].n_price_changed == 0

@@ -293,3 +293,32 @@ class TestDriftAndInequality:
         assert r.n_customers == n and r.total_cents == s
         assert abs(r.gini - gini) < 1e-9
         assert 0 <= r.gini <= 1
+
+
+class TestPsi:
+    def test_psi_recompute(self, spark):
+        import math
+        from collections import Counter
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        c1, c2 = Counter(), Counter()
+        for r in table(spark, SF, "orders").collect():
+            b = math.floor(r.o_totalprice / 25000.0)
+            if r.o_orderstatus == "F":
+                c1[b] += 1
+            elif r.o_orderstatus == "O":
+                c2[b] += 1
+        buckets = set(c1) | set(c2)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        psi = sum(
+            (c2[b] / n2 - c1[b] / n1)
+            * math.log((c2[b] / n2 + 1e-9) / (c1[b] / n1 + 1e-9))
+            for b in buckets
+        )
+        r = plans.QUERIES["orders_psi_value_drift"](spark, SF).collect()[0]
+        assert r.n_buckets == len(buckets)
+        assert (r.n_ref, r.n_cur) == (n1, n2)
+        assert abs(r.psi - psi) < 1e-8
+        assert r.psi >= 0 or abs(r.psi) < 1e-6
