@@ -11,15 +11,16 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 # Import for registration side effects. ORDER IS LOAD-BEARING: the
 # driver's correctness gate walks the registry in registration order
 # under a budget (~50 entries/round) — so the modules richest in
-# NEVER-driver-sampled queries register FIRST. Round-4 front block
-# (union of r1-r3 driver samples = 114 names; 35 current entries
-# never sampled): mining (3/3 new this round), events (9/21 never:
-# moving_median, funnel, retention, MAD pair, transition, gap_fill,
-# SCD2, CUSUM), sampling_plans (4/8), advanced (3/7), stats (3/8) —
-# 47 entries, 22 never-sampled inside the budget. The rest (text 5,
-# analytics 4, similarity 3, dedup 1) carry their evidence in the
-# committed full-sweep CORRECTNESS_local.json and queue for round 5.
+# NEVER-driver-sampled queries register FIRST (union of r1-r3 driver
+# samples = 114 names). Round-4 front block: mining (5, all new) +
+# drift (7, all new) + events (22; 10 never) + sampling_plans (9; 5
+# never) = 43 entries / 27 never-sampled, then advanced (7; 3 never)
+# straddles the budget edge. Everything later (text, analytics,
+# relational's snapshot_diff, the 2 new stream twins, …) carries its
+# evidence in the committed full-sweep CORRECTNESS_local.json and
+# queues for round 5.
 from . import mining  # noqa: F401,E402
+from . import drift  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import sampling_plans  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
