@@ -122,10 +122,16 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(text, i, {SHINGLE_K})").alias("s"),
         )
         .distinct()
-        # feeds sz, dfreq, ranked AND the verification arrays below —
-        # checkpoint once instead of replaying the explode per consumer
-        .localCheckpoint(eager=True)
     )
+    # feeds vocab, ranked AND the bitmap build — materialize once
+    # instead of replaying the explode per consumer. persist(), not
+    # localCheckpoint(): the SQL cache stores compressed COLUMNAR
+    # batches (~10 B/row here) where the checkpoint holds deserialized
+    # row objects (~250 B/row) — at the 40x scale-up (40.9M postings)
+    # the checkpointed form alone held ~10 GB of heap and the
+    # candidate-join sorts OOMed even at 24 g.
+    sh.persist()
+    sh.count()
     # vocab with dense integer ids in (document-frequency, shingle)
     # order: the shingle space of a char-5 shingle saturates (bounded
     # by the underlying word vocabulary — ~2k distinct on this corpus
@@ -158,30 +164,49 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= F.col("sz") - F.expr(f"({_TAU_NUM}*sz+9) div 10") + 1
     ).select("doc_id", "lang", "vid", "sz")
     # the prefix table feeds both sides of the candidate self-join —
-    # without the checkpoint the vid-join + window pipeline executes
-    # twice (sh itself is already checkpointed above)
-    pref = pref.localCheckpoint(eager=True)
-    sz = pref.select("doc_id", "sz").distinct()
-    a = pref.select(
+    # without materialization the vid-join + window pipeline executes
+    # twice (sh itself is already cached above); columnar persist for
+    # the same heap reason as sh
+    pref.persist()
+    pref.count()
+    # the candidate self-join is the one stage whose input grows
+    # superlinearly with corpus overlap (prefix postings² per
+    # shingle). Partition it EXPLICITLY at 8x parallelism: the
+    # repartition is on the join keys, so the join consumes it
+    # directly (no extra exchange) and each task's sort fits in a
+    # bounded heap slice — at the 40x scale-up (12.4M prefix rows)
+    # the default cores-count partitioning OOMed 32 concurrent sorts.
+    #
+    # CRITICALLY, the raw pair stream is NEVER shuffled or
+    # deduplicated before verification: at 40x it is 1.49B rows
+    # (Σ per-(shingle,lang) prefix-count²), and a distinct-first plan
+    # OOMed its partial hash maps even at 24g/256 partitions.
+    # Instead each raw pair is verified MAP-SIDE straight out of the
+    # join (broadcast bitmap popcounts below); only the survivors —
+    # bounded by the true answer times prefix overlap — reach the
+    # final distinct. A pair sharing k prefix shingles is verified k
+    # times; k extra popcounts are ~free next to shuffling the pair.
+    n_join = spark.sparkContext.defaultParallelism * 8
+    a = pref.repartition(n_join, "vid", "lang").select(
         F.col("doc_id").alias("doc_a"), "lang", "vid", F.col("sz").alias("sz_a")
     )
-    b = pref.select(
+    b = pref.repartition(n_join, "vid", "lang").select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("vid").alias("vid_b"),
         F.col("sz").alias("sz_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("vid") == F.col("vid_b"))
-            & (F.col("lang") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (10 * F.col("sz_b") >= _TAU_NUM * F.col("sz_a"))
-            & (10 * F.col("sz_a") >= _TAU_NUM * F.col("sz_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("vid") == F.col("vid_b"))
+        & (F.col("lang") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (10 * F.col("sz_b") >= _TAU_NUM * F.col("sz_a"))
+        & (10 * F.col("sz_a") >= _TAU_NUM * F.col("sz_b")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("sz_a") + F.col("sz_b")).cast("int").alias("sz_sum"),
     )
     # verification: exact |a∩b| via per-doc BITMAPS over the dense
     # shingle ids — a codegen'd wide bit_or aggregate (the proven
@@ -196,8 +221,6 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen field budget, so verification falls back to the
     # materialized-array intersect; both branches are exact.
     nwords = (n_vocab + 63) // 64
-    sz_a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sz_b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     if nwords <= _BITMAP_MAX_WORDS:
         bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))")
         slots = [
@@ -238,15 +261,7 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = (
             cand.join(F.broadcast(ba), "doc_a")
             .join(F.broadcast(bb), "doc_b")
-            .select("doc_a", "doc_b", inter_col.alias("n_inter"))
-            .join(F.broadcast(sz_a), "doc_a")
-            .join(F.broadcast(sz_b), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                "n_inter",
-                (F.col("sza") + F.col("szb")).cast("int").alias("sz_sum"),
-            )
+            .select("doc_a", "doc_b", inter_col.alias("n_inter"), "sz_sum")
         )
     else:
         arrs = post.groupBy("doc_id").agg(F.collect_list("vid").alias("shingles"))
@@ -258,27 +273,34 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         scored = (
-            cand.join(arr_a, "doc_a")
-            .join(arr_b, "doc_b")
-            .join(sz_a, "doc_a")
-            .join(sz_b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                inter.alias("n_inter"),
-                (F.col("sza") + F.col("szb")).cast("int").alias("sz_sum"),
-            )
+            cand.join(F.broadcast(arr_a), "doc_a")
+            .join(F.broadcast(arr_b), "doc_b")
+            .select("doc_a", "doc_b", inter.alias("n_inter"), "sz_sum")
         )
+    # Threshold as ONE single-reference comparison: 10·i >= 7·(s−i)
+    # ⇔ 17·i >= 7·s, and the oracle's n_union > 0 guard is vacuous
+    # here (every doc in pref has >=1 shingle, so any joined pair has
+    # union >= 1; the all-pairs oracle needs it only for empty-empty
+    # pairs the prefix path cannot produce). This matters because
+    # Catalyst pushes the filter INTO the join condition — every raw
+    # pair evaluates it — and each reference to n_inter inlines the
+    # whole nwords-term popcount sum (measured: the 3-reference form
+    # ran the verify stage at 11.6 s vs 3.6 s single-reference at
+    # sf0.1). The n_inter/n_union OUTPUT projections also inline
+    # popcounts, but they run only on filter survivors.
     return (
-        scored.select(
+        scored.filter(
+            (10 + _TAU_NUM) * F.col("n_inter") >= _TAU_NUM * F.col("sz_sum")
+        )
+        .select("doc_a", "doc_b", "n_inter", "sz_sum")
+        # dedupe only the SURVIVORS (a true pair appears once per
+        # shared prefix shingle) — the tiny tail of the stream
+        .distinct()
+        .select(
             "doc_a",
             "doc_b",
             "n_inter",
             (F.col("sz_sum") - F.col("n_inter")).alias("n_union"),
-        )
-        .filter(
-            (F.col("n_union") > 0)
-            & (10 * F.col("n_inter") >= _TAU_NUM * F.col("n_union"))
         )
         .select(
             "doc_a",

@@ -52,7 +52,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for all N
+        # worker threads. 8g gave each of 32 concurrent tasks ~250MB —
+        # the 40x-scale candidate-join sort OOMed exactly there (the
+        # host has 128GiB; a real cluster gives 4-8GB per few cores).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     # Only force a local master when none is configured (spark-submit on a
     # cluster sets one; tests/bench get local[N]).

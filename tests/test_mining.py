@@ -73,6 +73,26 @@ class TestJaccardPrefixJoin:
         assert fallback == bitmap
 
 
+    def test_candidate_join_partitioning_pinned(self, spark):
+        """The candidate self-join must consume the explicit 8x-
+        parallelism repartitions directly: exactly two vid/lang
+        exchanges at n_join partitions feed it, and no planner-added
+        (ENSURE_REQUIREMENTS) vid/lang exchange exists — the 40x OOM
+        fix relies on this plan shape."""
+        import re
+
+        df = plans.QUERIES["dedup_jaccard_prefix_join"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_join = spark.sparkContext.defaultParallelism * 8
+        vid_exchanges = re.findall(
+            r"Exchange hashpartitioning\(vid[^)]*?(\d+)\),\s*(\w+)", plan
+        )
+        assert len(vid_exchanges) == 2
+        for nparts, origin in vid_exchanges:
+            assert int(nparts) == n_join
+            assert origin == "REPARTITION_BY_NUM"
+
+
 class TestTriangleCount:
     def test_matches_python_enumeration(self, spark):
         rows = table(spark, SF, "lineitem").select(

@@ -69,6 +69,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # drop any intermediates the builder persist()ed so a
+            # long sweep doesn't accumulate cached blocks
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             results[name] = {"status": "FAIL", "err": f"spark error: {exc}"}
