@@ -129,7 +129,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.alias("b")
     n_inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     n_union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - n_inter
-    jac = F.round(n_inter.cast("double") / n_union, 6)
+    # union = 0 (two sub-shingle-length docs) must never reach the
+    # division: under ANSI mode (Spark 4 default) 0/0 raises instead
+    # of producing a NULL the threshold filter would drop — found by
+    # the adversarial-corpus test. CASE short-circuits, so the guard
+    # holds under any predicate reordering.
+    jac = F.when(n_union > 0, F.round(n_inter.cast("double") / n_union, 6))
     return (
         a.join(
             b,
@@ -324,7 +329,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = tx.char_shingles(F.col("text_b"), SHINGLE_K)
     n_inter = F.size(F.array_intersect(sh_a, sh_b))
     n_union = F.size(sh_a) + F.size(sh_b) - n_inter
-    jac = F.round(n_inter.cast("double") / n_union, 6)
+    # two sub-shingle-length docs have IDENTICAL (empty-set) minhash
+    # signatures, so they band-collide into a candidate pair whose
+    # union is 0 — the CASE guard keeps the ANSI-mode division from
+    # raising (same hazard the adversarial-corpus test caught on the
+    # brute twin)
+    jac = F.when(n_union > 0, F.round(n_inter.cast("double") / n_union, 6))
     return (
         cand.join(txt_a, "doc_a")
         .join(txt_b, "doc_b")

@@ -1,0 +1,110 @@
+"""Property tests for operators/prefix_sum.py (two-level distributed
+cumulative sum) and adversarial-corpus losslessness of the prefix-
+filter similarity join."""
+
+from __future__ import annotations
+
+import pytest
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.operators.prefix_sum import sharded_cumsum
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # partition key
+            st.integers(min_value=-1000, max_value=1000),  # order value
+            st.integers(min_value=-50, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 7, 100, 10_000]),
+)
+def test_sharded_cumsum_equals_naive(spark, rows, width):
+    """For ANY data and ANY monotone shard width, offset + in-shard
+    cum == the naive global cumulative sum."""
+    # order_col must be unique per partition (grid contract): dedupe
+    seen = set()
+    grid = []
+    for g, x, w in rows:
+        if (g, x) not in seen:
+            seen.add((g, x))
+            grid.append((g, x, w))
+    df = spark.createDataFrame(grid, ["g", "x", "w"])
+    shard = F.floor(F.col("x") / F.lit(float(width))).cast("int")
+    got = {
+        (r.g, r.x): (r.cum, r.tot)
+        for r in sharded_cumsum(df, ["g"], "x", "w", shard).collect()
+    }
+    by_g: dict[str, list] = {}
+    for g, x, w in grid:
+        by_g.setdefault(g, []).append((x, w))
+    for g, xs in by_g.items():
+        xs.sort()
+        tot = sum(w for _, w in xs)
+        cum = 0
+        for x, w in xs:
+            cum += w
+            assert got[(g, x)] == (cum, tot)
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus_dir(tmp_path_factory):
+    """Adversarial documents corpus written as parquet so registered
+    queries can run on it: boundary-Jaccard pairs, identical docs,
+    sub-shingle-length docs, same text in different langs."""
+    import pandas as pd
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 chars, 32 shingles
+    docs = [
+        (0, base, "en"),                      # J(0,1)=1 (identical)
+        (1, base, "en"),
+        (2, base[:-1] + "!", "en"),           # near-dup of 0
+        (3, "xy", "en"),                      # shorter than K -> empty set
+        (4, "zq", "en"),                      # empty set too (pair 3-4: union 0)
+        (5, base, "zh"),                      # same text, other lang (blocked)
+        (6, "".join(reversed(base)), "en"),   # disjoint-ish
+        (7, base[:20], "en"),                 # strict subset (length filter edge)
+    ]
+    d = tmp_path_factory.mktemp("tinysf")
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _, _ in docs],
+            "text": [t for _, t, _ in docs],
+            "lang": [lang for _, _, lang in docs],
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(t) for _, t, _ in docs],
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_prefix_join_lossless_on_adversarial_corpus(spark, tiny_corpus_dir):
+    """Output equality with the all-pairs twin on a corpus built to
+    stress the pruning math: J=1 pairs, boundary sizes, empty shingle
+    sets, lang blocking."""
+    from hive_hdfs_practise_spark import plans
+
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in plans.QUERIES["dedup_jaccard_prefix_join"](
+            spark, tiny_corpus_dir
+        ).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in plans.QUERIES["dedup_ngram_jaccard"](
+            spark, tiny_corpus_dir
+        ).collect()
+    }
+    assert fast == brute
+    # the identical pair must be found, the cross-lang twin must not
+    assert (0, 1, 1.0) in fast
+    assert not any({a, b} == {0, 5} for a, b, _ in fast)
