@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "anonymize_join_preservation",
     "orders_snapshot_diff",
     "orders_psi_value_drift",
+    "graph_bfs_levels",
 ]
 
 

@@ -90,11 +90,12 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas); df is a vocab-sized aggregate that joins back on the
     shingle key; prefix ranking is a PER-DOC window (parallelism grows
     with the corpus, not the vocab — no global rank); candidate
-    generation shuffles only prefix postings on (shingle, lang) and
-    emits distinct id pairs; verification joins candidates to per-doc
-    shingle ARRAYS materialized once by an aggregate (never rebuilt
-    per pair) and only the intersect touches them — union sizes come
-    from the set-size table. On Heaps-law corpora the rare-shingle prefix is
+    generation shuffles only prefix postings on (shingle, lang);
+    verification is MAP-SIDE on the raw pair stream (broadcast bitmap
+    popcounts; set sizes ride the join), and only threshold survivors
+    reach the final distinct — the raw stream itself is never
+    shuffled (see the 40x notes inline and in SCALING.md). On
+    Heaps-law corpora the rare-shingle prefix is
     the workhorse filter; on this shared-vocab synthetic corpus it
     prunes ~23% and the length filter another ~2x (measured at
     sf0.01: 33,487 lang-blocked pairs -> 12,773 candidates -> 6 true
@@ -658,3 +659,96 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_max"),
         )
     )
+
+
+# BFS from a fixed source over the undirected customer-supplier trade
+# graph (same node encoding as graph_pagerank: 2*custkey / 2*suppkey+1).
+# Unrolled-round frontier expansion, all-integer — the traversal/
+# reachability member of the graph family (pagerank = centrality,
+# dedup_clusters = components, triangles = counting).
+BFS_SOURCE_CUSTKEY = 1
+BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    src = BFS_SOURCE_CUSTKEY * 2
+    parts = [
+        f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    r0 AS (SELECT CAST({src} AS BIGINT) AS node, 0 AS level)"""
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f"""r{k} AS (
+        SELECT node, CAST(min(level) AS INTEGER) AS level FROM (
+            SELECT node, level FROM r{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, {k} AS level
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           level
+    FROM r{BFS_ROUNDS}
+    """
+    )
+
+
+@register("graph_bfs_levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS_ROUNDS-hop breadth-first levels from customer
+    BFS_SOURCE_CUSTKEY over the undirected trade graph: level(v) =
+    min hops (<= BFS_ROUNDS). All-integer frontier expansion, so the
+    unrolled SQL restatement is bit-exact.
+
+    Scale shape: the one corpus-sized stage is the distinct-pair edge
+    build (as in graph_pagerank — the shuffle carries pairs, not
+    lineitems); the edge list is checkpointed once and each round is
+    one hash join (edges x reached) plus a min-aggregate whose
+    map-side partials are exact. Reached-set state is one row per
+    node, checkpointed per round — broadcasting it into the next
+    round's join would otherwise re-execute all prior rounds (the
+    graph_pagerank lesson).
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    reached = spark.createDataFrame(
+        [(BFS_SOURCE_CUSTKEY * 2, 0)], "node bigint, level int"
+    )
+    for k in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            e.join(reached, e.src == reached.node)
+            .select(F.col("dst").alias("node"), F.lit(k).alias("level"))
+        )
+        reached = (
+            reached.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("level").cast("int").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node div 2").cast("string")))
+    return reached.select(label.alias("node"), "level")

@@ -224,3 +224,45 @@ class TestZorderBuckets:
         n = table(spark, SF, "lineitem").count()
         assert sum(r.n_rows for r in rows) == n
         assert len({r.bucket for r in rows}) == len(rows)
+
+
+class TestBfsLevels:
+    def test_matches_python_bfs(self, spark):
+        from collections import deque
+
+        from hive_hdfs_practise_spark.plans.mining import (
+            BFS_ROUNDS,
+            BFS_SOURCE_CUSTKEY,
+        )
+
+        l = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        edges = set()
+        omap = {r.o_orderkey: r.o_custkey for r in o.collect()}
+        adj: dict = {}
+        for r in l.collect():
+            c = omap[r.l_orderkey] * 2
+            s = r.l_suppkey * 2 + 1
+            adj.setdefault(c, set()).add(s)
+            adj.setdefault(s, set()).add(c)
+        src = BFS_SOURCE_CUSTKEY * 2
+        level = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            if level[v] >= BFS_ROUNDS:
+                continue
+            for w in adj.get(v, ()):
+                if w not in level:
+                    level[w] = level[v] + 1
+                    q.append(w)
+        want = {
+            (("c" if n % 2 == 0 else "s") + str(n // 2)): lv
+            for n, lv in level.items()
+        }
+        got = {
+            r.node: r.level
+            for r in plans.QUERIES["graph_bfs_levels"](spark, SF).collect()
+        }
+        assert got == want
+        assert got and max(got.values()) <= BFS_ROUNDS

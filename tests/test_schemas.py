@@ -64,6 +64,8 @@ BUILD_EXECUTES = {
     # r4: streaming queries execute at build (availableNow sink)
     "stream_session_windows",
     "stream_sliding_rate",
+    # r4: per-round frontier checkpoints
+    "graph_bfs_levels",
 }
 
 
