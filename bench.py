@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "orders_psi_value_drift",
     "graph_bfs_levels",
+    "events_error_run_alerts",
+    "lineitem_jackknife_mean_se",
 ]
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources.catalog import table, wide_table
 from .registry import register
@@ -518,5 +517,95 @@ def orders_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((p2 - p1) * F.log((p2 + 1e-9) / (p1 + 1e-9))), 9
             ).alias("psi"),
+        )
+    )
+
+
+@register(
+    "lineitem_jackknife_mean_se",
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('month', l_shipdate) AS grp,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s_cents,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(s_cents) AS s, sum(n) AS n, count(*) AS grps FROM g),
+    thetas AS (
+        SELECT CAST(tot.s - g.s_cents AS DOUBLE)
+                   / (100.0 * (tot.n - g.n)) AS theta_i,
+               tot.grps, tot.s, tot.n
+        FROM g, tot
+    )
+    SELECT CAST(max(grps) AS INTEGER) AS n_groups,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(CAST(max(s) AS DOUBLE) / (100.0 * max(n)), 6) AS mean_price,
+           round(sqrt(
+               (max(grps) - 1.0) / max(grps)
+               * sum((theta_i - (SELECT avg(theta_i) FROM thetas))
+                     * (theta_i - (SELECT avg(theta_i) FROM thetas)))
+           ), 6) AS jackknife_se
+    FROM thetas
+    """,
+)
+def lineitem_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the mean extended
+    price, with ship-months as the deletion groups — resampling-based
+    uncertainty quantification that needs NO resampling passes: each
+    leave-one-out estimate theta_i = (S − s_i)/(n − n_i) is closed-form
+    from per-group sums, so the whole procedure is two aggregates over
+    a |groups|-row table. The grouped (block) jackknife is also the
+    honest choice under within-month correlation, where the row-level
+    bootstrap understates the error.
+
+    Determinism: group sums are exact integer cents; every theta_i is
+    a fixed-shape IEEE expression of those integers, and the final
+    variance sums |groups| (~80) doubles — rounded at 6dp.
+
+    Scale shape: one corpus aggregate to (month, sum, count); all
+    jackknife arithmetic runs on the metadata-scale group table with
+    the scalar totals broadcast.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    g = l.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("grp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "s_cents"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = g.agg(
+        F.sum("s_cents").alias("s"),
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("grps"),
+    )
+    thetas = g.join(F.broadcast(tot)).select(
+        (
+            (F.col("s") - F.col("s_cents")).cast("double")
+            / (100.0 * (F.col("n_tot") - F.col("n")))
+        ).alias("theta_i"),
+        "grps",
+        "s",
+        "n_tot",
+    )
+    tbar = thetas.agg(F.avg("theta_i").alias("tbar"))
+    return (
+        thetas.join(F.broadcast(tbar))
+        .agg(
+            F.max("grps").cast("int").alias("n_groups"),
+            F.max("n_tot").cast("bigint").alias("n_rows"),
+            F.round(
+                F.max("s").cast("double") / (100.0 * F.max("n_tot")), 6
+            ).alias("mean_price"),
+            F.round(
+                F.sqrt(
+                    (F.max("grps") - 1.0)
+                    / F.max("grps")
+                    * F.sum(
+                        (F.col("theta_i") - F.col("tbar"))
+                        * (F.col("theta_i") - F.col("tbar"))
+                    )
+                ),
+                6,
+            ).alias("jackknife_se"),
         )
     )

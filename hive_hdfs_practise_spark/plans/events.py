@@ -1452,3 +1452,88 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa_value"),
         )
     )
+
+
+# Row-pattern recognition (the MATCH_RECOGNIZE A{3,} shape — SQL:2016
+# surface Spark lacks natively): maximal runs of >= RUN_MIN consecutive
+# 'error' events per user, with run bounds and length.
+RUN_MIN = 3
+
+
+@register(
+    "events_error_run_alerts",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, is_err,
+               CASE WHEN is_err = 1 AND coalesce(lag(is_err) OVER w, 0) = 0
+                    THEN 1 ELSE 0 END AS run_start
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_id, ts, is_err,
+               sum(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+           min(ts) AS run_start_ts, max(ts) AS run_end_ts,
+           count(*) AS run_len
+    FROM runs WHERE is_err = 1
+    GROUP BY user_id, run_id
+    HAVING count(*) >= {RUN_MIN}
+    """,
+)
+def events_error_run_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern alerting: maximal runs of >= RUN_MIN consecutive
+    error events per user (the MATCH_RECOGNIZE ``(E){{3,}}`` pattern,
+    composed from the gaps-and-islands idiom since Spark has no
+    native row-pattern operator). A run is maximal by construction —
+    bounded by non-error events or stream ends — so alerts don't
+    re-fire for every suffix.
+
+    One shuffle on user_id serves the lag flag, the running run-id,
+    and the per-run aggregate. Deterministic ordering via the
+    (ts, event_id) tiebreak; all outputs integer/µs-exact.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        is_err.alias("is_err"),
+    ).withColumn(
+        "run_start",
+        F.when(
+            (F.col("is_err") == 1)
+            & (F.coalesce(F.lag("is_err").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("run_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.filter(F.col("is_err") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("ts").alias("run_start_ts"),
+            F.max("ts").alias("run_end_ts"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= RUN_MIN)
+        .select(
+            "user_id", "run_id", "run_start_ts", "run_end_ts", "run_len"
+        )
+    )

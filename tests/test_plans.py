@@ -874,3 +874,57 @@ class TestPseudonymizationAndDiff:
         )
         assert rows["unchanged"].n_status_changed == 0
         assert rows["unchanged"].n_price_changed == 0
+
+
+class TestRunAlertsAndJackknife:
+    def test_error_runs_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        per_user = defaultdict(list)
+        for r in table(spark, SF, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        ).collect():
+            per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        want = set()
+        for uid, evs in per_user.items():
+            evs.sort(key=lambda t: (t[0], t[1]))
+            run = []
+            for ts, _, et in evs + [(None, None, "_end")]:
+                if et == "error":
+                    run.append(ts)
+                else:
+                    if len(run) >= 3:
+                        want.add((uid, run[0], run[-1], len(run)))
+                    run = []
+        got = {
+            (r.user_id, r.run_start_ts, r.run_end_ts, r.run_len)
+            for r in plans.QUERIES["events_error_run_alerts"](spark, SF).collect()
+        }
+        assert got == want
+
+    def test_jackknife_recompute(self, spark):
+        import math
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        groups = defaultdict(lambda: [0, 0])
+        for r in table(spark, SF, "lineitem").select(
+            "l_shipdate", "l_extendedprice"
+        ).collect():
+            k = (r.l_shipdate.year, r.l_shipdate.month)
+            groups[k][0] += round(r.l_extendedprice * 100)
+            groups[k][1] += 1
+        S = sum(s for s, _ in groups.values())
+        N = sum(n for _, n in groups.values())
+        G = len(groups)
+        thetas = [(S - s) / (100.0 * (N - n)) for s, n in groups.values()]
+        tbar = sum(thetas) / G
+        se = math.sqrt((G - 1) / G * sum((t - tbar) ** 2 for t in thetas))
+        r = plans.QUERIES["lineitem_jackknife_mean_se"](spark, SF).collect()[0]
+        assert r.n_groups == G and r.n_rows == N
+        assert abs(r.mean_price - S / (100.0 * N)) < 1e-5
+        assert abs(r.jackknife_se - se) < 1e-5
+        assert r.jackknife_se > 0
