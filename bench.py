@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "graph_bfs_levels",
     "events_error_run_alerts",
     "lineitem_jackknife_mean_se",
+    "events_lateness_audit",
 ]
 
 

@@ -1537,3 +1537,89 @@ def events_error_run_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "run_id", "run_start_ts", "run_end_ts", "run_len"
         )
     )
+
+
+# Watermark lateness audit: how much data WOULD a given watermark
+# delay drop, and how late is it? The testdata's events are recorded
+# in (near-)event-time order — a vacuous arrival log — so the audit
+# REPLAYS the stream in md5-scrambled arrival order (deterministic in
+# both engines, and the worst case for out-of-orderness): the
+# operator's math is arrival-source-agnostic, and a deployment feeds
+# it the real ingestion sequence instead.
+WM_DELAY_US = 2 * 3600 * 1_000_000
+WM_BUCKET_US = 900 * 1_000_000  # 15-min lateness buckets
+
+
+@register(
+    "events_lateness_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT md5(CAST(event_id AS VARCHAR)) AS m, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT us,
+               max(us) OVER (ORDER BY m, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        FROM ev
+    ),
+    late AS (
+        SELECT (hw - {WM_DELAY_US} - us) AS late_us
+        FROM w WHERE hw IS NOT NULL AND us < hw - {WM_DELAY_US}
+    )
+    SELECT CAST(late_us // {WM_BUCKET_US} AS BIGINT) AS lateness_bucket,
+           count(*) AS n_dropped,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM late GROUP BY 1
+    """,
+)
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: events a 2h event-time watermark
+    would DROP (their timestamp is older than the high-water mark of
+    everything that ARRIVED before them, minus the delay), bucketed
+    into 15-min lateness bands — the diagnostic that sizes
+    withWatermark() before deploying the streaming twins. Arrival
+    order here is the md5-scrambled replay (see module note).
+
+    The high-water mark is a running MAX over the arrival order,
+    which has no partitions — so it runs two-level, like
+    operators/prefix_sum.py but for max: per-(arrival-shard) running
+    max plus each shard's broadcast prior-shard high-water mark (max
+    is associative, and shards — the first two md5 hex chars — are
+    monotone in the arrival order, so greatest(in-shard prior max,
+    prior shards' max) IS the global prior high-water mark, exactly,
+    in integer µs).
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.md5(F.col("event_id").cast("string")).alias("m"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    g = e.withColumn("shard", F.substring("m", 1, 2))
+    ws = Window.partitionBy("shard").orderBy("m", "event_id")
+    st = g.groupBy("shard").agg(F.max("us").alias("smax"))
+    wf = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = st.select("shard", F.max("smax").over(wf).alias("prior_max"))
+    w = (
+        g.withColumn(
+            "in_prev",
+            F.max("us").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .join(F.broadcast(off), "shard")
+        .select(
+            "us",
+            F.greatest(F.col("in_prev"), F.col("prior_max")).alias("hw"),
+        )
+    )
+    late = w.filter(
+        F.col("hw").isNotNull() & (F.col("us") < F.col("hw") - WM_DELAY_US)
+    ).select((F.col("hw") - WM_DELAY_US - F.col("us")).alias("late_us"))
+    return late.groupBy(
+        F.expr(f"late_us div {WM_BUCKET_US}").cast("bigint").alias(
+            "lateness_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

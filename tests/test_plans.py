@@ -928,3 +928,38 @@ class TestRunAlertsAndJackknife:
         assert abs(r.mean_price - S / (100.0 * N)) < 1e-5
         assert abs(r.jackknife_se - se) < 1e-5
         assert r.jackknife_se > 0
+
+
+class TestLatenessAudit:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        from hive_hdfs_practise_spark.plans.events import (
+            WM_BUCKET_US,
+            WM_DELAY_US,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        rows = [
+            (hashlib.md5(str(r.event_id).encode()).hexdigest(), r.event_id, r.ts)
+            for r in table(spark, SF, "events").select("event_id", "ts").collect()
+        ]
+        rows.sort()
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, None])
+        hw = None
+        for _, _, ts in rows:
+            us = int(ts.timestamp() * 1e6)
+            if hw is not None and us < hw - WM_DELAY_US:
+                late = hw - WM_DELAY_US - us
+                b = late // WM_BUCKET_US
+                want[b][0] += 1
+                want[b][1] = max(want[b][1] or 0, late)
+            hw = us if hw is None else max(hw, us)
+        got = {
+            r.lateness_bucket: (r.n_dropped, r.max_late_us)
+            for r in plans.QUERIES["events_lateness_audit"](spark, SF).collect()
+        }
+        assert got == {b: (n, m) for b, (n, m) in want.items()}
+        assert got  # scrambled replay must produce late events
