@@ -388,26 +388,28 @@ _ANON_SALT = "graft-salt-v1"
 @register(
     "anonymize_join_preservation",
     oracle=f"""
-    WITH e AS (
-        SELECT user_id,
-               sha256('{_ANON_SALT}' || CAST(user_id AS VARCHAR)) AS pseud
-        FROM events
+    WITH uc AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
     ),
-    c AS (
-        SELECT c_custkey,
-               sha256('{_ANON_SALT}' || CAST(c_custkey AS VARCHAR)) AS pseud
+    u AS (
+        SELECT user_id, cnt,
+               sha256('{_ANON_SALT}' || CAST(user_id AS VARCHAR)) AS pseud
+        FROM uc
+    ),
+    cp AS (
+        SELECT sha256('{_ANON_SALT}' || CAST(c_custkey AS VARCHAR)) AS pseud
         FROM customer
     )
-    SELECT count(*) AS n_events,
-           CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+    SELECT CAST(sum(u.cnt) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN u.cnt ELSE 0 END)
                 AS BIGINT) AS n_joined_raw,
-           CAST(sum(CASE WHEN cp.pseud IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN cpk.pseud IS NOT NULL THEN u.cnt ELSE 0 END)
                 AS BIGINT) AS n_joined_pseudo,
-           count(DISTINCT e.user_id) AS n_distinct_users,
-           count(DISTINCT e.pseud) AS n_distinct_pseudonyms
-    FROM e
-    LEFT JOIN c ON e.user_id = c.c_custkey
-    LEFT JOIN (SELECT DISTINCT pseud FROM c) cp ON e.pseud = cp.pseud
+           count(*) AS n_distinct_users,
+           count(DISTINCT u.pseud) AS n_distinct_pseudonyms
+    FROM u
+    LEFT JOIN customer c ON u.user_id = c.c_custkey
+    LEFT JOIN (SELECT DISTINCT pseud FROM cp) cpk ON u.pseud = cpk.pseud
     """,
 )
 def anonymize_join_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,31 +422,37 @@ def anonymize_join_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training-data pipeline applies before text extraction, and the
     audit IS the operator's correctness certificate.
 
-    Scale shape: the surrogate is a per-row codegen'd hash (no
-    shuffle to assign); the two probe joins are on user-cardinality
-    keys. sha256 hex matches bit-for-bit across engines (the md5/
-    sha256 invariant), so counts are value-checked.
+    Scale shape: the ONLY corpus-sized stage is the per-user event
+    count (map-side-combining); hashing, both probe joins, and the
+    single count(DISTINCT) then run on the distinct-USER table, with
+    the event counts weighting the join flags back to event totals.
+    The first cut hashed and joined per EVENT row and put two
+    count(DISTINCT)s in one aggregate (an Expand doubling the 10x
+    scan) — 9.8 s vs ~1 s at 10x. sha256 hex matches bit-for-bit
+    across engines, so every count is value-checked.
     """
-    e = table(spark, sf_dir, "events").select("user_id")
-    c = table(spark, sf_dir, "customer").select("c_custkey")
     pseud = lambda col: F.sha2(  # noqa: E731
         F.concat(F.lit(_ANON_SALT), col.cast("string")), 256
     )
-    ep = e.select("user_id", pseud(F.col("user_id")).alias("pseud"))
-    cp = c.select("c_custkey", pseud(F.col("c_custkey")).alias("c_pseud"))
-    cp_keys = cp.select("c_pseud").distinct()
-    joined = (
-        ep.join(cp.select("c_custkey"), ep.user_id == F.col("c_custkey"), "left")
-        .join(cp_keys, ep.pseud == F.col("c_pseud"), "left")
+    uc = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pseud", pseud(F.col("user_id")))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    cpk = c.select(pseud(F.col("c_custkey")).alias("c_pseud")).distinct()
+    joined = uc.join(c, uc.user_id == c.c_custkey, "left").join(
+        F.broadcast(cpk), uc.pseud == F.col("c_pseud"), "left"
     )
     return joined.agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("c_custkey").isNotNull(), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_joined_raw"),
-        F.sum(F.when(F.col("c_pseud").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("c_pseud").isNotNull(), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_joined_pseudo"),
-        F.count_distinct(F.col("user_id")).alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_distinct_users"),
         F.count_distinct(F.col("pseud")).alias("n_distinct_pseudonyms"),
     )
