@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "events_error_run_alerts",
     "lineitem_jackknife_mean_se",
     "events_lateness_audit",
+    "dataset_shuffle_audit",
 ]
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as tx
 from ..operators.sampling import dataset_split, hash_sample
@@ -455,4 +456,98 @@ def anonymize_join_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_joined_pseudo"),
         F.count(F.lit(1)).alias("n_distinct_users"),
         F.count_distinct(F.col("pseud")).alias("n_distinct_pseudonyms"),
+    )
+
+
+@register(
+    "dataset_shuffle_audit",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               md5(CAST(doc_id AS VARCHAR)) || '-' || CAST(doc_id AS VARCHAR)
+                   AS ord
+        FROM documents
+    ),
+    w AS (
+        SELECT source, ord,
+               CASE WHEN lag(source) OVER (ORDER BY ord)
+                         IS DISTINCT FROM source
+                    THEN 1 ELSE 0 END AS is_start
+        FROM d
+    ),
+    r AS (
+        SELECT source,
+               sum(is_start) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+                   AS run_id
+        FROM w
+    ),
+    runs AS (
+        SELECT run_id, min(source) AS source, count(*) AS run_len
+        FROM r GROUP BY run_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           CAST(sum(run_len) AS BIGINT) AS n_docs
+    FROM runs GROUP BY source
+    """,
+)
+def dataset_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shuffle quality audit: under the deterministic global
+    shuffle order (md5 of the doc id — the order a shuffled shard
+    writer would use), measure same-source RUN LENGTHS per source. A
+    good shuffle shows runs of ~1-3; long runs mean a training shard
+    would feed the model one source for many consecutive samples.
+
+    The run structure is global, but nothing here sorts globally:
+    SEGMENTED run detection — within-(md5-prefix)-shard lag() plus
+    each shard's predecessor-shard last source from the
+    metadata-scale shard grid — marks run STARTS exactly, and the
+    global run id is the two-level distributed prefix sum of the
+    start flags (operators/prefix_sum.py; shard prefixes are monotone
+    in the order key by construction). The oracle restates the whole
+    thing with one flat global window. All counts integer.
+    """
+    from ..operators.prefix_sum import sharded_cumsum
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+        ).alias("ord"),
+    )
+    g = d.withColumn("shard", F.substring("ord", 1, 2))
+    ws = Window.partitionBy("shard").orderBy("ord")
+    lasts = g.groupBy("shard").agg(F.max_by("source", "ord").alias("last_src"))
+    grid = lasts.select(
+        "shard",
+        F.lag("last_src").over(Window.orderBy("shard")).alias("prev_last"),
+    )
+    flagged = (
+        g.withColumn("in_prev", F.lag("source").over(ws))
+        .join(F.broadcast(grid), "shard")
+        .withColumn(
+            "prev_source", F.coalesce(F.col("in_prev"), F.col("prev_last"))
+        )
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_source").isNull()
+                | (F.col("prev_source") != F.col("source")),
+                1,
+            ).otherwise(0),
+        )
+        .select("source", "ord", "shard", "is_start")
+    )
+    runs = (
+        sharded_cumsum(flagged, [], "ord", "is_start", F.col("shard"), cum_name="run_id")
+        .groupBy("run_id")
+        .agg(F.min("source").alias("source"), F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.sum("run_len").cast("bigint").alias("n_docs"),
     )

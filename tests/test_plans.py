@@ -963,3 +963,39 @@ class TestLatenessAudit:
         }
         assert got == {b: (n, m) for b, (n, m) in want.items()}
         assert got  # scrambled replay must produce late events
+
+
+class TestShuffleAudit:
+    def test_matches_python_runs(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        docs = [
+            (hashlib.md5(str(r.doc_id).encode()).hexdigest() + "-" + str(r.doc_id), r.source)
+            for r in table(spark, SF, "documents").select("doc_id", "source").collect()
+        ]
+        docs.sort()
+        want = defaultdict(lambda: [0, 0, 0])  # n_runs, max_len, n_docs
+        prev = None
+        run_len = 0
+        def close(src, ln):
+            want[src][0] += 1
+            want[src][1] = max(want[src][1], ln)
+        for _, src in docs:
+            want[src][2] += 1
+            if src == prev:
+                run_len += 1
+            else:
+                if prev is not None:
+                    close(prev, run_len)
+                prev, run_len = src, 1
+        close(prev, run_len)
+        got = {
+            r.source: (r.n_runs, r.max_run_len, r.n_docs)
+            for r in plans.QUERIES["dataset_shuffle_audit"](spark, SF).collect()
+        }
+        assert got == {s: tuple(v) for s, v in want.items()}
+        # shuffle sanity: total docs conserved
+        assert sum(v[2] for v in want.values()) == len(docs)
