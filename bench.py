@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "lineitem_jackknife_mean_se",
     "events_lateness_audit",
     "dataset_shuffle_audit",
+    "sales_incremental_refresh",
+    "supplier_abc_classification",
 ]
 
 

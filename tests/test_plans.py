@@ -999,3 +999,52 @@ class TestShuffleAudit:
         assert got == {s: tuple(v) for s, v in want.items()}
         # shuffle sanity: total docs conserved
         assert sum(v[2] for v in want.values()) == len(docs)
+
+
+class TestIncrementalAndAbc:
+    def test_incremental_equals_full_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        acc = defaultdict(lambda: [0.0, 0])
+        for r in table(spark, SF, "orders").collect():
+            k = (r.o_orderdate.year, r.o_orderstatus)
+            acc[k][0] += r.o_totalprice
+            acc[k][1] += 1
+        got = {
+            (r.o_year, r.o_orderstatus): (r.total_sales, r.n_orders)
+            for r in plans.QUERIES["sales_incremental_refresh"](spark, SF).collect()
+        }
+        assert got == {k: (round(s, 2), n) for k, (s, n) in acc.items()}
+
+    def test_abc_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        cents = defaultdict(int)
+        for r in table(spark, SF, "lineitem").select(
+            "l_suppkey", "l_extendedprice"
+        ).collect():
+            cents[r.l_suppkey] += round(r.l_extendedprice * 100)
+        order = sorted(cents.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(cents.values())
+        want = defaultdict(lambda: [0, 0])
+        cum = 0
+        for _, c in order:
+            cum += c
+            cls = "A" if 100 * cum <= 80 * tot else ("B" if 100 * cum <= 95 * tot else "C")
+            want[cls][0] += 1
+            want[cls][1] += c
+        got = {
+            r.abc_class: (r.n_suppliers, r.revenue_share)
+            for r in plans.QUERIES["supplier_abc_classification"](spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for cls, (n, c) in want.items():
+            gn, gs = got[cls]
+            assert gn == n
+            assert abs(gs - c / tot) < 1e-6
+        # class shares partition the revenue
+        assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-5
