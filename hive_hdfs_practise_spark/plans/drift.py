@@ -388,7 +388,7 @@ def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT n, s,
-               cents * (k * (ck - k) + k * (k + 1) / 2) AS ix
+               cents * (k * (ck - k) + k * (k + 1) // 2) AS ix
         FROM c
     )
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
@@ -439,7 +439,7 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents")
             * (
                 F.col("k") * (F.col("ck") - F.col("k"))
-                + F.col("k") * (F.col("k") + 1) / 2
+                + F.expr("k * (k + 1) div 2")
             )
         ).alias("ix"),
     )

@@ -623,9 +623,10 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combining aggregate keyed by the
     derived bucket — the z-value is 32 codegen'd div/mod terms per
-    row, no shuffle before the 256-group reduction. Fixed-width
-    truncation (``% 65536``) is the standard z-map normalization;
-    at key domains past 2^16 the modulo wraps and a deployment
+    row, no shuffle before the 256-group reduction. Keys are
+    max-scaled to the 16-bit grid (``key*65536 div (max+1)`` — a
+    1-row max aggregate broadcast back), so any key domain maps onto
+    [0, 65535] with no wraparound; a deployment wanting finer cells
     widens ZORDER_BITS (the expression generator is parametric).
     All arithmetic integer — bit-exact cross-engine.
     """

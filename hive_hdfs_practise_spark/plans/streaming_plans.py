@@ -217,7 +217,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_WINDOWS_ORACLE = """
     WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
                     THEN 1 ELSE 0 END AS is_new
@@ -225,7 +225,7 @@ _SESSION_WINDOWS_ORACLE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )
