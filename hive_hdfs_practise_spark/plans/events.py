@@ -830,15 +830,6 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAD_K = 3
 
 
-def _interp_median_sql(arr: str) -> str:
-    """DuckDB linear-interpolated median of a sorted list expr —
-    textually the same formula the Spark side evaluates."""
-    h = f"(len({arr}) - 1) / 2.0"
-    lo = f"{arr}[CAST(floor({h}) AS INT) + 1]"
-    hi = f"{arr}[CAST(ceil({h}) AS INT) + 1]"
-    return f"({lo} + ({h} - floor({h})) * ({hi} - {lo}))"
-
-
 @register(
     "events_anomaly_mad",
     oracle=f"""
@@ -854,14 +845,13 @@ def _interp_median_sql(arr: str) -> str:
     ),
     d AS (
         SELECT event_id, event_type, value, med,
-               list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+               unnest(arr) AS x
         FROM m
     ),
     dm AS (
-        -- interp once per row (no reliance on engine CSE)
         SELECT event_id, event_type, value, med,
-               {_interp_median_sql('dev')} AS mad
-        FROM d
+               quantile_cont(abs(x - med), 0.5) AS mad
+        FROM d GROUP BY event_id, event_type, value, med
     )
     SELECT event_id, event_type,
            round(value, 4) AS value,
@@ -876,60 +866,54 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than MAD_K MADs (see note above). Runs on the same
     ``_sharded_trailing_frame`` scaffolding as events_moving_median,
     so the rank-based frame work parallelizes over (event_type, time
-    shard) instead of serializing per type; the per-row median/MAD
-    interpolation operates on the ≤100-element frame array — tiny,
-    per-row, no extra shuffle beyond the frame window's own.
+    shard) instead of serializing per type.
 
-    Scale cost (measured, SCALING.md): linear with a large constant
-    (~25 µs/row — a collect_list frame rebuild plus interpreted
-    sorts of the deviation array per row). The sharded keying makes
-    it scale horizontally, but a deployment that only needs
-    approximate flags should run the mergeable histogram-sketch form
-    per window instead of exact rank math."""
+    The deviation median is EXPLODE + a codegen'd ``percentile``
+    hash aggregate — no interpreted array lambdas anywhere (the r1-r4
+    form paid ~25 µs/row in a per-row transform+array_sort+fold;
+    measured 3.8 s at sf0.1, 107 s at 40×). Crucially the aggregate
+    adds NO shuffle: its grouping keys are a superset of the frame
+    window's (event_type, shard) hash partitioning, which satisfies
+    the aggregate's ClusteredDistribution, so the exploded deviations
+    are consumed in place (plan-asserted in tests — exactly the two
+    scaffolding exchanges). Per row the cost is ≤100 codegen'd
+    abs+hash-insert ops and one 100-element JVM percentile buffer.
+    Spark ``percentile`` / DuckDB ``quantile_cont`` is the same
+    value-exact pairing the window median already relies on."""
     e = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
     unioned, w = _sharded_trailing_frame(spark, e, lookback=99)
 
     # med and arr are WINDOW expressions on purpose: a window output
-    # is a materialized attribute, so downstream lambdas reference a
-    # value, not an expression. Computing med by interpolating over
-    # arr in a projection instead let CollapseProject inline the
-    # whole median expression into the per-element dev lambda —
-    # median recomputed ~100x per row, measured 152 s at sf0.1 vs
-    # ~4 s for this shape. (Same percentile/quantile_cont pairing
-    # the moving median already proved value-exact.)
+    # is a materialized attribute, so downstream references see a
+    # value, not an expression CollapseProject can inline per element
+    # (the inlined form measured 152 s at sf0.1 vs ~4 s).
     framed = unioned.select(
         "*",
         F.percentile("value", F.lit(0.5)).over(w).alias("med"),
         F.collect_list("value").over(w).alias("arr"),
     ).where(F.col("carried") == 0)
-    # mad extracts its two interpolation elements in ONE left fold
-    # over the sorted deviation array: element_at(ds, lo_idx) +
-    # element_at(ds, hi_idx) would reference ds three times, and
-    # every reference re-runs the per-row transform+sort after
-    # projection collapse (measured ~1.2 s per reference at sf0.1;
-    # the element_at form cost 7.3 s total vs ~4 s for this one).
-    ds = F.array_sort(
-        F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))
+    exploded = framed.select(
+        "event_id",
+        "event_type",
+        "shard",
+        "value",
+        "med",
+        F.explode("arr").alias("x"),
     )
-    h = (F.size(F.col("arr")) - F.lit(1)) / F.lit(2.0)
-    lo_idx = F.floor(h).cast("int") + 1
-    hi_idx = F.ceil(h).cast("int") + 1
-    mad = F.aggregate(
-        ds,
-        F.struct(
-            F.lit(0).alias("i"), F.lit(0.0).alias("lo"), F.lit(0.0).alias("hi")
-        ),
-        lambda acc, x: F.struct(
-            (acc["i"] + 1).alias("i"),
-            F.when(acc["i"] + 1 == lo_idx, x).otherwise(acc["lo"]).alias("lo"),
-            F.when(acc["i"] + 1 == hi_idx, x).otherwise(acc["hi"]).alias("hi"),
-        ),
-        lambda acc: acc["lo"] + (h - F.floor(h)) * (acc["hi"] - acc["lo"]),
+    # event_id is globally unique, so grouping by it alone would be
+    # correct — shard/event_type/value/med ride along to (a) keep the
+    # grouping keys a superset of the upstream hash partitioning
+    # (exchange-free aggregate) and (b) carry the output columns.
+    dm = exploded.groupBy(
+        "event_type", "shard", "event_id", "value", "med"
+    ).agg(
+        F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
     )
-    flagged = framed.withColumn("mad", mad)
-    return flagged.where(
+    return dm.where(
         F.round(F.abs(F.col("value") - F.col("med")), 9)
         > F.round(MAD_K * F.col("mad"), 9)
     ).select(

@@ -257,6 +257,36 @@ def test_anomaly_mad_matches_unsharded_window(spark):
     assert got == want
 
 
+class TestMadExactPlan:
+    """r5: events_anomaly_mad's deviation median is EXPLODE + a
+    percentile hash aggregate whose grouping keys are a superset of
+    the frame window's (event_type, shard) partitioning — so the
+    aggregate must consume the exploded rows IN PLACE (no exchange
+    between Generate and the aggregate) and no interpreted array
+    lambda may reappear in the hot path."""
+
+    def test_no_interpreted_lambdas(self, spark):
+        # every higher-order function (transform/aggregate/filter/
+        # array_sort-with-comparator) renders a lambdafunction(...)
+        # in the plan; sort_array is the lambda-free sort expression
+        p = _plan(spark, "events_anomaly_mad").lower()
+        assert "lambdafunction" not in p
+        assert "sort_array" not in p and "array_sort" not in p
+
+    def test_deviation_aggregate_is_exchange_free(self, spark):
+        p = _plan(spark, "events_anomaly_mad")
+        gen = p.find("Generate explode")
+        assert gen != -1
+        # everything ABOVE the explode (the aggregate + filter) must
+        # contain no Exchange: the plan string lists operators
+        # top-down, so the segment before the Generate line is the
+        # aggregate side. BroadcastExchange of the scaffolding's tail
+        # map sits BELOW the window, never between agg and explode.
+        above = p[:gen]
+        assert "ObjectHashAggregate" in above or "HashAggregate" in above
+        assert "Exchange hashpartitioning" not in above
+
+
 class TestMadHistPlan:
     """r4: events_anomaly_mad_hist — the mergeable histogram-sketch
     scale path must stay sketch-shaped (hash aggregates over bucket
