@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "word_freq_cms_topk",
     "knn_lsh_multiprobe",
     "knn_ivf",
+    # end-to-end deployment path: index build (bucketed write) +
+    # bucket-pruned probe — the write dominates; the probe alone is
+    # the exchange-free pruned scan the plan test pins
+    "knn_ivf_indexed",
     "documents_pii_scrub",
     "documents_source_quota",
     "documents_lang_rebalance",

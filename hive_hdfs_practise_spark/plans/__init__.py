@@ -69,6 +69,7 @@ _FRONT = [
     "lineitem_checksum",
     "lineitem_ols",
     # round-5 additions (never sampled by construction)
+    "knn_ivf_indexed",
 ]
 
 

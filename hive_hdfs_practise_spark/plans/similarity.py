@@ -373,6 +373,31 @@ def knn_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf_indexed", oracle=_ivf_oracle())
+def knn_ivf_indexed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF DEPLOYMENT path (similarity/knn.py:104,137), end to
+    end: build the index — k-means quantizer saved as a tiny table
+    plus the corpus assignment table written BUCKETED by cluster_id —
+    then probe it. The probe collects only the nlist centroids and
+    the query row, computes the nprobe probe lists driver-side, and
+    scans the assignment table with a ``cluster_id IN (...)`` filter
+    that bucket-prunes to nprobe/nlist of the files: a pruned scan +
+    TakeOrdered, ZERO exchanges (plan-asserted in test_similarity;
+    inline/indexed output parity pinned there too). The quantizer is
+    deterministic (lowest-id seeding, 9-dp centroids), so the same
+    ``_ivf_oracle`` SQL that value-checks knn_ivf value-checks the
+    indexed path — a green row here certifies the materialized
+    index, not just the inline recompute. Builder runs jobs at plan
+    time (index write): BUILD_EXECUTES."""
+    from ..similarity.knn import knn_ivf_indexed, write_ivf_index
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    write_ivf_index(spark, e, "ivf_query_idx", nlist=IVF_NLIST, iters=IVF_ITERS)
+    return knn_ivf_indexed(
+        spark, "ivf_query_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

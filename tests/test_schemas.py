@@ -47,6 +47,9 @@ BUILD_EXECUTES = {
     "word_freq_countsketch_topk",
     # r4: kmeans_centroids localCheckpoints per Lloyd round
     "knn_ivf",
+    # r5: builds (writes) the bucketed IVF index at plan time, then
+    # collects centroids + query row to compute the probe-list filter
+    "knn_ivf_indexed",
     # r4: per-round symbol-table checkpoints
     "text_bpe_merges",
     "text_bpe_apply",
