@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
+    # cross-doc member of the multimodal family: Arrow dHash + banded join
+    "multimodal_phash_neardup",
     "chunks_ordered_reassembly",
     "replication_audit",
     "order_value_percentiles",

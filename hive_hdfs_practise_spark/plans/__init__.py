@@ -70,6 +70,7 @@ _FRONT = [
     "lineitem_ols",
     # round-5 additions (never sampled by construction)
     "knn_ivf_indexed",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -217,3 +217,136 @@ class TestCodecSeam:
             pass
         assert pil_image_decoder() is None
         assert pil_image_resizer() is None
+
+
+class TestPhashNearDup:
+    """r5: perceptual dHash near-dup join — planted-pair behavior and
+    the pigeonhole exactness that lets the banded LSH plan match a
+    quadratic oracle."""
+
+    def _pairs(self, spark, docs):
+        from hive_hdfs_practise_spark.plans.multimodal import (
+            PHASH_HAM_K,
+        )
+        from hive_hdfs_practise_spark.multimodal.binary_ops import (
+            from_documents,
+            phash_signature,
+        )
+        from pyspark.sql import functions as F
+
+        media = from_documents(docs)
+        sig = phash_signature(media)
+        bands = sig.select(
+            "media_id",
+            "sig",
+            F.posexplode("sig").alias("band_idx", "band_val"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        ham = sum(
+            F.bit_count(F.col("a.sig")[k].bitwiseXOR(F.col("b.sig")[k])).cast(
+                "int"
+            )
+            for k in range(8)
+        ).cast("int")
+        return {
+            (r.ma, r.mb, r.hamming)
+            for r in a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("ma"),
+                F.col("b.media_id").alias("mb"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= PHASH_HAM_K)
+            .distinct()
+            .collect()
+        }
+
+    @staticmethod
+    def _brute(texts):
+        """Reference dHash + full pairwise Hamming in plain Python."""
+        from hive_hdfs_practise_spark.multimodal.binary_ops import (
+            PHASH_BLOCKS,
+        )
+
+        def sig(text):
+            bl = max(1, -(-len(text) // PHASH_BLOCKS))
+            cnts = [
+                sum(ord(ch) for ch in text[i * bl : (i + 1) * bl])
+                for i in range(PHASH_BLOCKS)
+            ]
+            bits = [
+                1 if cnts[i] > cnts[i + 1] else 0
+                for i in range(PHASH_BLOCKS - 1)
+            ]
+            return [
+                sum(bits[k * 8 + j] << j for j in range(8)) for k in range(8)
+            ]
+
+        sigs = {d: sig(t) for d, t in texts.items()}
+        out = set()
+        ids = sorted(sigs)
+        for i, da in enumerate(ids):
+            for db in ids[i + 1 :]:
+                h = sum(
+                    bin(x ^ y).count("1")
+                    for x, y in zip(sigs[da], sigs[db])
+                )
+                if h <= 7:
+                    out.add((da, db, h))
+        return out
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in sorted(texts.items())],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+
+    def test_planted_near_dup_found_control_not(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "engineers review a partition plan and argue about shuffle "
+            "boundaries in the afternoon standup before finally agreeing "
+            "to broadcast the small dimension table instead of sorting"
+        )
+        texts = {
+            1: base,
+            # same-LENGTH word swap: dHash (like pHash on images) is
+            # robust to local value changes, not to length-shifting
+            # edits that re-align every downstream block (the crop
+            # analog) — so the planted edit preserves length
+            2: base.replace("afternoon", "overnight"),
+            3: "completely different content " * 9,  # control
+        }
+        got = self._pairs(spark, self._docs(spark, texts))
+        pairs = {(a, b) for a, b, _ in got}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_banded_join_equals_brute_force(self, spark):
+        """Pigeonhole exactness: ≤7 flipped bits over 8 bands leave a
+        clean band, so the banded plan must equal the quadratic
+        reference EXACTLY — including pairs engineered to sit right
+        at the threshold and pairs spreading flips across bands."""
+        import random
+
+        rng = random.Random(7)
+        words = ["alpha", "bravo", "carol", "delta", "echos", "fotox"]
+        texts = {}
+        for d in range(40):
+            texts[d] = " ".join(rng.choice(words) for _ in range(60))
+        # planted family: progressively mutated copies of doc 0
+        base = texts[0]
+        for k, d in enumerate(range(100, 106)):
+            chars = list(base)
+            for _ in range(k * 3):
+                pos = rng.randrange(len(chars))
+                chars[pos] = rng.choice("xyz")
+            texts[d] = "".join(chars)
+        got = self._pairs(spark, self._docs(spark, texts))
+        assert got == self._brute(texts)
+        assert any(a == 0 and b >= 100 for a, b, _ in got)  # non-vacuous
