@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "orders_psi_value_drift",
     "graph_bfs_levels",
     "events_error_run_alerts",
+    "events_pattern_browse_buy",
     "lineitem_jackknife_mean_se",
     "events_lateness_audit",
     "dataset_shuffle_audit",

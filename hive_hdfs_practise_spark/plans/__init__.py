@@ -71,6 +71,7 @@ _FRONT = [
     # round-5 additions (never sampled by construction)
     "knn_ivf_indexed",
     "multimodal_phash_neardup",
+    "events_pattern_browse_buy",
 ]
 
 

@@ -1523,6 +1523,117 @@ def events_error_run_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Row-pattern recognition, 3-state form (MATCH_RECOGNIZE
+# ``A B* C`` with per-match MEASURES — the r5 generalization of the
+# single-state A{3,} islands above): click → any number of views →
+# purchase, per user, consecutive rows. The declarative rule "for
+# each C-row, the LATEST preceding non-B row must be an A" is
+# exactly the automaton with greedy B* and AFTER MATCH SKIP PAST
+# LAST ROW: a completed match's interior is all-B, so no other
+# match can start inside it, and a failed prefix (A followed by a
+# non-B non-C) is abandoned precisely when the carry-forward
+# overwrites the A.
+@register(
+    "events_pattern_browse_buy",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vmicro
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER w AS rn,
+               sum(CASE WHEN event_type = 'view' THEN vmicro ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cumv
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    carried AS (
+        SELECT user_id, event_id, ts, event_type, rn, cumv,
+               last_value(CASE WHEN event_type <> 'view' THEN rn END
+                          IGNORE NULLS) OVER wp AS rn_a,
+               last_value(CASE WHEN event_type <> 'view' THEN event_type END
+                          IGNORE NULLS) OVER wp AS type_a,
+               last_value(CASE WHEN event_type <> 'view' THEN ts END
+                          IGNORE NULLS) OVER wp AS ts_a,
+               last_value(CASE WHEN event_type <> 'view' THEN cumv END
+                          IGNORE NULLS) OVER wp AS cumv_a
+        FROM seq
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS end_event_id,
+           ts_a AS match_start_ts, ts AS match_end_ts,
+           CAST(rn - rn_a - 1 AS INTEGER) AS n_views,
+           round((cumv - cumv_a) / 1000000.0, 6) AS views_value,
+           epoch_us(ts) - epoch_us(ts_a) AS duration_us
+    FROM carried
+    WHERE event_type = 'purchase' AND type_a = 'click'
+    """,
+)
+def events_pattern_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``click (view)* purchase`` with per-match
+    measures (see note above for the automaton-equivalence argument).
+    Measures: view count (row-number difference), summed view value
+    (difference of an INTEGER micro-unit running sum — float
+    window-frame sums are engine-order-dependent, integers are not),
+    and µs duration. All carry-forwards are ``last(..., ignorenulls)``
+    over the same (user, ts, event_id) ordering, so ONE shuffle on
+    user_id serves the row numbers, the running view-value sum, and
+    the four carried A-row attributes; the per-row cost is constant.
+    end_event_id keeps output rows unique (deterministic compare)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    vmicro = F.round(F.col("value") * 1_000_000).cast("bigint")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    nonview = F.col("event_type") != "view"
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(
+            F.when(F.col("event_type") == "view", vmicro).otherwise(0)
+        )
+        .over(wcum)
+        .alias("cumv"),
+    )
+    carried = seq.select(
+        "*",
+        F.last(F.when(nonview, F.col("rn")), ignorenulls=True)
+        .over(wprev)
+        .alias("rn_a"),
+        F.last(F.when(nonview, F.col("event_type")), ignorenulls=True)
+        .over(wprev)
+        .alias("type_a"),
+        F.last(F.when(nonview, F.col("ts")), ignorenulls=True)
+        .over(wprev)
+        .alias("ts_a"),
+        F.last(F.when(nonview, F.col("cumv")), ignorenulls=True)
+        .over(wprev)
+        .alias("cumv_a"),
+    )
+    return carried.where(
+        (F.col("event_type") == "purchase") & (F.col("type_a") == "click")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("end_event_id"),
+        F.col("ts_a").alias("match_start_ts"),
+        F.col("ts").alias("match_end_ts"),
+        (F.col("rn") - F.col("rn_a") - 1).cast("int").alias("n_views"),
+        F.round((F.col("cumv") - F.col("cumv_a")) / 1_000_000.0, 6).alias(
+            "views_value"
+        ),
+        (F.unix_micros("ts") - F.unix_micros("ts_a")).alias("duration_us"),
+    )
+
+
 # Watermark lateness audit: how much data WOULD a given watermark
 # delay drop, and how late is it? The testdata's events are recorded
 # in (near-)event-time order — a vacuous arrival log — so the audit

@@ -1078,3 +1078,83 @@ class TestIncrementalAndAbc:
             assert abs(gs - c / tot) < 1e-6
         # class shares partition the revenue
         assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-5
+
+
+class TestBrowseBuyPattern:
+    """r5: events_pattern_browse_buy must equal a literal
+    MATCH_RECOGNIZE automaton (greedy B*, AFTER MATCH SKIP PAST LAST
+    ROW) run over the same sequences — including the abandoned-prefix
+    case (A B A B C restarts at the second A) and partition edges."""
+
+    @staticmethod
+    def _automaton(rows):
+        """Reference: scan click (view)* purchase per user."""
+        out = []
+        i = 0
+        while i < len(rows):
+            t0, _, _ = rows[i]
+            if t0 != "click":
+                i += 1
+                continue
+            j = i + 1
+            views = []
+            while j < len(rows) and rows[j][0] == "view":
+                views.append(rows[j])
+                j += 1
+            if j < len(rows) and rows[j][0] == "purchase":
+                out.append((i, j, len(views), sum(v for _, _, v in views)))
+                i = j + 1  # skip past last row
+            else:
+                i += 1  # abandon, resume after the A
+        return out
+
+    def test_matches_automaton_on_crafted_sequences(self, spark):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        base = datetime.datetime(2024, 1, 1)
+        cases = {
+            1: ["click", "view", "view", "purchase"],          # A B B C
+            2: ["click", "purchase"],                          # A C (B*=0)
+            3: ["click", "view", "click", "view", "purchase"], # abandoned prefix
+            4: ["view", "view", "purchase"],                   # no A -> no match
+            5: ["click", "view", "error", "purchase"],         # broken by error
+            6: ["purchase", "click", "view", "purchase", "purchase"],
+            7: ["click"],                                      # dangling A
+            8: ["signup", "click", "view", "view", "view", "purchase", "click", "purchase"],
+        }
+        data = []
+        eid = 0
+        for u, seq in cases.items():
+            for k, t in enumerate(seq):
+                data.append(
+                    (eid, u, t, base + datetime.timedelta(minutes=k), 1.5 + k)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            data, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+        )
+        import hive_hdfs_practise_spark.plans.events as EV
+        from hive_hdfs_practise_spark.sources import catalog
+
+        orig = catalog.table
+        try:
+            catalog_table = lambda spark_, sf, name: df  # noqa: E731
+            EV.table = catalog_table
+            got = {
+                (r.user_id, r.n_views, round(r.views_value, 6), r.duration_us)
+                for r in EV.events_pattern_browse_buy(spark, "unused").collect()
+            }
+        finally:
+            EV.table = orig
+        want = set()
+        for u, seq in cases.items():
+            rows = [
+                (t, base + datetime.timedelta(minutes=k), 1.5 + k)
+                for k, t in enumerate(seq)
+            ]
+            for i, j, nv, vsum in self._automaton(rows):
+                want.add((u, nv, round(vsum, 6), (j - i) * 60_000_000))
+        assert got == want
+        assert any(u == 3 for u, *_ in got)  # abandoned-prefix case matched
