@@ -437,3 +437,115 @@ class TestEmbeddingLshStrict:
                 ).collect()
             }
         assert (0, 100000) in got and (1, 100001) in got
+
+
+class TestFamilyPlantedCollisions:
+    """r5: the md5/xxhash family swap must change CANDIDATES but never
+    the verified OUTPUT — pinned on a corpus CRAFTED so the two
+    families' bandings disagree in BOTH directions (gray-zone pairs at
+    Jaccard ~0.55-0.7, where per-band collision odds are ~0.2-0.6 and
+    family-dependent), plus high-J pairs both families must detect."""
+
+    @staticmethod
+    def _crafted_docs():
+        import random
+
+        rng = random.Random(1)  # seed searched offline: banding
+        # asymmetry in both directions (2 md5-only / 4 xxhash-only
+        # candidate pairs at authoring time) with identical output
+
+        def words(n):
+            return " ".join(
+                "".join(
+                    rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6)
+                )
+                for _ in range(n)
+            )
+
+        docs = []
+        did = 0
+        for _ in range(10):  # background
+            docs.append((did, words(40)))
+            did += 1
+        for _ in range(2):  # high-J pairs: the verified output
+            base = words(60)
+            docs.append((did, base + " " + words(2)))
+            did += 1
+            docs.append((did, base + " " + words(2)))
+            did += 1
+        for k in range(14):  # gray-zone pairs, J in [0.52, 0.66] —
+            # strictly BELOW tau: pairs ABOVE tau in the banding-miss
+            # zone (J ~0.7-0.8, detection ~0.6-0.95) would let the
+            # families disagree on OUTPUT legitimately, which is the
+            # probabilistic-recall caveat this corpus must stay clear
+            # of to pin swap-invariance
+            c = 30 + (k % 5) * 2
+            t = 14 - (k % 5)
+            common = words(c)
+            docs.append((did, common + " " + words(t)))
+            did += 1
+            docs.append((did, common + " " + words(t)))
+            did += 1
+        return docs
+
+    @pytest.fixture(scope="class")
+    def crafted_dir(self, tmp_path_factory):
+        import pandas as pd
+
+        docs = self._crafted_docs()
+        d = tmp_path_factory.mktemp("famsf")
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_candidates_differ_both_directions(self, spark, crafted_dir):
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.plans.dedup import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            SHINGLE_K,
+        )
+
+        docs = spark.read.parquet(f"{crafted_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+        def candidates(family):
+            sigs = mh.minhash_signature_from_text(
+                docs, ["doc_id"], "text", SHINGLE_K, N_PERM,
+                downsample=4, family=family,
+            )
+            return {
+                (r.doc_a, r.doc_b)
+                for r in mh.lsh_candidate_pairs(
+                    sigs, N_BANDS, ROWS_PER_BAND, family=family
+                ).collect()
+            }
+
+        cm, cx = candidates("md5"), candidates("xxhash")
+        assert cm - cx, "corpus must contain md5-only band collisions"
+        assert cx - cm, "corpus must contain xxhash-only band collisions"
+
+    def test_verified_output_identical_and_nonempty(
+        self, spark, crafted_dir, monkeypatch
+    ):
+        def run(family):
+            monkeypatch.setenv("SPARK_GRAFT_MINHASH_FAMILY", family)
+            return {
+                tuple(r)
+                for r in plans.QUERIES["dedup_minhash_lsh"](
+                    spark, crafted_dir
+                ).collect()
+            }
+
+        md5, xx = run("md5"), run("xxhash")
+        assert md5 == xx
+        assert len(md5) >= 2  # both planted high-J pairs found
