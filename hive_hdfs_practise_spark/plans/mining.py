@@ -187,6 +187,14 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by the true answer times prefix overlap — reach the
     # final distinct. A pair sharing k prefix shingles is verified k
     # times; k extra popcounts are ~free next to shuffling the pair.
+    #
+    # Skew: measured at 40× (SCALING.md r5), the 1.49B pair mass is
+    # spread over ~40k (vid, lang) keys — hottest key 189k pairs
+    # (1e-4 share), per-task mass max/mean 1.21 under this hash
+    # partitioning — so length-bucketed candidate generation
+    # (replicating postings across size classes) was evaluated and
+    # REJECTED: it buys nothing here. Re-probe before reaching for it
+    # on a corpus with a dominant boilerplate shingle.
     n_join = spark.sparkContext.defaultParallelism * 8
     a = pref.repartition(n_join, "vid", "lang").select(
         F.col("doc_id").alias("doc_a"), "lang", "vid", F.col("sz").alias("sz_a")
