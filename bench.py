@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "events_error_run_alerts",
     "events_pattern_browse_buy",
     "lineitem_jackknife_mean_se",
+    "lineitem_correlation_matrix",
     "events_lateness_audit",
     "dataset_shuffle_audit",
     "sales_incremental_refresh",

@@ -72,6 +72,7 @@ _FRONT = [
     "knn_ivf_indexed",
     "multimodal_phash_neardup",
     "events_pattern_browse_buy",
+    "lineitem_correlation_matrix",
 ]
 
 

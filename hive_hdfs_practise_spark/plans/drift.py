@@ -609,3 +609,101 @@ def lineitem_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jackknife_se"),
         )
     )
+
+
+# Correlation matrix over the four money/measure columns — the
+# feature-covariance profile a training pipeline monitors between
+# snapshots. Exactness design: every input is 2-dp-scalable, so each
+# per-row product fits a BIGINT and every co-moment Σx, Σx², Σxy is
+# an EXACT 128-bit integer sum (Spark DECIMAL(38,0) / DuckDB HUGEINT
+# — int64 sums would overflow: Σprice² ≈ 6e19 already at sf0.1).
+# Both engines then cast the same exact integers to double and
+# evaluate the same formula, so the 9-dp-rounded Pearson r is
+# engine-exact with no merge-order sensitivity anywhere.
+_CORR_MEASURES = [
+    ("quantity", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def _corr_oracle() -> str:
+    scaled = ", ".join(
+        f"CAST(round({src} * 100) AS BIGINT) AS v{i}"
+        for i, (_, src) in enumerate(_CORR_MEASURES)
+    )
+    sums = ["count(*) AS n"]
+    for i in range(4):
+        sums.append(f"sum(v{i}) AS s{i}")
+    for i in range(4):
+        for j in range(i, 4):
+            sums.append(f"sum(v{i} * v{j}) AS s{i}{j}")
+    rows = []
+    for i in range(4):
+        for j in range(i, 4):
+            num = f"CAST(n AS HUGEINT) * s{i}{j} - CAST(s{i} AS HUGEINT) * s{j}"
+            vx = f"CAST(n AS HUGEINT) * s{i}{i} - CAST(s{i} AS HUGEINT) * s{i}"
+            vy = f"CAST(n AS HUGEINT) * s{j}{j} - CAST(s{j} AS HUGEINT) * s{j}"
+            rows.append(
+                f"SELECT '{_CORR_MEASURES[i][0]}' AS col_x, "
+                f"'{_CORR_MEASURES[j][0]}' AS col_y, n, "
+                f"CASE WHEN ({vx}) > 0 AND ({vy}) > 0 THEN "
+                f"round(CAST({num} AS DOUBLE) / "
+                f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 9) "
+                f"END AS pearson_r FROM m"
+            )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH sc AS (SELECT {scaled} FROM lineitem),
+    m AS (SELECT {', '.join(sums)} FROM sc)
+    {union}
+    """
+
+
+@register("lineitem_correlation_matrix", oracle=_corr_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures
+    (upper triangle incl. diagonal, 10 rows) — see the exactness note
+    above the measure list. ONE map-side-combining aggregate computes
+    all 15 co-moments (the narrowest possible pass: each row
+    contributes 14 integer products); the 10 output rows are a
+    driver-free explode over the single aggregate row. At any corpus
+    size this is Θ(rows) work, one shuffle of one row."""
+    cols = [
+        F.round(F.col(src) * 100).cast("bigint").alias(f"v{i}")
+        for i, (_, src) in enumerate(_CORR_MEASURES)
+    ]
+    sc = table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(F.col(f"v{i}").cast("decimal(38,0)")).alias(f"s{i}"))
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(
+                    (F.col(f"v{i}") * F.col(f"v{j}")).cast("decimal(38,0)")
+                ).alias(f"s{i}{j}")
+            )
+    m = sc.agg(*aggs)
+    pairs = []
+    for i in range(4):
+        for j in range(i, 4):
+            num = f"CAST(n AS DECIMAL(38,0)) * s{i}{j} - s{i} * s{j}"
+            vx = f"CAST(n AS DECIMAL(38,0)) * s{i}{i} - s{i} * s{i}"
+            vy = f"CAST(n AS DECIMAL(38,0)) * s{j}{j} - s{j} * s{j}"
+            pairs.append(
+                F.struct(
+                    F.lit(_CORR_MEASURES[i][0]).alias("col_x"),
+                    F.lit(_CORR_MEASURES[j][0]).alias("col_y"),
+                    F.expr(
+                        f"CASE WHEN ({vx}) > 0 AND ({vy}) > 0 THEN "
+                        f"round(CAST(({num}) AS DOUBLE) / "
+                        f"sqrt(CAST(({vx}) AS DOUBLE) * CAST(({vy}) AS DOUBLE)), 9) "
+                        f"END"
+                    ).alias("pearson_r"),
+                )
+            )
+    return m.select(
+        "n", F.explode(F.array(*pairs)).alias("p")
+    ).select("p.col_x", "p.col_y", "n", "p.pearson_r")

@@ -322,3 +322,29 @@ class TestPsi:
         assert (r.n_ref, r.n_cur) == (n1, n2)
         assert abs(r.psi - psi) < 1e-8
         assert r.psi >= 0 or abs(r.psi) < 1e-6
+
+
+class TestCorrelationMatrix:
+    """r5: the exact integer-co-moment Pearson matrix must agree with
+    Spark's built-in corr() (double Welford path) to float tolerance,
+    and the diagonal must be 1."""
+
+    def test_matches_builtin_corr_and_diag(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.drift import _CORR_MEASURES
+
+        got = {
+            (r.col_x, r.col_y): r.pearson_r
+            for r in plans.QUERIES["lineitem_correlation_matrix"](
+                spark, SF
+            ).collect()
+        }
+        assert len(got) == 10
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        for i, (nx, cx) in enumerate(_CORR_MEASURES):
+            assert abs(got[(nx, nx)] - 1.0) < 1e-9
+            for ny, cy in _CORR_MEASURES[i + 1 :]:
+                want = li.agg(F.corr(cx, cy)).collect()[0][0]
+                assert abs(got[(nx, ny)] - want) < 1e-6, (nx, ny)
