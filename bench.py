@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "lineitem_correlation_matrix",
     "events_lateness_audit",
     "dataset_shuffle_audit",
+    "documents_interleave_audit",
     "sales_incremental_refresh",
     "supplier_abc_classification",
 ]

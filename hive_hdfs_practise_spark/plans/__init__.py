@@ -73,6 +73,7 @@ _FRONT = [
     "multimodal_phash_neardup",
     "events_pattern_browse_buy",
     "lineitem_correlation_matrix",
+    "documents_interleave_audit",
 ]
 
 

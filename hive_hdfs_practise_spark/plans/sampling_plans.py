@@ -551,3 +551,123 @@ def dataset_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_run_len"),
         F.sum("run_len").cast("bigint").alias("n_docs"),
     )
+
+
+# Weighted-interleave mix audit (r5): a training pipeline that mixes
+# sources proportionally emits doc r of source s at virtual time
+# r/n_s (weighted fair queueing). The audit chunks virtual time into
+# INTERLEAVE_WINDOWS equal windows and reports every (window, source)
+# cell's doc count against its exact proportional share — the check
+# that a mixed stream feeds the trainer a steady source diet rather
+# than front-loading one corpus. All arithmetic integer (scaled
+# virtual time uses div), so the audit is bit-exact cross-engine.
+INTERLEAVE_WINDOWS = 16
+_VT_SCALE = 1_000_000_000
+
+
+@register(
+    "documents_interleave_audit",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ||
+                            lpad(CAST(doc_id AS VARCHAR), 20, '0')
+               ) AS r,
+               count(*) OVER (PARTITION BY source) AS n_source
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, n_source,
+               ((r * {_VT_SCALE} // n_source) - 1) * {INTERLEAVE_WINDOWS}
+                   // {_VT_SCALE} AS window_id
+        FROM ranked
+    ),
+    counts AS (
+        SELECT window_id, source, count(*) AS n_docs
+        FROM cells GROUP BY window_id, source
+    ),
+    srcs AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+    grid AS (
+        SELECT s.source, s.n_source, w.window_id
+        FROM srcs s, (SELECT unnest(generate_series(0, {INTERLEAVE_WINDOWS - 1}))
+                      AS window_id) w
+    )
+    SELECT CAST(g.window_id AS INTEGER) AS window_id, g.source,
+           coalesce(c.n_docs, 0) AS n_docs,
+           g.n_source,
+           coalesce(c.n_docs, 0) * {INTERLEAVE_WINDOWS} - g.n_source
+               AS dev_scaled
+    FROM grid g LEFT JOIN counts c
+      ON g.window_id = c.window_id AND g.source = c.source
+    """,
+)
+def documents_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the proportional source interleave (see note above):
+    per (virtual-time window, source), the doc count and its exact
+    integer deviation from the proportional share
+    (``n_docs·W − n_source``; 0 = perfectly even). The grid is DENSE —
+    a source absent from a window is the worst violation and must
+    appear as a row, so sources × windows is built metadata-side and
+    left-joined with the counts.
+
+    Scale shape: the per-source md5 rank does NOT use a per-source
+    window (parallelism would cap at |sources| — the low-cardinality
+    trap); it rides ``sharded_cumsum`` over 256 md5-prefix shards
+    (rank = prior-shard offsets + in-shard row_number), then ONE
+    map-side-combining aggregate to (window, source) cells. Virtual
+    time is integer-scaled (r·1e9 div n_s), monotone within source,
+    so the audit is the exact WFQ emission order's histogram."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.select(
+        "source",
+        F.concat(
+            F.md5(F.col("doc_id").cast("string")),
+            F.lpad(F.col("doc_id").cast("string"), 20, "0"),
+        ).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    ranked = sharded_cumsum(
+        keyed,
+        ["source"],
+        "k",
+        "one",
+        F.substring("k", 1, 2),
+        cum_name="r",
+        tot_name="n_source",
+    )
+    cells = ranked.select(
+        "source",
+        "n_source",
+        F.expr(
+            f"((r * {_VT_SCALE} div n_source) - 1) * {INTERLEAVE_WINDOWS}"
+            f" div {_VT_SCALE}"
+        ).alias("window_id"),
+    )
+    counts = cells.groupBy("window_id", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    grid = srcs.join(
+        F.broadcast(
+            spark.range(INTERLEAVE_WINDOWS).select(
+                F.col("id").alias("window_id")
+            )
+        )
+    )
+    return (
+        grid.join(F.broadcast(counts), ["window_id", "source"], "left")
+        .select(
+            F.col("window_id").cast("int").alias("window_id"),
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            "n_source",
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0)) * INTERLEAVE_WINDOWS
+                - F.col("n_source")
+            ).alias("dev_scaled"),
+        )
+    )

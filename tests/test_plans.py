@@ -1158,3 +1158,23 @@ class TestBrowseBuyPattern:
                 want.add((u, nv, round(vsum, 6), (j - i) * 60_000_000))
         assert got == want
         assert any(u == 3 for u, *_ in got)  # abandoned-prefix case matched
+
+
+def test_interleave_audit_devs_telescope_to_zero(spark):
+    """Per source, the window deviations must telescope to zero
+    (sum_w n_docs*W = W*n_source) — the audit's internal consistency
+    invariant — and every source must appear in all windows' grid."""
+    from collections import defaultdict
+
+    from hive_hdfs_practise_spark.plans.sampling_plans import (
+        INTERLEAVE_WINDOWS,
+    )
+
+    rows = plans.QUERIES["documents_interleave_audit"](spark, SF).collect()
+    per_src = defaultdict(int)
+    cells = defaultdict(int)
+    for r in rows:
+        per_src[r.source] += r.dev_scaled
+        cells[r.source] += 1
+    assert all(v == 0 for v in per_src.values())
+    assert all(v == INTERLEAVE_WINDOWS for v in cells.values())
