@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "orders_ks_statistic",
     "customer_spend_gini",
     "stream_session_windows",
+    "stream_pattern_browse_buy",
     "stream_sliding_rate",
     "sales_seasonal_decomposition",
     "word_freq_zipf_slope",

@@ -74,6 +74,7 @@ _FRONT = [
     "events_pattern_browse_buy",
     "lineitem_correlation_matrix",
     "documents_interleave_audit",
+    "stream_pattern_browse_buy",
 ]
 
 

@@ -58,3 +58,41 @@ ENRICHED_NATION = """
 DEDUP_KEYS = """
     SELECT DISTINCT user_id, event_type FROM events
     """
+
+PATTERN_BROWSE_BUY = """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vmicro
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER w AS rn,
+               sum(CASE WHEN event_type = 'view' THEN vmicro ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cumv
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    carried AS (
+        SELECT user_id, event_id, ts, event_type, rn, cumv,
+               last_value(CASE WHEN event_type <> 'view' THEN rn END
+                          IGNORE NULLS) OVER wp AS rn_a,
+               last_value(CASE WHEN event_type <> 'view' THEN event_type END
+                          IGNORE NULLS) OVER wp AS type_a,
+               last_value(CASE WHEN event_type <> 'view' THEN ts END
+                          IGNORE NULLS) OVER wp AS ts_a,
+               last_value(CASE WHEN event_type <> 'view' THEN cumv END
+                          IGNORE NULLS) OVER wp AS cumv_a
+        FROM seq
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS end_event_id,
+           ts_a AS match_start_ts, ts AS match_end_ts,
+           CAST(rn - rn_a - 1 AS INTEGER) AS n_views,
+           round((cumv - cumv_a) / 1000000.0, 6) AS views_value,
+           epoch_us(ts) - epoch_us(ts_a) AS duration_us
+    FROM carried
+    WHERE event_type = 'purchase' AND type_a = 'click'
+    """

@@ -1533,46 +1533,7 @@ def events_error_run_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match can start inside it, and a failed prefix (A followed by a
 # non-B non-C) is abandoned precisely when the carry-forward
 # overwrites the A.
-@register(
-    "events_pattern_browse_buy",
-    oracle="""
-    WITH ev AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-               CAST(round(value * 1000000) AS BIGINT) AS vmicro
-        FROM events
-    ),
-    seq AS (
-        SELECT user_id, event_id, ts, event_type,
-               row_number() OVER w AS rn,
-               sum(CASE WHEN event_type = 'view' THEN vmicro ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS cumv
-        FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    carried AS (
-        SELECT user_id, event_id, ts, event_type, rn, cumv,
-               last_value(CASE WHEN event_type <> 'view' THEN rn END
-                          IGNORE NULLS) OVER wp AS rn_a,
-               last_value(CASE WHEN event_type <> 'view' THEN event_type END
-                          IGNORE NULLS) OVER wp AS type_a,
-               last_value(CASE WHEN event_type <> 'view' THEN ts END
-                          IGNORE NULLS) OVER wp AS ts_a,
-               last_value(CASE WHEN event_type <> 'view' THEN cumv END
-                          IGNORE NULLS) OVER wp AS cumv_a
-        FROM seq
-        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    )
-    SELECT user_id, event_id AS end_event_id,
-           ts_a AS match_start_ts, ts AS match_end_ts,
-           CAST(rn - rn_a - 1 AS INTEGER) AS n_views,
-           round((cumv - cumv_a) / 1000000.0, 6) AS views_value,
-           epoch_us(ts) - epoch_us(ts_a) AS duration_us
-    FROM carried
-    WHERE event_type = 'purchase' AND type_a = 'click'
-    """,
-)
+@register("events_pattern_browse_buy", oracle=EO.PATTERN_BROWSE_BUY)
 def events_pattern_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE ``click (view)* purchase`` with per-match
     measures (see note above for the automaton-equivalence argument).

@@ -295,3 +295,23 @@ def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "stream_sliding_rate", "complete").select(
         "window_start", "event_type", "n_events"
     )
+
+
+@register("stream_pattern_browse_buy", oracle=EO.PATTERN_BROWSE_BUY)
+def stream_pattern_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition AS A STATEFUL STREAM: the
+    click (view)* purchase automaton of events_pattern_browse_buy
+    run per user through applyInPandasWithState (state = pending
+    click + integer micro-unit view accumulators; see
+    streaming/patterns.py). On the bounded single-batch availableNow
+    run this equals the batch twin row for row, so it carries the
+    SAME value-checking oracle; stream-vs-batch equality is also
+    asserted directly in tests (incl. a forced multi-trigger split
+    at a time boundary, exercising state carried across batches)."""
+    from ..streaming.patterns import browse_buy_matches
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = browse_buy_matches(stream)
+    return run_available_now(out, "stream_pattern_browse_buy", "append")

@@ -36,6 +36,7 @@ BUILD_EXECUTES = {
     "stream_click_purchase_join",
     "stream_enriched_nation",
     "stream_upsert_latest",
+    "stream_pattern_browse_buy",
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
     "q15_top_supplier",

@@ -277,3 +277,105 @@ class TestSessionAndSlidingStreams:
         # every event contributes to exactly 4 windows
         n_events = ev.count()
         assert sum(r[2] for r in got) == 4 * n_events
+
+
+class TestStreamPattern:
+    """r5: stream_pattern_browse_buy — the stateful automaton must
+    equal the batch row-pattern query, including when the input is
+    force-split across micro-batches at a time boundary (state
+    carries a pending click + view accumulators between triggers)."""
+
+    @staticmethod
+    def _batch_rows(spark, sf):
+        return {
+            tuple(r)
+            for r in plans.QUERIES["events_pattern_browse_buy"](
+                spark, sf
+            ).collect()
+        }
+
+    def test_single_batch_equals_batch_twin(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = {
+            tuple(r)
+            for r in plans.QUERIES["stream_pattern_browse_buy"](
+                spark, sf
+            ).collect()
+        }
+        assert got == self._batch_rows(spark, sf) and len(got) > 0
+
+    def test_multi_trigger_split_carries_state(self, spark, tmp_path):
+        """Split the corpus into two files at the median timestamp,
+        one trigger per file (maxFilesPerTrigger=1): matches whose
+        click and purchase fall in different triggers must still
+        emit exactly once with correct measures."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+        from hive_hdfs_practise_spark.streaming.patterns import (
+            browse_buy_matches,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        e = table(spark, sf, "events").select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        # split INSIDE a known match (between its click and purchase)
+        # so a pending click provably crosses the trigger boundary
+        batch = sorted(
+            self._batch_rows(spark, sf), key=lambda r: -r[6]
+        )  # longest duration first
+        start_us = int(batch[0][2].timestamp() * 1_000_000)
+        end_us = int(batch[0][3].timestamp() * 1_000_000)
+        med = (start_us + end_us) // 2
+        assert start_us <= med < end_us
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        # write each half with SPARK (pandas/pyarrow would write ns
+        # INT64 timestamps the streaming schema refuses), then move
+        # the part file into the source dir with a controlled mtime
+        import glob
+        import shutil
+
+        for idx, half in enumerate(
+            [
+                e.filter(F.unix_micros("ts") <= med),
+                e.filter(F.unix_micros("ts") > med),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)  # file-source orders triggers by mtime
+
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            browse_buy_matches(stream)
+            .writeStream.format("memory")
+            .queryName("pattern_split_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress is not None
+        got = {
+            tuple(r) for r in spark.table("pattern_split_test").collect()
+        }
+        assert got == self._batch_rows(spark, sf)
+        # the split is only meaningful if some user straddles it:
+        # a pending click before the boundary resolved after it
+        straddle = any(
+            r[2].timestamp() * 1_000_000 <= med < r[3].timestamp() * 1_000_000
+            for r in got
+        )
+        assert straddle
