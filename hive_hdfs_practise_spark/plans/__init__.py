@@ -75,6 +75,7 @@ _FRONT = [
     "lineitem_correlation_matrix",
     "documents_interleave_audit",
     "stream_pattern_browse_buy",
+    "documents_source_classifier",
 ]
 
 

@@ -1252,3 +1252,152 @@ def word_freq_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("intercept"),
     )
+
+
+# Naive-Bayes source classifier trained on the corpus and evaluated
+# by classifying it back (the confusion matrix is the output) — the
+# model-in-the-loop curation operator class: the same machinery a
+# quality/domain classifier uses to route or filter training data.
+# Exactness design: the per-(source, token) Laplace log-likelihood
+# ln((c+1)/(n_s+V)) is rounded ONCE to a 1e-6-scaled BIGINT, so every
+# per-doc score is an INTEGER sum — merge-order-exact in any engine —
+# and the argmax is an integer comparison with a unique (score desc,
+# source asc) tiebreak. The only float step is ln() of identical
+# IEEE-divided doubles (the k-means round-then-compare precedent).
+_NB_SCALE = 1_000_000
+
+
+@register(
+    "documents_source_classifier",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS word
+        FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS c FROM tok GROUP BY source, word),
+    ns AS (SELECT source, count(*) AS n_tok FROM tok GROUP BY source),
+    vocab AS (SELECT DISTINCT word FROM tok),
+    vn AS (SELECT count(*) AS v FROM vocab),
+    ds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dn AS (SELECT count(*) AS d FROM documents),
+    grid AS (
+        SELECT g.source, g.word,
+               CAST(round(ln((coalesce(c.c, 0) + 1) / (g.n_tok + g.v))
+                          * {_NB_SCALE}) AS BIGINT) AS llr
+        FROM (SELECT ns.source, ns.n_tok, vocab.word, vn.v
+              FROM ns, vocab, vn) AS g
+        LEFT JOIN c ON c.source = g.source AND c.word = g.word
+    ),
+    prior AS (
+        SELECT ds.source,
+               CAST(round(ln(ds.n_docs / dn.d) * {_NB_SCALE}) AS BIGINT) AS p
+        FROM ds, dn
+    ),
+    tok_scores AS (
+        SELECT t.doc_id, g.source, sum(g.llr) AS s
+        FROM tok t JOIN grid g ON g.word = t.word
+        GROUP BY t.doc_id, g.source
+    ),
+    scored AS (
+        SELECT d.doc_id, d.source AS true_source, pr.source AS cand,
+               pr.p + coalesce(ts.s, 0) AS score
+        FROM documents d
+        CROSS JOIN prior pr
+        LEFT JOIN tok_scores ts
+          ON ts.doc_id = d.doc_id AND ts.source = pr.source
+    ),
+    pred AS (
+        SELECT doc_id, true_source, cand AS pred_source,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT true_source, pred_source, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_source, pred_source
+    """,
+)
+def documents_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-evaluate naive Bayes over (source | tokens): Laplace
+    token log-odds per source, integer-scaled (see note above), docs
+    classified by integer-sum argmax, confusion matrix out.
+
+    Scale shape: token counts are ONE map-side-combining aggregate;
+    the (source × vocab) score grid is metadata-scale and BROADCAST
+    into the scoring join, so the corpus-sized token stream shuffles
+    once — on (doc, source) for the score sum (|S|× the token
+    stream; a 100 TB deployment caps it with the hashing trick,
+    same plumbing). Priors join in at doc grain; the dense
+    (doc × source) base keeps token-less docs classified by prior
+    alone instead of silently dropping them."""
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    tok.persist()
+    c = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = tok.select("word").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ds = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dn = d.agg(F.count(F.lit(1)).alias("d"))
+    grid = (
+        ns.join(vocab)
+        .join(F.broadcast(vn))
+        .join(c, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+                * _NB_SCALE
+            )
+            .cast("bigint")
+            .alias("llr"),
+        )
+    )
+    prior = (
+        ds.join(F.broadcast(dn))
+        .select(
+            "source",
+            F.round(F.log(F.col("n_docs") / F.col("d")) * _NB_SCALE)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    # drop tok's TRUE source before the grid join: the grid's source
+    # is the CANDIDATE class being scored, a different axis
+    tok_scores = (
+        tok.select("doc_id", "word")
+        .join(F.broadcast(grid), "word")
+        .groupBy("doc_id", F.col("source").alias("cand"))
+        .agg(F.sum("llr").alias("s"))
+    )
+    scored = (
+        d.select("doc_id", F.col("source").alias("true_source"))
+        .join(F.broadcast(prior.select(F.col("source").alias("cand"), "p")))
+        .join(tok_scores, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "cand",
+            (F.col("p") + F.coalesce(F.col("s"), F.lit(0))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = scored.select(
+        "true_source",
+        F.col("cand").alias("pred_source"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

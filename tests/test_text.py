@@ -372,3 +372,42 @@ class TestZipfSlope:
         assert r.n_words == n
         assert abs(r.zipf_slope - slope) < 1e-4
         assert r.zipf_slope < 0  # frequency decreases with rank
+
+
+class TestSourceClassifier:
+    def test_separable_corpus_classifies_perfectly(self, spark, tmp_path):
+        """Sources with disjoint vocabularies must produce a purely
+        diagonal confusion matrix; a vocabulary-free (empty) doc falls
+        back to the majority prior."""
+        import pandas as pd
+
+        from hive_hdfs_practise_spark import plans
+
+        docs = []
+        for i in range(8):
+            docs.append((i, "alpha words only here", "en", "srcA"))
+        for i in range(8, 14):
+            docs.append((i, "beta tokens beta beta", "en", "srcB"))
+        docs.append((14, "", "en", "srcB"))  # empty: prior-only -> srcA (majority)
+        d = tmp_path / "clsf"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in docs],
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": [len(r[1]) for r in docs],
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        got = {
+            (r.true_source, r.pred_source): r.n_docs
+            for r in plans.QUERIES["documents_source_classifier"](
+                spark, str(d)
+            ).collect()
+        }
+        assert got == {
+            ("srcA", "srcA"): 8,
+            ("srcB", "srcB"): 6,
+            ("srcB", "srcA"): 1,  # the empty doc, classified by prior
+        }
