@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "text_repetition_stats",
     "text_char_bigram_logprob",
     "events_asof_join",
+    "events_range_join_clicks",
     "events_ohlc_hourly",
     "events_enriched_nation",
     "events_salted_join",

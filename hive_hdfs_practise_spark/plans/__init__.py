@@ -76,6 +76,7 @@ _FRONT = [
     "documents_interleave_audit",
     "stream_pattern_browse_buy",
     "documents_source_classifier",
+    "events_range_join_clicks",
 ]
 
 

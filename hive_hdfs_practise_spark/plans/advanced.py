@@ -499,3 +499,52 @@ def documents_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(TFIDF_SIM_TOP_K)
     )
+
+
+RANGE_BEFORE_S = 14400  # clicks within the 4 hours before a purchase
+
+
+@register(
+    "events_range_join_clicks",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    p AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+    SELECT p.user_id, p.ts AS purchase_ts, count(*) AS n_clicks_before
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) // 1000000
+         >= epoch_us(p.ts) // 1000000 - {RANGE_BEFORE_S}
+     AND epoch_us(c.ts) // 1000000 <= epoch_us(p.ts) // 1000000
+    GROUP BY p.user_id, p.ts
+    """,
+)
+def events_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: per purchase, the number of the same
+    user's clicks in the {RANGE_BEFORE_S//3600} hours before it
+    (second-grain bounds, matching the operator's epoch-second
+    banding; purchases with zero clicks in range don't emit — inner
+    range-join semantics, mirrored by the oracle's inner join).
+
+    Implemented by ``operators/asof.py::range_join_count``: both
+    sides band their timestamps into range-width buckets and
+    equi-join on (user, band±1) before the exact range predicate —
+    the standard rewrite that turns an unbounded theta join (which
+    Spark would nested-loop) into a bounded-fan-out hash join. The
+    right side replicates 3×; fan-out is corpus-bounded regardless
+    of time span or key skew."""
+    from ..operators.asof import range_join_count
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(
+        p, c, ["user_id"], before_seconds=RANGE_BEFORE_S, after_seconds=0
+    )
+    return out.select(
+        "user_id",
+        F.col("_lts").alias("purchase_ts"),
+        F.col("n_in_range").alias("n_clicks_before"),
+    )
