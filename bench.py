@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "text_char_bigram_logprob",
     "events_asof_join",
     "events_range_join_clicks",
+    "events_sliding_distinct_kmv",
     "events_ohlc_hourly",
     "events_enriched_nation",
     "events_salted_join",

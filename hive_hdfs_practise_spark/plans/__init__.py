@@ -77,6 +77,7 @@ _FRONT = [
     "stream_pattern_browse_buy",
     "documents_source_classifier",
     "events_range_join_clicks",
+    "events_sliding_distinct_kmv",
 ]
 
 

@@ -333,3 +333,110 @@ def events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.stack(F.lit(len(rows)), *stack_args).alias("op", "n_exact", "n_est")
     )
+
+
+# Sliding-window distinct via KMV MERGE (r5): per observed day, the
+# trailing-7-day distinct-user estimate computed by merging the 7
+# daily sketches — the property that makes sketches matter at scale:
+# daily state is K doubles, windows re-aggregate STATE, never raw
+# keys. Merge correctness: min-k of a union of min-k sets IS the
+# min-k of the union; and a merged set smaller than K can only
+# happen when no contributing day was truncated, i.e. the merged
+# count IS the exact windowed distinct — so the <K fallback is exact
+# by construction, not approximately.
+SLIDING_DAYS = 7
+
+
+@register(
+    "events_sliding_distinct_kmv",
+    oracle=f"""
+    WITH dh AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+                   AS dd,
+               {_kmv_hash_sql("user_id")} AS hv
+        FROM events
+    ),
+    daily AS (
+        SELECT dd, hv FROM (
+            SELECT dd, hv,
+                   row_number() OVER (PARTITION BY dd ORDER BY hv) AS rn
+            FROM dh
+        ) WHERE rn <= {KMV_K}
+    ),
+    fanned AS (
+        SELECT unnest(generate_series(dd, dd + {SLIDING_DAYS - 1})) AS tdd, hv
+        FROM daily
+    ),
+    merged AS (
+        SELECT DISTINCT tdd, hv FROM fanned
+        WHERE tdd IN (SELECT dd FROM dh)
+    ),
+    ranked AS (
+        SELECT tdd, hv,
+               row_number() OVER (PARTITION BY tdd ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY tdd) AS n_merged
+        FROM merged
+    )
+    SELECT DATE '1970-01-01' + CAST(tdd AS INTEGER) AS window_end,
+           round(CASE WHEN n_merged >= {KMV_K}
+                      THEN ({KMV_K} - 1)
+                           / max(CASE WHEN rn = {KMV_K} THEN hv END)
+                      ELSE CAST(n_merged AS DOUBLE) END, 4) AS n_users_kmv
+    FROM ranked
+    GROUP BY tdd, n_merged
+    """,
+)
+def events_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{SLIDING_DAYS}-day distinct users per day, from MERGED
+    daily KMV sketches (see note above — the <K fallback is exact by
+    the union argument). Pipeline: distinct (day, hash) → per-day
+    min-K truncation (the daily sketch, K doubles of state) → each
+    sketch row fans out to the {SLIDING_DAYS} windows it serves
+    (integer epoch-day explode) → per-window re-rank + (K−1)/h_(K).
+    Every stage after the first distinct handles SKETCH rows
+    (≤ K·days), so window re-aggregation is metadata-scale no matter
+    the corpus; the md5-derived hash keeps the whole thing — an
+    'approximate' operator — value-checked exactly."""
+    e = table(spark, sf_dir, "events")
+    dh = e.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("dd"),
+        F.expr(_kmv_hash_sql("user_id").replace("VARCHAR", "STRING")).alias(
+            "hv"
+        ),
+    ).distinct()
+    wd = Window.partitionBy("dd").orderBy("hv")
+    daily = (
+        dh.select("dd", "hv", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("dd"), F.col("dd") + (SLIDING_DAYS - 1))
+        ).alias("tdd"),
+        "hv",
+    )
+    observed = dh.select(F.col("dd").alias("tdd")).distinct()
+    merged = fanned.join(observed, "tdd", "left_semi").distinct()
+    wt = Window.partitionBy("tdd")
+    ranked = merged.select(
+        "tdd",
+        "hv",
+        F.row_number().over(wt.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_merged"),
+    )
+    est = F.when(
+        F.col("n_merged") >= KMV_K,
+        (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))),
+    ).otherwise(F.col("n_merged").cast("double"))
+    return (
+        ranked.groupBy("tdd", "n_merged")
+        .agg(F.round(est, 4).alias("n_users_kmv"))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("tdd")).alias(
+                "window_end"
+            ),
+            "n_users_kmv",
+        )
+    )

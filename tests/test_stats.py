@@ -348,3 +348,60 @@ class TestCorrelationMatrix:
             for ny, cy in _CORR_MEASURES[i + 1 :]:
                 want = li.agg(F.corr(cx, cy)).collect()[0][0]
                 assert abs(got[(nx, ny)] - want) < 1e-6, (nx, ny)
+
+
+class TestSlidingKmv:
+    """r5: events_sliding_distinct_kmv — the merge property itself:
+    the min-K of the union of per-day min-K sketches must equal the
+    min-K of the full window's distinct hash set (so the windowed
+    estimate is identical to a from-scratch sketch of the window),
+    and estimates must track exact counts within KMV error bounds."""
+
+    def test_merged_sketch_equals_full_window_sketch_and_bounds(self, spark):
+        import math
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.distinct import (
+            KMV_K,
+            SLIDING_DAYS,
+            _kmv_hash_sql,
+        )
+
+        got = {
+            r.window_end: r.n_users_kmv
+            for r in plans.QUERIES["events_sliding_distinct_kmv"](
+                spark, SF
+            ).collect()
+        }
+        rows = (
+            table(spark, SF, "events")
+            .select(
+                F.col("ts").cast("date").alias("day"),
+                F.expr(
+                    _kmv_hash_sql("user_id").replace("VARCHAR", "STRING")
+                ).alias("hv"),
+            )
+            .distinct()
+            .collect()
+        )
+        by_day = defaultdict(set)
+        for r in rows:
+            by_day[r.day].add(r.hv)
+        for end, est in got.items():
+            full = set()
+            for d, hs in by_day.items():
+                if 0 <= (end - d).days < SLIDING_DAYS:
+                    full |= hs
+            # reference estimate from the FULL window set
+            hs_sorted = sorted(full)
+            if len(hs_sorted) >= KMV_K:
+                want = round((KMV_K - 1) / hs_sorted[KMV_K - 1], 4)
+            else:
+                want = float(len(hs_sorted))
+            assert est == want, end  # merge == from-scratch sketch
+            # and the estimate tracks the exact distinct within 5 rse
+            exact = len(full)
+            if exact >= KMV_K:
+                rse = 1 / math.sqrt(KMV_K - 2)
+                assert abs(est - exact) <= 5 * rse * exact, (end, est, exact)
