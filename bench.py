@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "documents_source_quota",
     "documents_lang_rebalance",
     "embedding_hard_negatives",
+    "embeddings_ann_self_join",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_mad",

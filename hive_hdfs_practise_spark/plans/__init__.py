@@ -78,6 +78,7 @@ _FRONT = [
     "documents_source_classifier",
     "events_range_join_clicks",
     "events_sliding_distinct_kmv",
+    "embeddings_ann_self_join",
 ]
 
 

@@ -721,20 +721,16 @@ N_EMB_BANDS = 4
 PLANES_PER_BAND = 4
 
 
-def _emb_lsh_oracle(
-    n_bands: int = N_EMB_BANDS,
-    ppb: int = PLANES_PER_BAND,
-    threshold: float = COSINE_THRESHOLD,
-) -> str:
-    """SQL restatement of the banded hyperplane-LSH pair pipeline:
-    md5-derived planes, per-band sign-bit buckets, distinct a<b
-    pairs sharing any (band, bucket), exact cosine ≥ threshold."""
+def _emb_lsh_cand_sql(n_bands: int, ppb: int) -> str:
+    """The WITH-clause body shared by every banded hyperplane-LSH
+    oracle: md5-derived planes, per-band sign-bit buckets, distinct
+    a<b pairs sharing any (band, bucket)."""
     from .similarity import _md5_u32_sql
 
     u32 = _md5_u32_sql("concat(p.plane_id, ':', c.c)")
     n_planes = n_bands * ppb
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pc AS (
         SELECT p.plane_id, c.c, {u32} / 2147483648.0 - 1.0 AS comp
         FROM generate_series(0, {n_planes - 1}) AS p(plane_id),
@@ -761,7 +757,18 @@ def _emb_lsh_oracle(
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM buckets AS a JOIN buckets AS b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
+    )"""
+
+
+def _emb_lsh_oracle(
+    n_bands: int = N_EMB_BANDS,
+    ppb: int = PLANES_PER_BAND,
+    threshold: float = COSINE_THRESHOLD,
+) -> str:
+    """SQL restatement of the banded hyperplane-LSH pair pipeline:
+    candidates (``_emb_lsh_cand_sql``) + exact cosine ≥ threshold."""
+    return f"""
+    WITH {_emb_lsh_cand_sql(n_bands, ppb)}
     SELECT c.vec_a, c.vec_b,
            round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
     FROM cand AS c
@@ -801,17 +808,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_lsh_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    n_bands: int,
-    ppb: int,
-    threshold: float,
-) -> DataFrame:
-    """Shared banded hyperplane-LSH pair pipeline (see
-    dedup_embedding_lsh for the full design notes); parameterized so
-    the corpus-tuned low-threshold config and the production-shaped
-    strict config register as twins over one implementation."""
+def _emb_lsh_candidates(
+    spark: SparkSession, sf_dir: str, n_bands: int, ppb: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared banded hyperplane-LSH candidate stage: returns
+    ``(cand, e)`` — distinct undirected bucket-collision pairs
+    (doc_a < doc_b) and the (vec_id, v) vector table. See
+    dedup_embedding_lsh for the full design notes."""
     from ..dedup.minhash import pairs_within_buckets
     from .similarity import _hyperplanes_from
 
@@ -843,7 +846,21 @@ def _emb_lsh_pairs(
             ).alias("bucket")
         )
     )
-    cand = pairs_within_buckets(buckets, "vec_id", ["band", "bucket"])
+    return pairs_within_buckets(buckets, "vec_id", ["band", "bucket"]), e
+
+
+def _emb_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int,
+    ppb: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared banded hyperplane-LSH pair pipeline (see
+    dedup_embedding_lsh for the full design notes); parameterized so
+    the corpus-tuned low-threshold config and the production-shaped
+    strict config register as twins over one implementation."""
+    cand, e = _emb_lsh_candidates(spark, sf_dir, n_bands, ppb)
     va = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
     cos = F.round(vec.cosine(F.col("va"), F.col("vb")), 6)
@@ -889,4 +906,74 @@ def dedup_embedding_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         STRICT_EMB_BANDS,
         STRICT_PLANES_PER_BAND,
         STRICT_COS_THRESHOLD,
+    )
+
+
+def _ann_self_join_oracle() -> str:
+    return f"""
+    WITH {_emb_lsh_cand_sql(N_EMB_BANDS, PLANES_PER_BAND)},
+    directed AS (
+        SELECT vec_a AS vec_id, vec_b AS cnd FROM cand
+        UNION ALL
+        SELECT vec_b, vec_a FROM cand
+    ),
+    scored AS (
+        SELECT d.vec_id, d.cnd,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM directed AS d
+        JOIN e AS ea ON ea.vec_id = d.vec_id
+        JOIN e AS eb ON eb.vec_id = d.cnd
+    )
+    SELECT vec_id, cnd AS nn_id, cosine FROM (
+        SELECT vec_id, cnd, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, cnd) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register("embeddings_ann_self_join", oracle=_ann_self_join_oracle())
+def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN SELF-join (k=1): every vector's nearest neighbor among its
+    LSH bucket-mates — the all-vectors form of the single-query ANN
+    family (what dedup clustering and hard-negative mining actually
+    run at scale: one banded pass gives every row a neighbor, no
+    per-query scans). Candidates come from the same banded
+    hyperplane buckets as dedup_embedding_lsh; each undirected
+    collision serves both directions; the per-vector argmax is a
+    map-side-combining ``max_by`` over (ROUNDED cosine, -nn_id) —
+    ordering by the rounded value is what keeps the winner
+    engine-exact when two candidates tie at 6 dp. Vectors with no
+    bucket-mates emit nothing (a deployment widens bands or falls
+    back to brute force for the residue — the recall economics note
+    on dedup_embedding_lsh). md5-derived planes make the whole
+    pipeline SQL-restatable, so even the argmax is value-checked."""
+    cand, e = _emb_lsh_candidates(spark, sf_dir, N_EMB_BANDS, PLANES_PER_BAND)
+    directed = cand.select(
+        F.col("doc_a").alias("vec_id"), F.col("doc_b").alias("cnd")
+    ).unionByName(
+        cand.select(
+            F.col("doc_b").alias("vec_id"), F.col("doc_a").alias("cnd")
+        )
+    )
+    ea = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("cnd"), F.col("v").alias("vb"))
+    scored = (
+        directed.join(ea, "vec_id")
+        .join(eb, "cnd")
+        .select(
+            "vec_id",
+            "cnd",
+            F.round(vec.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cnd", "cosine"),
+            F.struct(F.col("cosine"), (-F.col("cnd")).alias("nt")),
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.cnd").alias("nn_id"), F.col("b.cosine").alias("cosine")
     )
