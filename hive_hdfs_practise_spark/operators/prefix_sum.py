@@ -47,6 +47,11 @@ def sharded_cumsum(
     g = df.withColumn("_shard", shard)
     ws = Window.partitionBy(*part_cols, "_shard").orderBy(order_col)
     st = g.groupBy(*part_cols, "_shard").agg(F.sum(val_col).alias("_sw"))
+    # The offset window below runs on the partitions×shards table —
+    # METADATA-scale by construction (it is the output of the
+    # aggregate above). With empty part_cols Spark logs the
+    # single-partition WindowExec warning here; that is this design's
+    # intended shape, not a corpus-sized window — don't re-audit.
     wf = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
     off = st.select(
         *part_cols,
