@@ -108,3 +108,35 @@ def test_prefix_join_lossless_on_adversarial_corpus(spark, tiny_corpus_dir):
     # the identical pair must be found, the cross-lang twin must not
     assert (0, 1, 1.0) in fast
     assert not any({a, b} == {0, 5} for a, b, _ in fast)
+
+
+def test_r5_document_queries_survive_adversarial_corpus(spark, tiny_corpus_dir):
+    """The r5 document operators must run (no ANSI 0/0, no empty-seq
+    traps) on the adversarial corpus — identical docs, sub-shingle
+    docs, cross-lang twins — and hold their basic invariants."""
+    from hive_hdfs_practise_spark import plans
+
+    # phash: identical docs are hamming-0 near-dups; the 2-char docs
+    # (doc 3 "xy", doc 4 "zq") degenerate to near-zero signatures —
+    # only their first difference bit can vary, so they collide as a
+    # texture-less near-dup pair (hamming ≤ 1), crash-free
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in plans.QUERIES["multimodal_phash_neardup"](
+            spark, tiny_corpus_dir
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text
+    assert pairs[(3, 4)] <= 1  # degenerate short docs
+
+    # interleave audit: dense grid, devs telescope per source
+    rows = plans.QUERIES["documents_interleave_audit"](
+        spark, tiny_corpus_dir
+    ).collect()
+    assert sum(r.dev_scaled for r in rows) == 0
+
+    # classifier: every doc classified exactly once
+    conf = plans.QUERIES["documents_source_classifier"](
+        spark, tiny_corpus_dir
+    ).collect()
+    assert sum(r.n_docs for r in conf) == 8  # corpus size
