@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "documents_lang_rebalance",
     "embedding_hard_negatives",
     "embeddings_ann_self_join",
+    "embeddings_covariance_topk",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_mad",

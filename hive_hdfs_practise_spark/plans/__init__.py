@@ -79,6 +79,7 @@ _FRONT = [
     "events_range_join_clicks",
     "events_sliding_distinct_kmv",
     "embeddings_ann_self_join",
+    "embeddings_covariance_topk",
 ]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import vectors as vec
 from ..sources.catalog import table, wide_table
@@ -770,4 +771,133 @@ def knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         dot_i8(F.col("v"), F.col("qv")).cast("bigint").alias("dot_i8"),
         "score",
+    )
+
+
+# Embedding-dimension covariance profile (r5): the feature-drift /
+# redundancy monitor for an embedding column. Components quantize to
+# 1e6-scaled integers FIRST (the documented semantic: covariance of
+# the quantized vectors), so Σx, Σx², Σx_i·x_j are exact 128-bit
+# integer sums and the top-k ordering runs on the EXACT integer
+# numerator n·Sxy − Sx·Sy — no float enters until the display
+# rounding. Same exactness family as lineitem_correlation_matrix.
+COV_TOPK = 20
+_COV_SCALE = 1_000_000
+
+
+@register(
+    "embeddings_covariance_topk",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {_COV_SCALE}) AS BIGINT) AS xi
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sx FROM x GROUP BY i),
+    sxy AS (
+        SELECT a.i AS di, b.i AS dj, CAST(sum(a.xi * b.xi) AS HUGEINT) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    num AS (
+        SELECT sxy.di, sxy.dj,
+               CAST(n.n AS HUGEINT) * sxy.sxy - sa.sx * sb.sx AS num, n.n
+        FROM sxy, n
+        JOIN s sa ON sa.i = sxy.di
+        JOIN s sb ON sb.i = sxy.dj
+    )
+    SELECT CAST(di AS INTEGER) AS dim_i, CAST(dj AS INTEGER) AS dim_j,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * {_COV_SCALE}.0 * {_COV_SCALE}), 9)
+               AS cov
+    FROM (
+        SELECT di, dj, num, n,
+               row_number() OVER (ORDER BY abs(num) DESC, di, dj) AS rn
+        FROM num
+    ) WHERE rn <= {COV_TOPK}
+    """,
+)
+def embeddings_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COV_TOPK} most-covarying embedding-dimension pairs (see
+    exactness note above — ranking happens on exact integers, the
+    9-dp double is display-only). Plan: posexplode to (vec_id, dim,
+    x) with the quantization as a codegen scalar AFTER the explode
+    (never a per-element lambda); each side of the dim-pair join is
+    its own parquet scan (two cheap scans beat checkpointing the
+    exploded stream and beat self-joining one derived pipeline,
+    which would recompute per side); the 64·63/2 co-moment groups
+    map-side-combine, so the shuffle after the pair join carries
+    ~2016 rows per task regardless of corpus size. The dimension
+    ranking window runs on the 2016-row grid — metadata-scale."""
+
+    def exploded():
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return e.select(
+            "vec_id", F.posexplode("embedding").alias("p", "xf")
+        ).select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.round(F.col("xf").cast("double") * _COV_SCALE)
+            .cast("bigint")
+            .alias("xi"),
+        )
+
+    x_a, x_b = exploded(), exploded()
+    n_df = table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = exploded().groupBy("i").agg(
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx")
+    )
+    sxy = (
+        x_a.select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
+        .join(
+            x_b.select(
+                "vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb")
+            ),
+            "vec_id",
+        )
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias(
+                "sxy"
+            )
+        )
+    )
+    sa = s.select(F.col("i").alias("di"), F.col("sx").alias("sxa"))
+    sb = s.select(F.col("i").alias("dj"), F.col("sx").alias("sxb"))
+    num = (
+        sxy.join(F.broadcast(n_df))
+        .join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .select(
+            "di",
+            "dj",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sxa") * F.col("sxb")
+            ).alias("num"),
+            "n",
+        )
+    )
+    w = Window.orderBy(F.abs(F.col("num")).desc(), "di", "dj")
+    return (
+        num.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= COV_TOPK)
+        .select(
+            F.col("di").cast("int").alias("dim_i"),
+            F.col("dj").cast("int").alias("dim_j"),
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * float(_COV_SCALE)
+                    * _COV_SCALE
+                ),
+                9,
+            ).alias("cov"),
+        )
     )
