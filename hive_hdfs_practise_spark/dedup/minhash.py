@@ -281,7 +281,7 @@ PAIR_CHUNK = 1024
 
 
 def pairs_within_buckets(
-    df: DataFrame, id_col: str, bucket_cols: list[str]
+    df: DataFrame, id_col: str, bucket_cols: list[str], distinct: bool = True
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs (doc_a < doc_b) of ids sharing a
     bucket: one shuffle on the bucket key, then combinations inside
@@ -354,9 +354,20 @@ def pairs_within_buckets(
         )
     )
     pair_expr = F.explode(F.when(F.size("ids_b") == 0, comb).otherwise(cross))
+    out = cells.select(pair_expr.alias("p")).select(
+        F.col("p.doc_a"), F.col("p.doc_b")
+    )
+    if not distinct:
+        # consumers whose downstream aggregate absorbs duplicate
+        # pairs (an argmax/argmin per id) skip the dedup: on a
+        # near-dup-heavy corpus the multi-band duplicate stream can
+        # be billions of rows, and the dropDuplicates hash maps are
+        # then the first thing to OOM (verify/reduce-THEN-distinct,
+        # the prefix-join lesson) — while re-scoring a duplicate is
+        # one cheap map-side expression.
+        return out
     return (
-        cells.select(pair_expr.alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        out
         .dropDuplicates(["doc_a", "doc_b"])
     )
 

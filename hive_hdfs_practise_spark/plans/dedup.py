@@ -809,7 +809,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_lsh_candidates(
-    spark: SparkSession, sf_dir: str, n_bands: int, ppb: int
+    spark: SparkSession, sf_dir: str, n_bands: int, ppb: int,
+    distinct: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared banded hyperplane-LSH candidate stage: returns
     ``(cand, e)`` — distinct undirected bucket-collision pairs
@@ -846,7 +847,12 @@ def _emb_lsh_candidates(
             ).alias("bucket")
         )
     )
-    return pairs_within_buckets(buckets, "vec_id", ["band", "bucket"]), e
+    return (
+        pairs_within_buckets(
+            buckets, "vec_id", ["band", "bucket"], distinct=distinct
+        ),
+        e,
+    )
 
 
 def _emb_lsh_pairs(
@@ -949,7 +955,12 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to brute force for the residue — the recall economics note
     on dedup_embedding_lsh). md5-derived planes make the whole
     pipeline SQL-restatable, so even the argmax is value-checked."""
-    cand, e = _emb_lsh_candidates(spark, sf_dir, N_EMB_BANDS, PLANES_PER_BAND)
+    # distinct=False: the per-vector max_by absorbs duplicate pairs,
+    # so the multi-band duplicate stream never needs a dedup hash map
+    # (the 40× replica corpus OOMed the distinct before this)
+    cand, e = _emb_lsh_candidates(
+        spark, sf_dir, N_EMB_BANDS, PLANES_PER_BAND, distinct=False
+    )
     directed = cand.select(
         F.col("doc_a").alias("vec_id"), F.col("doc_b").alias("cnd")
     ).unionByName(
@@ -959,9 +970,17 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
     eb = e.select(F.col("vec_id").alias("cnd"), F.col("v").alias("vb"))
+    # BROADCAST both vector tables (the prefix-join bitmap-index
+    # rationale): the candidate stream is the side that explodes on
+    # near-dup-heavy corpora, so it must never be shuffled or sorted
+    # carrying two 512-byte vectors per row — without the hints a
+    # SortMergeJoin buffered exactly that and OOMed the 40× replica
+    # corpus. With them, cosine is computed straight out of the join
+    # and the max_by partial aggregate reduces map-side, so per-task
+    # memory is bounded by the vector table, not the candidate mass.
     scored = (
-        directed.join(ea, "vec_id")
-        .join(eb, "cnd")
+        directed.join(F.broadcast(ea), "vec_id")
+        .join(F.broadcast(eb), "cnd")
         .select(
             "vec_id",
             "cnd",
