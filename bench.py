@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "graph_bfs_levels",
     "events_error_run_alerts",
     "events_pattern_browse_buy",
+    "events_top_paths",
     "lineitem_jackknife_mean_se",
     "lineitem_correlation_matrix",
     "events_lateness_audit",

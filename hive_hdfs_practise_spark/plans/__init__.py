@@ -80,6 +80,7 @@ _FRONT = [
     "events_sliding_distinct_kmv",
     "embeddings_ann_self_join",
     "embeddings_covariance_topk",
+    "events_top_paths",
 ]
 
 

@@ -90,7 +90,7 @@ def heartbeat_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                     THEN 1 ELSE 0 END AS is_new_session
@@ -98,7 +98,8 @@ def heartbeat_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -120,9 +121,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tiebreak in the running sum too: with ts-only
+    # ordering, same-microsecond rows at a session boundary get
+    # engine-unspecified peer order and the session_id assignment is
+    # nondeterministic (the stream twin's r5 advice fix, applied to
+    # the batch form)
     run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = e.withColumn(
@@ -1678,4 +1684,101 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_dropped"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
+    )
+
+
+# Top user journeys (r5): the per-session event-type PATH (ordered
+# '>'-joined sequence), counted corpus-wide — the product-analytics
+# companion of the funnel/sessionize family. Path construction is
+# LAMBDA-FREE: an ordered-frame collect_list preserves frame order,
+# so the session's last row holds the full ordered type sequence and
+# one codegen array_join renders it; no per-session interpreted
+# transform anywhere.
+TOP_PATHS_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, n_sessions FROM (
+        SELECT path, count(*) AS n_sessions,
+               row_number() OVER (ORDER BY count(*) DESC, path) AS rn
+        FROM paths GROUP BY path
+    ) WHERE rn <= {TOP_PATHS_K}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {TOP_PATHS_K} session journeys (see note above). One
+    user-keyed shuffle serves the gap flag, the running session id,
+    the ordered path accumulation, and the per-session last-row
+    pick; the path counting is a map-side-combining aggregate on
+    path strings (bounded by the journey vocabulary, which
+    saturates), and the final top-k ranks the path grid —
+    metadata-scale."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("sid", F.sum("is_new").over(run))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wsf = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ordered-frame collect_list preserves frame order; the session's
+    # LAST row (rn_desc = 1 via count-over-partition minus rn) holds
+    # the complete sequence
+    seq = sess.select(
+        "user_id",
+        "sid",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "sid"))
+        .alias("cnt"),
+        F.array_join(F.collect_list("event_type").over(wsf), ">").alias(
+            "path"
+        ),
+    ).where(F.col("rn") == F.col("cnt"))
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select(
+            "path",
+            "n_sessions",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= TOP_PATHS_K)
+        .select("path", "n_sessions")
     )
