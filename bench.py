@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "multimodal_feature_extract",
     # cross-doc member of the multimodal family: Arrow dHash + banded join
     "multimodal_phash_neardup",
+    "multimodal_phash_clusters",
     "chunks_ordered_reassembly",
     "replication_audit",
     "order_value_percentiles",

@@ -81,6 +81,7 @@ _FRONT = [
     "embeddings_ann_self_join",
     "embeddings_covariance_topk",
     "events_top_paths",
+    "multimodal_phash_clusters",
 ]
 
 

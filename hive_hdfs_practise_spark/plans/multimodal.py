@@ -139,13 +139,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PHASH_HAM_K = 7  # <= 7 flipped bits over 8 bands pigeonholes one clean band
-
-
-@register(
-    "multimodal_phash_neardup",
-    oracle=f"""
-    WITH chars AS (
+_PHASH_SIG_CTES = f"""chars AS (
         SELECT doc_id,
                (i - 1) // greatest(1, (length(text) + {PHASH_BLOCKS - 1}) // {PHASH_BLOCKS}) AS blk,
                unicode(substring(text, i, 1)) AS cp
@@ -176,13 +170,23 @@ PHASH_HAM_K = 7  # <= 7 flipped bits over 8 bands pigeonholes one clean band
                    sum(bit * (1 << (j % 8))) AS v
             FROM bits GROUP BY doc_id, j // 8
         ) GROUP BY doc_id
-    )
+    )"""
+
+_PHASH_HAM_SQL = " + ".join(
+    f"bit_count(xor(a.s[{k + 1}], b.s[{k + 1}]))" for k in range(8)
+)
+
+PHASH_HAM_K = 7  # <= 7 flipped bits over 8 bands pigeonholes one clean band
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH {_PHASH_SIG_CTES}
     SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
-           CAST({' + '.join(f'bit_count(xor(a.s[{k + 1}], b.s[{k + 1}]))' for k in range(8))}
-                AS INTEGER) AS hamming
+           CAST({_PHASH_HAM_SQL} AS INTEGER) AS hamming
     FROM sig AS a JOIN sig AS b ON a.doc_id < b.doc_id
-    WHERE CAST({' + '.join(f'bit_count(xor(a.s[{k + 1}], b.s[{k + 1}]))' for k in range(8))}
-               AS INTEGER) <= {PHASH_HAM_K}
+    WHERE CAST({_PHASH_HAM_SQL} AS INTEGER) <= {PHASH_HAM_K}
     """,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,4 +236,50 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= PHASH_HAM_K)
         .distinct()
+    )
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_SIG_CTES},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig AS a JOIN sig AS b ON a.doc_id < b.doc_id
+        WHERE CAST({_PHASH_HAM_SQL} AS INTEGER) <= {PHASH_HAM_K}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS media_id,
+           min(m) AS cluster_id,
+           (u = min(m)) AS is_survivor
+    FROM walk GROUP BY u
+    """,
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate MEDIA clusters: the perceptual near-dup pairs
+    (pigeonhole-exact banded dHash, see multimodal_phash_neardup)
+    closed into connected components with survivor marking — the
+    image-dedup unit a curation pipeline actually drops on (keep one
+    survivor per visually-duplicate component). Same min-label
+    propagation as the text dedup family (``dedup/clusters.py``,
+    per-round localCheckpoint); the oracle closes the same pair
+    graph with a recursive CTE, so the iterative algorithm stays
+    value-checked end to end. Builder runs jobs at plan time
+    (edge checkpoint): BUILD_EXECUTES."""
+    from ..dedup.clusters import connected_components, dedup_survivors
+
+    pairs = multimodal_phash_neardup(spark, sf_dir).select(
+        F.col("media_id_a").alias("doc_a"), F.col("media_id_b").alias("doc_b")
+    )
+    return dedup_survivors(connected_components(pairs)).select(
+        F.col("doc_id").alias("media_id"), "cluster_id", "is_survivor"
     )

@@ -39,6 +39,8 @@ BUILD_EXECUTES = {
     "stream_pattern_browse_buy",
     "knn_brute_cosine_vectorized",
     "dedup_clusters_lsh",
+    # r5: phash pair graph checkpointed per CC round
+    "multimodal_phash_clusters",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
