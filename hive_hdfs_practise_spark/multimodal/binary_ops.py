@@ -323,7 +323,7 @@ PHASH_SCHEMA = T.StructType(
 
 def phash_signature(
     media: DataFrame,
-    stat: Callable[[str], list[int]] | None = None,
+    stat: Callable[[bytes], list[int]] | None = None,
 ) -> DataFrame:
     """Perceptual difference-hash (dHash) signature of each payload:
     split the decoded payload into ``PHASH_BLOCKS`` equal blocks,
@@ -354,7 +354,7 @@ def phash_signature(
             sigs = []
             for payload in pdf["payload"]:
                 if stat is not None:
-                    cnts = stat(payload)
+                    cnts = stat(bytes(payload or b""))
                 else:
                     cnts = default_stat(
                         bytes(payload or b"").decode("utf-8")

@@ -435,13 +435,18 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = c.join(F.broadcast(s)).select(
         "n",
         "s",
+        # per-row ix fits int64 comfortably, but Σix reaches ~2e19 at
+        # sf10 — sum in DECIMAL(38,0) (DuckDB's sum(BIGINT) already
+        # widens to HUGEINT; correlation_matrix precedent)
         (
             F.col("cents")
             * (
                 F.col("k") * (F.col("ck") - F.col("k"))
                 + F.expr("k * (k + 1) div 2")
             )
-        ).alias("ix"),
+        )
+        .cast("decimal(38,0)")
+        .alias("ix"),
     )
     return terms.agg(
         F.max("n").cast("bigint").alias("n_customers"),

@@ -131,11 +131,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # gap test at MICROSECOND precision (unix_micros), matching the
+    # oracle's exact `ts - lag(ts) > INTERVAL 30 MINUTES`: the old
+    # second-truncated cast("long") diff silently disagreed with the
+    # oracle for fractional gaps inside (1800 s, 1801 s) — it passed
+    # only when the corpus's fractional parts happened to floor the
+    # same way (r5 review finding).
     flagged = e.withColumn(
         "is_new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -1741,13 +1751,15 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # µs-exact gap, same as events_sessionize (see its note)
     flagged = e.withColumn(
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 1800
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             ),
             F.lit(1),
         ).otherwise(F.lit(0)),

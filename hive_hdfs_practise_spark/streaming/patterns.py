@@ -21,6 +21,7 @@ buffer in front (the standard sessionization pre-stage).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import pandas as pd
@@ -67,7 +68,14 @@ def _match(
         if etype == "view":
             if has_click:
                 n_views += 1
-                vmicro += int(round(value * 1_000_000))
+                # HALF-AWAY-FROM-ZERO, matching Spark F.round / DuckDB
+                # round in the batch twin and shared oracle — Python's
+                # built-in round() is banker's (half-to-even) and would
+                # diverge on exact .5 micro-products
+                v = value * 1_000_000
+                vmicro += int(math.floor(v + 0.5)) if v >= 0 else -int(
+                    math.floor(-v + 0.5)
+                )
         elif etype == "purchase":
             if has_click:
                 out.append(
