@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "orders_psi_value_drift",
     "graph_bfs_levels",
+    "graph_label_propagation",
     "events_error_run_alerts",
     "events_pattern_browse_buy",
     "events_top_paths",

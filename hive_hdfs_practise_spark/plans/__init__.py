@@ -82,6 +82,7 @@ _FRONT = [
     "embeddings_covariance_topk",
     "events_top_paths",
     "multimodal_phash_clusters",
+    "graph_label_propagation",
 ]
 
 

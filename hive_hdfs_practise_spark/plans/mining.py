@@ -761,3 +761,116 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
     ).otherwise(F.concat(F.lit("s"), F.expr("node div 2").cast("string")))
     return reached.select(label.alias("node"), "level")
+
+
+# Label-propagation communities (r5) over the same thresholded
+# co-purchase graph as graph_triangle_count. Synchronous LPA with
+# BOTH determinism levers pinned: the update is argmax over
+# neighbor-label counts PLUS the node's own label (self-inclusion
+# damps 2-cycles), ties break to the SMALLEST label, and the round
+# count is FIXED (3) rather than convergence-gated — so the output
+# is a pure function of the graph, unrollable in SQL, and immune to
+# the oscillation that makes naive synchronous LPA nondeterministic.
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS (SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e),
+    l0 AS (SELECT DISTINCT v, v AS lab FROM und)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{r} AS (
+        SELECT t.v, t.lab, count(*) AS c FROM (
+            SELECT u.v, l.lab FROM und u JOIN l{r - 1} l ON l.v = u.w
+            UNION ALL
+            SELECT v, lab FROM l{r - 1}
+        ) t GROUP BY t.v, t.lab
+    )"""
+        )
+        parts.append(
+            f"""l{r} AS (
+        SELECT v, lab FROM (
+            SELECT v, lab,
+                   row_number() OVER (PARTITION BY v ORDER BY c DESC, lab)
+                       AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT l.v AS part_id, l.lab AS community_id,
+           count(*) OVER (PARTITION BY l.lab) AS n_members
+    FROM l{LPA_ROUNDS} l
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (see note above) on the co-purchase part graph.
+    Each round is ONE map-side-combining (node, label) count
+    aggregate plus a ``min_by`` argmax — no windows, no sorts; the
+    per-round label table is localCheckpointed (the iterative-loop
+    invariant) so plans stay O(1) deep and each round's cost is one
+    edge-sized join. Fixed rounds + smallest-label ties make the
+    whole algorithm a pure function of the graph, which is what lets
+    the oracle UNROLL all {LPA_ROUNDS} rounds in SQL and value-check
+    an iterative graph algorithm exactly. Builder runs jobs at plan
+    time (per-round checkpoints): BUILD_EXECUTES."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = l.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    und = (
+        e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+        .unionByName(e.select(F.col("pb").alias("v"), F.col("pa").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("v").distinct().withColumn("lab", F.col("v"))
+    for _ in range(LPA_ROUNDS):
+        neighbor = und.join(
+            labels.select(F.col("v").alias("w"), "lab"), "w"
+        ).select("v", "lab")
+        votes = neighbor.unionByName(labels.select("v", "lab"))
+        counts = votes.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.min_by(
+                    F.col("lab"), F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+    wl = Window.partitionBy("lab")
+    return labels.select(
+        F.col("v").alias("part_id"),
+        F.col("lab").alias("community_id"),
+        F.count(F.lit(1)).over(wl).alias("n_members"),
+    )

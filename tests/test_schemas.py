@@ -41,6 +41,8 @@ BUILD_EXECUTES = {
     "dedup_clusters_lsh",
     # r5: phash pair graph checkpointed per CC round
     "multimodal_phash_clusters",
+    # r5: per-round label checkpoints (LPA)
+    "graph_label_propagation",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
