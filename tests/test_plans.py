@@ -1178,3 +1178,53 @@ def test_interleave_audit_devs_telescope_to_zero(spark):
         cells[r.source] += 1
     assert all(v == 0 for v in per_src.values())
     assert all(v == INTERLEAVE_WINDOWS for v in cells.values())
+
+
+class TestR5Plans:
+    """Physical-plan pins for the round-5 operators: the properties
+    that make them viable at scale, asserted so refactors can't
+    silently lose them."""
+
+    def test_phash_verify_precedes_distinct(self, spark):
+        """Hamming verify must run map-side BEFORE the pair distinct
+        (never distinct a candidate stream the verify can shrink):
+        in the executed plan the aggregate (distinct) sits ABOVE the
+        banded join, with the hamming filter BETWEEN them."""
+        p = _plan(spark, "multimodal_phash_neardup")
+        agg = p.find("HashAggregate")
+        filt = p.find("bit_count")
+        join = max(p.find("SortMergeJoin"), p.find("ShuffledHashJoin"), p.find("BroadcastHashJoin"))
+        assert agg != -1 and filt != -1 and join != -1
+        assert agg < filt or agg < join  # distinct above the verify/join
+
+    def test_classifier_grid_broadcast(self, spark):
+        """The (source × vocab) score grid must broadcast into the
+        token-scoring join — the corpus-sized token stream is never
+        the build side."""
+        p = _plan(spark, "documents_source_classifier")
+        assert "BroadcastHashJoin" in p
+
+    def test_ann_self_join_vector_tables_broadcast(self, spark):
+        """Both vector tables broadcast: the candidate stream (which
+        explodes on near-dup-heavy corpora) must never be
+        sort-merge-joined carrying 512-byte vectors — the r5 40× OOM."""
+        p = _plan(spark, "embeddings_ann_self_join")
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+
+    def test_range_join_is_equi_join(self, spark):
+        """The banded rewrite must plan as an equi-join — a theta
+        join would nested-loop."""
+        p = _plan(spark, "events_range_join_clicks")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_correlation_matrix_single_pass(self, spark):
+        """All 15 co-moments in ONE scan: exactly one parquet scan of
+        lineitem in the plan."""
+        p = _plan(spark, "lineitem_correlation_matrix")
+        assert p.count("Scan parquet") == 1
+
+    def test_top_paths_no_interpreted_lambdas(self, spark):
+        p = _plan(spark, "events_top_paths").lower()
+        assert "lambdafunction" not in p
