@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "documents_interleave_audit",
     "sales_incremental_refresh",
     "supplier_abc_classification",
+    "supplier_top_parts",
 ]
 
 

@@ -83,6 +83,7 @@ _FRONT = [
     "events_top_paths",
     "multimodal_phash_clusters",
     "graph_label_propagation",
+    "supplier_top_parts",
 ]
 
 

@@ -765,3 +765,59 @@ def supplier_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# Top-k per group (r5): each supplier's top-3 parts by revenue — the
+# canonical BI "group top-N". Revenue is summed in EXACT integer
+# cents (2-dp prices scaled per row before the sum), so the ranking
+# never compares merge-order-noisy doubles; ties break on partkey.
+SUPP_TOP_K = 3
+
+
+@register(
+    "supplier_top_parts",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, cents AS revenue_cents,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT l_suppkey, l_partkey, cents,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY cents DESC, l_partkey) AS rnk
+        FROM rev
+    ) WHERE rnk <= {SUPP_TOP_K}
+    """,
+)
+def supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {SUPP_TOP_K} parts per supplier by exact integer-cent
+    revenue (see note above). The rank filter pushes down as
+    WindowGroupLimit (plan-asserted): each map task forwards at most
+    {SUPP_TOP_K} rows per supplier it sees before the exchange, so
+    at 100 TB the window shuffle carries O(suppliers × k × tasks)
+    rows, not the (supplier, part) grid — the same pushdown
+    documents_source_quota rides."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    rev = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    )
+    return (
+        rev.select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("cents").alias("revenue_cents"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= SUPP_TOP_K)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

@@ -1228,3 +1228,10 @@ class TestR5Plans:
     def test_top_paths_no_interpreted_lambdas(self, spark):
         p = _plan(spark, "events_top_paths").lower()
         assert "lambdafunction" not in p
+
+
+def test_supplier_top_parts_window_group_limit(spark):
+    """The rank<=k filter must push down as WindowGroupLimit so map
+    tasks forward at most k rows per supplier before the exchange."""
+    p = _plan(spark, "supplier_top_parts")
+    assert "WindowGroupLimit" in p
