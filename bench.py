@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "sales_incremental_refresh",
     "supplier_abc_classification",
     "supplier_top_parts",
+    "lineitem_measures_unpivot",
 ]
 
 

@@ -84,6 +84,7 @@ _FRONT = [
     "multimodal_phash_clusters",
     "graph_label_propagation",
     "supplier_top_parts",
+    "lineitem_measures_unpivot",
 ]
 
 

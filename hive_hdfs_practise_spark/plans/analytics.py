@@ -821,3 +821,44 @@ def supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= SUPP_TOP_K)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+               sum(CAST(round(l_discount * 100) AS BIGINT)) AS disc_cents
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, 'qty_cents' AS measure,
+           qty_cents AS value FROM g
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'price_cents', price_cents FROM g
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'disc_cents', disc_cents FROM g
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of the pivot surface: the
+    per-(returnflag, linestatus) measure grid in wide form, melted to
+    (keys, measure, value) long form via ``DataFrame.unpivot`` —
+    Spark plans it as one Expand over the aggregate output (grid
+    rows × measures), so the melt itself is metadata-scale; measures
+    are exact integer cents. The oracle states the equivalent
+    UNION ALL."""
+    l = table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.sum(F.round(F.col(c) * 100).cast("bigint"))  # noqa: E731
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        cents("l_quantity").alias("qty_cents"),
+        cents("l_extendedprice").alias("price_cents"),
+        cents("l_discount").alias("disc_cents"),
+    )
+    return g.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["qty_cents", "price_cents", "disc_cents"],
+        "measure",
+        "value",
+    )
