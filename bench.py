@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "supplier_abc_classification",
     "supplier_top_parts",
     "lineitem_measures_unpivot",
+    "embeddings_pca_power",
 ]
 
 

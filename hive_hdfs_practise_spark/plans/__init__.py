@@ -85,6 +85,7 @@ _FRONT = [
     "graph_label_propagation",
     "supplier_top_parts",
     "lineitem_measures_unpivot",
+    "embeddings_pca_power",
 ]
 
 

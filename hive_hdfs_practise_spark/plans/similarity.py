@@ -901,3 +901,283 @@ def embeddings_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# PCA top principal component (r6 queue's open problem: an
+# ORACLE-EXACT eigensolve). Why this is normally impossible to
+# value-check: float power iteration accumulates merge-order noise
+# every round, and the synthetic embeddings are near-isotropic
+# (lambda1/lambda2 = 1.013 measured at sf0.01), so plain power
+# iteration needs ~hundreds of rounds to converge at all. Both
+# problems fall to the same move: the d x d co-moment matrix is
+# METADATA-scale (64x64), so instead of iterating M.v we square the
+# MATRIX itself PCA_SQUARINGS times in fixed-point integer arithmetic
+# (M -> M^2 -> M^4 ... -> M^1024), renormalizing entries to
+# PCA_MSCALE after each squaring. An effective exponent of 1024
+# turns the 1.013 gap into 1.013^1024 ~ 5e5 — one matvec of the
+# powered matrix against the all-ones vector is fully converged
+# (cosine vs float eigh = 0.9999999993 measured at sf0.01). Every
+# step is exact integer (products <= 1e12, row sums <= 6.4e13 —
+# int64-safe after the first normalization), so the WHOLE algorithm
+# restates in SQL and the eigenvector is value-checked bit-for-bit.
+# The reported eigenvalue is the Rayleigh quotient of the normalized
+# matrix (exact-integer numerator/denominator cast to double in the
+# same order on both sides), with ~1e-5 relative truncation error vs
+# the unnormalized quotient — corpus-size-independent overflow
+# headroom (all integer magnitudes bounded by d and the fixed-point
+# scales, not n).
+PCA_DIM = 64
+PCA_MSCALE = 1_000_000
+PCA_VSCALE = 1_000_000
+PCA_SQUARINGS = 10
+
+
+def _pca_norm_sql(src: str, val: str, out: str) -> str:
+    """One fixed-point renormalization CTE pair: scale ``val`` rows of
+    ``src`` so max|value| = PCA_MSCALE, sign-preserving, truncating
+    (both engines' integer division truncates toward zero on the
+    nonnegative operands used here)."""
+    return f"""mx_{out} AS (SELECT max(abs({val})) AS am FROM {src}),
+    {out} AS MATERIALIZED (
+        SELECT di, dj,
+               CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((CASE WHEN {val} < 0 THEN -1 ELSE 1 END)
+                              * ((CAST(abs({val}) AS HUGEINT)
+                                  * {PCA_MSCALE}) // am)
+                              AS BIGINT)
+               END AS e
+        FROM {src}, mx_{out}
+    )"""
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {_COV_SCALE})
+                    AS BIGINT) AS xi
+        FROM embeddings, generate_series(1, {PCA_DIM}) AS t(i)
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sx FROM x GROUP BY i),
+    sxy AS (
+        SELECT a.i AS di, b.i AS dj, CAST(sum(a.xi * b.xi) AS HUGEINT) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    m AS MATERIALIZED (
+        SELECT sxy.di, sxy.dj,
+               CAST(n.n AS HUGEINT) * sxy.sxy - sa.sx * sb.sx AS num
+        FROM sxy, n
+        JOIN s sa ON sa.i = sxy.di
+        JOIN s sb ON sb.i = sxy.dj
+    ),
+    {_pca_norm_sql("m", "num", "p0")}"""
+    ]
+    for k in range(1, PCA_SQUARINGS + 1):
+        parts.append(
+            f"""q{k} AS MATERIALIZED (
+        SELECT a.di, b.dj, CAST(sum(a.e * b.e) AS BIGINT) AS e
+        FROM p{k - 1} a JOIN p{k - 1} b ON a.dj = b.di
+        GROUP BY a.di, b.dj
+    ),
+    {_pca_norm_sql(f"q{k}", "e", f"p{k}")}"""
+        )
+    last = f"p{PCA_SQUARINGS}"
+    parts.append(
+        f"""w AS (SELECT di AS i, CAST(sum(e) AS BIGINT) AS w
+         FROM {last} GROUP BY di),
+    mw AS (SELECT max(abs(w)) AS am FROM w),
+    v0 AS (
+        SELECT i,
+               CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                              * ((abs(w) * {PCA_VSCALE}) // am) AS BIGINT)
+               END AS v
+        FROM w, mw
+    ),
+    vm AS (SELECT max(abs(v)) AS am FROM v0),
+    sgn AS (
+        SELECT CASE WHEN (SELECT v0.v FROM v0, vm
+                          WHERE abs(v0.v) = vm.am
+                          ORDER BY v0.i LIMIT 1) < 0
+                    THEN -1 ELSE 1 END AS sg
+    ),
+    v AS (SELECT i, CAST(v0.v * sgn.sg AS BIGINT) AS v FROM v0, sgn),
+    pv AS (
+        SELECT p.di AS i, CAST(sum(p.e * v.v) AS HUGEINT) AS pv
+        FROM p0 p JOIN v ON p.dj = v.i
+        GROUP BY p.di
+    ),
+    ray AS (
+        SELECT CAST(sum(pv.pv * v.v) AS HUGEINT) AS nq,
+               CAST(sum(v.v * v.v) AS HUGEINT) AS dn
+        FROM pv JOIN v ON pv.i = v.i
+    ),
+    lam AS (
+        SELECT CASE WHEN ray.dn = 0 THEN 0.0
+                    ELSE round(CAST(ray.nq AS DOUBLE)
+                               * CAST(mx_p0.am AS DOUBLE)
+                               / (CAST({PCA_MSCALE} AS DOUBLE)
+                                  * CAST(ray.dn AS DOUBLE)
+                                  * CAST(n.n AS DOUBLE)
+                                  * CAST(n.n AS DOUBLE)
+                                  * {_COV_SCALE}.0 * {_COV_SCALE}), 9)
+               END AS lambda_cov
+        FROM ray, mx_p0, n
+    )
+    SELECT CAST(v.i AS INTEGER) AS dim,
+           v.v AS loading_fp,
+           round(CAST(v.v AS DOUBLE) / {PCA_VSCALE}, 6) AS loading,
+           lam.lambda_cov
+    FROM v, lam
+    """
+    )
+    return ",\n    ".join(parts)
+
+
+@register("embeddings_pca_power", oracle=_pca_oracle())
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by integer
+    fixed-point matrix powering (see exactness + convergence note
+    above). Output: one row per dimension with the fixed-point
+    loading (exact BIGINT, value-checked bit-for-bit), its 6-dp
+    double display form, and the Rayleigh-quotient eigenvalue in
+    covariance units.
+
+    Scale shape: the ONLY corpus-sized stages are the co-moment
+    aggregates (posexplode + codegen quantization, map-side combine
+    to d(d+1)/2 = 2080 groups — the shuffle after the dim-pair join
+    carries ~2080 rows per task regardless of corpus size, the
+    embeddings_covariance_topk plan). The d x d matrix (4096 entries)
+    is then collected and the squaring cascade runs driver-side in
+    exact numpy int64 (bounds in the note above) — the same division
+    of labor as Spark MLlib's RowMatrix.computePrincipalComponents,
+    which collects the d x d Gram matrix and runs the eigensolve on
+    the driver. Driver state is O(d^2), never O(corpus).
+    """
+    import numpy as np
+
+    d = PCA_DIM
+
+    def exploded():
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return e.select(
+            "vec_id", F.posexplode("embedding").alias("p", "xf")
+        ).select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.round(F.col("xf").cast("double") * _COV_SCALE)
+            .cast("bigint")
+            .alias("xi"),
+        )
+
+    # one job for Sx AND n (n = row count of any one dimension's
+    # group) instead of a separate count() scan
+    s_rows = (
+        exploded()
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    n = int(s_rows[0]["cnt"])
+    sxy_rows = (
+        exploded()
+        .select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
+        .join(
+            exploded().select(
+                "vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb")
+            ),
+            "vec_id",
+        )
+        .filter(F.col("di") <= F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias(
+                "sxy"
+            )
+        )
+        .collect()
+    )
+    sx = {int(r["i"]): int(r["sx"]) for r in s_rows}
+    # exact Python-int co-moment matrix, mirrored from the upper
+    # triangle (n*Sxy - Sx*Sy can exceed int64 past sf~0.03, so the
+    # raw matrix stays arbitrary-precision until normalized)
+    M = [[0] * d for _ in range(d)]
+    for r in sxy_rows:
+        di, dj = int(r["di"]), int(r["dj"])
+        val = n * int(r["sxy"]) - sx[di] * sx[dj]
+        M[di - 1][dj - 1] = val
+        M[dj - 1][di - 1] = val
+
+    def norm_to(vals, scale):
+        mx = max(abs(x) for row in vals for x in row) if vals else 0
+        if mx == 0:
+            return [[0] * len(vals[0]) for _ in vals], 0
+        return [
+            [
+                (1 if x >= 0 else -1) * ((abs(x) * scale) // mx)
+                for x in row
+            ]
+            for row in vals
+        ], mx
+
+    p0_list, am = norm_to(M, PCA_MSCALE)
+    # entries <= PCA_MSCALE from here on: products <= 1e12, 64-term
+    # sums <= 6.4e13 — exact in int64, so numpy matmul is safe
+    p = np.array(p0_list, dtype=np.int64)
+    for _ in range(PCA_SQUARINGS):
+        # the matmul itself is int64-exact (|p| <= 1e6, 64-term sums
+        # <= 6.4e13) but abs(entry) * MSCALE can reach 6.4e19 > int64
+        # — the renormalization runs in exact Python ints, mirroring
+        # the oracle's HUGEINT cast
+        sq = (p @ p).tolist()
+        nrm, _ = norm_to(sq, PCA_MSCALE)
+        p = np.array(nrm, dtype=np.int64)
+    w = p.sum(axis=1)
+    mw = int(np.max(np.abs(w)))
+    if mw == 0:
+        v = np.zeros(d, dtype=np.int64)
+    else:
+        v = np.where(w < 0, -1, 1) * ((np.abs(w) * PCA_VSCALE) // mw)
+    # canonical sign: the largest-|loading| dimension (smallest index
+    # on ties) reports positive
+    pidx = int(np.argmax(np.abs(v)))  # first max — the min-i tie rule
+    if v[pidx] < 0:
+        v = -v
+    p0 = np.array(p0_list, dtype=np.int64)
+    pv = p0 @ v  # <= 64 * 1e6 * 1e6 = 6.4e13, int64-exact
+    nq = sum(int(pv[i]) * int(v[i]) for i in range(d))
+    den = sum(int(v[i]) * int(v[i]) for i in range(d))
+    rows = [(i + 1, int(v[i])) for i in range(d)]
+    out = spark.createDataFrame(rows, "dim int, loading_fp long")
+    if den == 0:
+        lam_col = F.lit(0.0)
+    else:
+        # identical literal order to the oracle's double expression:
+        # exact integers -> double, one multiply/divide chain
+        lam_col = F.round(
+            F.lit(float(nq))
+            * F.lit(float(am))
+            / (
+                F.lit(float(PCA_MSCALE))
+                * F.lit(float(den))
+                * F.lit(float(n))
+                * F.lit(float(n))
+                * float(_COV_SCALE)
+                * _COV_SCALE
+            ),
+            9,
+        )
+    return out.select(
+        "dim",
+        "loading_fp",
+        F.round(F.col("loading_fp").cast("double") / PCA_VSCALE, 6).alias(
+            "loading"
+        ),
+        lam_col.alias("lambda_cov"),
+    )

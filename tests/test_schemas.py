@@ -52,6 +52,9 @@ BUILD_EXECUTES = {
     "word_freq_countsketch_topk",
     # r4: kmeans_centroids localCheckpoints per Lloyd round
     "knn_ivf",
+    # r6: collects the d x d co-moment matrix for the driver-side
+    # integer matrix-squaring eigensolve
+    "embeddings_pca_power",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",

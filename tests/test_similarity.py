@@ -347,3 +347,51 @@ class TestQuantizedKnn:
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in p
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+class TestPcaPower:
+    """embeddings_pca_power: the integer matrix-squaring eigensolve
+    must land on the float top eigenvector despite the measured
+    ~1.013 eigengap (the property the squaring cascade exists for),
+    with the canonical sign convention and a sane Rayleigh value."""
+
+    @pytest.fixture(scope="class")
+    def pca(self, spark):
+        return (
+            plans.QUERIES["embeddings_pca_power"](spark, SF)
+            .orderBy("dim")
+            .collect()
+        )
+
+    def test_matches_float_eigh(self, spark, pca):
+        rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "embedding"
+        ).collect()
+        X = np.array(
+            [np.round(np.array(r.embedding, dtype=float) * 1e6) for r in rows]
+        )
+        n = X.shape[0]
+        M = n * (X.T @ X) - np.outer(X.sum(axis=0), X.sum(axis=0))
+        evals, evecs = np.linalg.eigh(M)
+        top = evecs[:, -1]
+        v = np.array([r.loading_fp for r in pca], dtype=float)
+        assert np.linalg.norm(v) > 0
+        cos = abs(np.dot(top, v)) / (np.linalg.norm(top) * np.linalg.norm(v))
+        assert cos > 0.999
+        # eigenvalue in covariance units (quantized-integer semantic)
+        lam = pca[0].lambda_cov
+        want = evals[-1] / (n * n * 1e12)
+        assert abs(lam - want) / want < 1e-3
+
+    def test_canonical_sign(self, pca):
+        v = [r.loading_fp for r in pca]
+        mx = max(abs(x) for x in v)
+        first_max = next(x for x in v if abs(x) == mx)
+        assert first_max > 0
+        # fixed-point normalization: the max-|loading| slot is exactly
+        # +- VSCALE
+        assert mx == 1_000_000
+
+    def test_display_columns_derive_from_fp(self, pca):
+        for r in pca:
+            assert abs(r.loading - r.loading_fp / 1e6) <= 5e-7
