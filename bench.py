@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "supplier_top_parts",
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
+    "knn_pq_adc",
 ]
 
 

@@ -86,6 +86,7 @@ _FRONT = [
     "supplier_top_parts",
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
+    "knn_pq_adc",
 ]
 
 

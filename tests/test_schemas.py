@@ -55,6 +55,8 @@ BUILD_EXECUTES = {
     # r6: collects the d x d co-moment matrix for the driver-side
     # integer matrix-squaring eigensolve
     "embeddings_pca_power",
+    # r6: per-Lloyd-round codebook checkpoints
+    "knn_pq_adc",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",

@@ -395,3 +395,32 @@ class TestPcaPower:
     def test_display_columns_derive_from_fp(self, pca):
         for r in pca:
             assert abs(r.loading - r.loading_fp / 1e6) <= 5e-7
+
+
+class TestPqAdc:
+    """knn_pq_adc: the ADC-shortlist + exact-re-rank pipeline must
+    surface (nearly all of) the true top-k — the re-rank stage exists
+    precisely because plain ADC top-10 held 1/10 on this corpus."""
+
+    def test_rerank_recall_and_exactness(self, spark, emb):
+        got = plans.QUERIES["knn_pq_adc"](spark, SF).collect()
+        rows = emb.collect()
+        X = {
+            r.vec_id: np.round(np.array(r.embedding, dtype=float) * 1e6)
+            for r in rows
+        }
+        q = X[0]
+        true = sorted(
+            (int(np.sum((v - q) ** 2)), vid)
+            for vid, v in X.items()
+            if vid != 0
+        )
+        true10 = {vid for _, vid in true[:10]}
+        assert len(true10 & {r.vec_id for r in got}) >= 8
+        # the re-rank distances are EXACT quantized L2 — bit-equal to
+        # numpy's integer computation, not approximately equal
+        for r in got:
+            assert r.l2sq_fp == int(np.sum((X[r.vec_id] - q) ** 2))
+        # output ordered by exact distance
+        dists = [r.l2sq_fp for r in got]
+        assert dists == sorted(dists)
