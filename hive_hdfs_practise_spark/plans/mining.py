@@ -584,18 +584,10 @@ def documents_top_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # div/mod arithmetic (identical semantics in Spark SQL and DuckDB for
 # non-negative ints), generated ONCE in Python and interpolated into
 # both engines so the two sides cannot desynchronize.
-ZORDER_BITS = 16
-ZORDER_BUCKET_SHIFT = 2 * ZORDER_BITS - 8  # top 8 z-bits -> 256 buckets
-
-
-def _zorder_expr(x: str, y: str, idiv: str) -> str:
-    """idiv: the engine's integer-division operator — Spark ``div``,
-    DuckDB ``//`` (the ONLY dialect difference in the expression)."""
-    terms = []
-    for i in range(ZORDER_BITS):
-        terms.append(f"(({x} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({y} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
-    return " + ".join(terms)
+from ..operators.zorder import (  # registration-free shared generator
+    ZORDER_BUCKET_SHIFT,
+    zorder_expr as _zorder_expr,
+)
 
 
 @register(
