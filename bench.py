@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
     "knn_pq_adc",
+    "word_pair_pmi",
 ]
 
 

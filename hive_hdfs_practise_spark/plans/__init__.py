@@ -87,6 +87,7 @@ _FRONT = [
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
     "knn_pq_adc",
+    "word_pair_pmi",
 ]
 
 

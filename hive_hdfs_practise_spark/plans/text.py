@@ -1401,3 +1401,122 @@ def documents_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_source", "pred_source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# Word-pair PMI collocations (the r6-queue item): adjacent-bigram
+# association strength over the whole corpus. What usually blocks a
+# value check here is the log: ln() is libm-dependent and PMI
+# ordering on computed doubles has engine-specific near-ties. Both
+# fall away by ranking on the exact integer fixed-point LIFT
+# quotient c_xy*N*SCALE div (c_x*c_y) (PMI = ln(lift) is monotone in
+# it), with the display lift computed from the same exact integers
+# in the same IEEE order on both sides. Min-count floor keeps
+# singleton noise out (classic collocation practice) and also caps
+# the quotient at MINCOUNT*N*SCALE/MINCOUNT^2 — int64-safe at any
+# corpus size where N*SCALE/MINCOUNT fits, i.e. to ~4e13 tokens.
+PMI_SCALE = 1_000_000
+PMI_MIN_COUNT = 5
+PMI_TOP = 25
+
+
+@register(
+    "word_pair_pmi",
+    oracle=rf"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS t
+        FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT t.word, count(*) AS c
+        FROM toks, unnest(toks.t) AS t(word)
+        GROUP BY t.word
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, count(*) AS c_xy FROM (
+            SELECT doc_id, t[x] AS w1, t[x + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(x)
+        ) GROUP BY w1, w2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bi.w1, bi.w2, bi.c_xy,
+           u1.c AS c_w1, u2.c AS c_w2,
+           CAST((CAST(bi.c_xy AS HUGEINT) * n.n * {PMI_SCALE})
+                // (u1.c * u2.c) AS BIGINT) AS lift_fp,
+           round(CAST(bi.c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+    FROM bi
+    JOIN uni u1 ON u1.word = bi.w1
+    JOIN uni u2 ON u2.word = bi.w2, n
+    ORDER BY lift_fp DESC, bi.w1, bi.w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} adjacent-word collocations by PMI lift (see
+    exactness note above — ranking runs on the exact integer
+    quotient, the 6-dp double is display-only; PMI itself is
+    ln(lift), monotone, left to the consumer).
+
+    Scale shape: tokens explode once and feed BOTH count families —
+    unigrams (two-stage hash agg, shuffle capped at |vocab| x
+    partitions) and bigrams (adjacent pairs via arrays_zip of two
+    slices — codegen'd array ops, no per-element lambda, no window
+    over the corpus). The unigram side joins back BROADCAST (vocab
+    is dimension-sized), the corpus-total N is the repo's 1-row
+    scalar-join pattern, and the min-count HAVING floor prunes the
+    bigram tail before the join. TakeOrderedAndProject keeps
+    {PMI_TOP} rows per partition — no global sort."""
+    d = wide_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_df = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    # greatest(.., 0): slice raises on negative
+                    # length in ANSI mode — an empty-token doc has
+                    # size(t) = 0 (the adversarial-corpus class)
+                    F.expr("slice(t, 1, greatest(size(t) - 1, 0))"),
+                    F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_df))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_w1",
+            "c_w2",
+            F.expr(
+                f"cast((cast(c_xy as decimal(38,0)) * n * {PMI_SCALE})"
+                " div (c_w1 * c_w2) as bigint)"
+            ).alias("lift_fp"),
+            F.round(
+                F.col("c_xy").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_w1").cast("double") * F.col("c_w2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift_fp"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
