@@ -1085,24 +1085,15 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n = int(s_rows[0]["cnt"])
-    sxy_rows = (
-        exploded()
-        .select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
-        .join(
-            exploded().select(
-                "vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb")
-            ),
-            "vec_id",
-        )
-        .filter(F.col("di") <= F.col("dj"))
-        .groupBy("di", "dj")
-        .agg(
-            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias(
-                "sxy"
-            )
-        )
-        .collect()
-    )
+    # co-moments via Arrow-batched GEMM (similarity/comoment.py) —
+    # the posexplode self-join shape shuffles O(n * d^2) rows and
+    # measured 79.7 s at the 40x corpus with this stage dominant;
+    # the GEMM path shuffles only per-partition d x d partials
+    from ..similarity.comoment import comoment_upper_exact
+
+    sxy_rows = comoment_upper_exact(
+        wide_table(spark, sf_dir, "embeddings")
+    ).collect()
     sx = {int(r["i"]): int(r["sx"]) for r in s_rows}
     # exact Python-int co-moment matrix, mirrored from the upper
     # triangle (n*Sxy - Sx*Sy can exceed int64 past sf~0.03, so the

@@ -424,3 +424,47 @@ class TestPqAdc:
         # output ordered by exact distance
         dists = [r.l2sq_fp for r in got]
         assert dists == sorted(dists)
+
+
+class TestComomentGemm:
+    def test_gemm_equals_explode_join(self, spark, emb):
+        """The Arrow-GEMM co-moment path must be bit-equal to the
+        declarative posexplode self-join it replaced."""
+        from hive_hdfs_practise_spark.similarity.comoment import (
+            comoment_upper_exact,
+        )
+
+        got = {
+            (r.di, r.dj): int(r.sxy)
+            for r in comoment_upper_exact(emb).collect()
+        }
+        x = emb.select(
+            "vec_id", F.posexplode("embedding").alias("p", "xf")
+        ).select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.round(F.col("xf").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("xi"),
+        )
+        want = {
+            (r.di, r.dj): int(r.sxy)
+            for r in (
+                x.select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
+                .join(
+                    x.select(
+                        "vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb")
+                    ),
+                    "vec_id",
+                )
+                .filter(F.col("di") <= F.col("dj"))
+                .groupBy("di", "dj")
+                .agg(
+                    F.sum(
+                        (F.col("xa") * F.col("xb")).cast("decimal(38,0)")
+                    ).alias("sxy")
+                )
+                .collect()
+            )
+        }
+        assert got == want
