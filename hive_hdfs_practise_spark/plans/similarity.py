@@ -843,29 +843,22 @@ def embeddings_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xi"),
         )
 
-    x_a, x_b = exploded(), exploded()
+    from ..similarity.comoment import comoment_upper_exact
+
     n_df = table(spark, sf_dir, "embeddings").agg(
         F.count(F.lit(1)).alias("n")
     )
     s = exploded().groupBy("i").agg(
         F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx")
     )
-    sxy = (
-        x_a.select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
-        .join(
-            x_b.select(
-                "vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb")
-            ),
-            "vec_id",
-        )
-        .filter(F.col("di") < F.col("dj"))
-        .groupBy("di", "dj")
-        .agg(
-            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias(
-                "sxy"
-            )
-        )
-    )
+    # co-moments by Arrow-batched GEMM (similarity/comoment.py) —
+    # the posexplode self-join this replaces shuffled O(n * d^2)
+    # rows (measured 25.5 s at the 10x corpus vs ~1 s GEMM); bit
+    # equality pinned by TestComomentGemm. Downstream stays fully
+    # declarative — the partials never leave the cluster.
+    sxy = comoment_upper_exact(
+        wide_table(spark, sf_dir, "embeddings")
+    ).filter(F.col("di") < F.col("dj"))
     sa = s.select(F.col("i").alias("di"), F.col("sx").alias("sxa"))
     sb = s.select(F.col("i").alias("dj"), F.col("sx").alias("sxb"))
     num = (
@@ -1307,20 +1300,91 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     random near-isotropic data is VQ's worst case, which is exactly
     why the operator ships with the re-rank stage.
 
-    Scale shape: every per-vector stage is EXPLODE + codegen scalar
-    arithmetic + plain aggregates with map-side combine (no
-    interpreted array lambdas on the corpus): component rows join
-    broadcast centroid components on (subspace, component), distances
-    reduce to PQ_M * PQ_K integer groups per vector, argmin is a
-    groupBy min(struct) (no window over the corpus). Codebooks are
-    PQ_M * PQ_K * PQ_SUBDIM = 1024 component rows — broadcast, and
-    localCheckpointed per Lloyd round so round k's broadcast doesn't
-    re-execute rounds 1..k-1 (the graph_pagerank lesson). At
-    deployment the codes table (PQ_M bytes per vector) is what an
-    index write would persist; the ADC scan reads codes + the 128-
-    entry lookup table, never the raw vectors — that asymmetry is
-    the entire point of PQ at 100 TB. Builder checkpoints at plan
-    time: BUILD_EXECUTES."""
+    Scale shape (similarity/pq.py): each Lloyd round is ONE
+    mapInPandas scan emitting per-partition per-centroid component
+    sums (<= 1024 partial rows per partition — the treeAggregate
+    shape), with the 1024-int codebook carried driver-side like
+    IVF's centroid table; the final pass encodes and ADC-scores in
+    the same scan. The declarative form this replaced (component
+    rows joined to broadcast codebook components, two aggregates per
+    round) shuffled O(n * d * K) rows per round and measured
+    5.4/31.4/125.9 s at 1x/10x/40x; the vectorized passes measure
+    2.5/2.4/3.0 s (SCALING.md round-6). At deployment the codes
+    table (PQ_M bytes per vector) is what an index write would
+    persist; the ADC scan reads codes + the 128-entry lookup table,
+    never the raw vectors — that asymmetry is the entire point of
+    PQ at 100 TB. Builder collects codebook state at plan time:
+    BUILD_EXECUTES."""
+    import numpy as np
+
+    from ..similarity.pq import (
+        pq_score_pass,
+        pq_update_pass,
+        quantize_rows,
+        trunc_div,
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    # codebook state is M * K * SUBDIM = 1024 ints — driver-side,
+    # like IVF's centroid table. Seeds: the PQ_K lowest vec_ids.
+    seed_rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K).collect()
+    )
+    X0 = quantize_rows([r.embedding for r in seed_rows])
+    cents = {
+        sub: (
+            np.arange(PQ_K, dtype=np.int64),
+            X0[:, sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM].copy(),
+        )
+        for sub in range(PQ_M)
+    }
+    for _ in range(PQ_ITERS):
+        agg = (
+            pq_update_pass(e, cents, PQ_M, PQ_SUBDIM)
+            .groupBy("s", "cid", "i")
+            .agg(F.sum("ssum").alias("ts"), F.sum("cnt").alias("tc"))
+            .collect()
+        )
+        comp_map: dict = {}
+        for r in agg:
+            # trunc_div, NOT Python // — Spark div and DuckDB //
+            # truncate toward zero on the possibly-negative sums
+            comp_map.setdefault((r.s, r.cid), {})[r.i] = trunc_div(
+                int(r.ts), int(r.tc)
+            )
+        cents = {}
+        for sub in range(PQ_M):
+            items = sorted(
+                (cid, comps)
+                for (ss, cid), comps in comp_map.items()
+                if ss == sub
+            )
+            cents[sub] = (
+                np.array([cid for cid, _ in items], dtype=np.int64),
+                np.array(
+                    [
+                        [comps[i + 1] for i in range(PQ_SUBDIM)]
+                        for _, comps in items
+                    ],
+                    dtype=np.int64,
+                ),
+            )
+    qrow = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    qX = quantize_rows([qrow.embedding])[0]
+    dq = {}
+    for sub in range(PQ_M):
+        cids, C = cents[sub]
+        qs = qX[sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM]
+        for idx, cid in enumerate(cids):
+            dq[(sub, int(cid))] = int(((qs - C[idx]) ** 2).sum())
+    scored = pq_score_pass(e, cents, dq, QUERY_VEC_ID, PQ_M, PQ_SUBDIM)
+    # exact re-rank inputs: quantized component rows (JVM-side
+    # explode — only the 100 shortlisted vectors survive the
+    # semi-join below) and the query components
     comps = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("p", "xf"))
@@ -1333,73 +1397,11 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xi"),
         )
     )
-
-    def assign(cents):
-        """argmin centroid per (vec_id, subspace): exact integer
-        distances via the component join, tie to lower cid."""
-        d = (
-            comps.join(F.broadcast(cents), ["s", "i"])
-            .groupBy("vec_id", "s", "cid")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("cc")) * (F.col("xi") - F.col("cc"))
-                ).alias("d")
-            )
-        )
-        return (
-            d.groupBy("vec_id", "s")
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
-        )
-
-    seed_ids = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id")
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
-        )
-    )
-    cents = (
-        comps.join(F.broadcast(seed_ids), "vec_id")
-        .select("s", "cid", "i", F.col("xi").alias("cc"))
-        .localCheckpoint(eager=True)
-    )
-    # per-round codebook checkpoints (1024 rows): the codebook
-    # broadcasts into the next round's assignment join, and a
-    # broadcast EXECUTES its subplan — without the cut, round k
-    # re-runs rounds 1..k-1 (measured: 5.2 s checkpointed vs 6.1 s
-    # without, sf0.1 warmed best-of-3)
-    for _ in range(PQ_ITERS):
-        members = assign(cents).select("vec_id", "s", "cid")
-        cents = (
-            comps.join(members, ["vec_id", "s"])
-            .groupBy("s", "cid", "i")
-            .agg(F.expr("sum(xi) div count(*)").alias("cc"))
-            .localCheckpoint(eager=True)
-        )
-    codes = assign(cents).select("vec_id", "s", "cid")
-    q = (
-        comps.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("s", "i", F.col("xi").alias("qx"))
-    )
-    dq = (
-        cents.join(F.broadcast(q), ["s", "i"])
-        .groupBy("s", "cid")
-        .agg(
-            F.sum(
-                (F.col("qx") - F.col("cc")) * (F.col("qx") - F.col("cc"))
-            ).alias("d")
-        )
+    q = comps.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "s", "i", F.col("xi").alias("qx")
     )
     shortlist = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(dq), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").cast("bigint").alias("adc_fp"))
-        .orderBy("adc_fp", "vec_id")
+        scored.orderBy("adc_fp", "vec_id")
         .limit(PQ_RERANK)
         # referenced twice below (semi-join + final join): cut the
         # lineage or the whole ADC scan executes twice
