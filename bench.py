@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "embeddings_pca_power",
     "knn_pq_adc",
     "word_pair_pmi",
+    "part_similar_items",
 ]
 
 

@@ -88,6 +88,7 @@ _FRONT = [
     "embeddings_pca_power",
     "knn_pq_adc",
     "word_pair_pmi",
+    "part_similar_items",
 ]
 
 

@@ -862,3 +862,129 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# Item-to-item collaborative similarity — the recommendation-engine
+# primitive ("customers who bought X also bought Y", Linden et al.,
+# IEEE Internet Computing 2003): each part's top-k neighbors by
+# cosine of basket co-occurrence vectors. Ranking is exact: cosine
+# is monotone in c_xy^2 / (c_x * c_y), so neighbors order by the
+# integer fixed-point quotient c_xy^2 * 1e12 div (c_x * c_y)
+# (HUGEINT/DECIMAL product — c_xy^2 * 1e12 passes int64 once baskets
+# co-occur ~3e3 times); the display cosine divides exact-integer-
+# derived doubles and takes one sqrt, which IEEE 754 requires
+# correctly rounded — identical cross-engine.
+I2I_MIN_CO = 2
+I2I_TOP = 3
+I2I_SCALE = 1_000_000_000_000
+
+
+@register(
+    "part_similar_items",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    p0 AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {I2I_MIN_CO}
+    ),
+    p AS (
+        SELECT pa, pb, co FROM p0
+        UNION ALL
+        SELECT pb AS pa, pa AS pb, co FROM p0
+    ),
+    scored AS (
+        SELECT p.pa, p.pb, p.co, ca.c AS c_a, cb.c AS c_b,
+               CAST((CAST(p.co AS HUGEINT) * p.co * {I2I_SCALE})
+                    // (ca.c * cb.c) AS BIGINT) AS cos_fp
+        FROM p
+        JOIN cnt ca ON ca.l_partkey = p.pa
+        JOIN cnt cb ON cb.l_partkey = p.pb
+    )
+    SELECT pa AS part, pb AS neighbor,
+           CAST(co AS BIGINT) AS co_count,
+           CAST(c_a AS BIGINT) AS n_part, CAST(c_b AS BIGINT) AS n_neighbor,
+           cos_fp,
+           round(CAST(co AS DOUBLE)
+                 / sqrt(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6)
+               AS cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY pa
+                                     ORDER BY cos_fp DESC, pb) AS rn
+        FROM scored
+    ) WHERE rn <= {I2I_TOP}
+    """,
+)
+def part_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{I2I_TOP} similar parts per part by basket co-occurrence
+    cosine (see exactness note above — ranking on the exact integer
+    quotient, display cosine from exact integers + one correctly-
+    rounded sqrt).
+
+    Scale shape: same candidate discipline as
+    orders_frequent_part_pairs — the pair self-join shuffles on the
+    ORDER key (quadratic per basket, not per catalog), pair counts
+    reduce map-side before the (pa, pb) exchange, and the min-count
+    floor prunes before the direction mirror doubles rows. Part
+    totals join broadcast (catalog-sized). The per-part top-{I2I_TOP}
+    window is rank-filtered, so WindowGroupLimit keeps {I2I_TOP} rows
+    per partition pre-shuffle instead of sorting whole groups."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = l.distinct()
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    p0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= I2I_MIN_CO)
+    )
+    p = p0.unionByName(
+        p0.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
+        )
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
+    scored = (
+        p.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"cast((cast(co as decimal(38,0)) * co * {I2I_SCALE})"
+                " div (c_a * c_b) as bigint)"
+            ).alias("cos_fp"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cos_fp"), F.asc("pb"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= I2I_TOP)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("neighbor"),
+            F.col("co").cast("bigint").alias("co_count"),
+            F.col("c_a").cast("bigint").alias("n_part"),
+            F.col("c_b").cast("bigint").alias("n_neighbor"),
+            "cos_fp",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
