@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "knn_pq_adc",
     "word_pair_pmi",
     "part_similar_items",
+    # asymmetric sibling of the prefix join: A-prefix x B-full
+    # candidate stream makes it family-priced with the line above
+    "documents_containment_join",
 ]
 
 

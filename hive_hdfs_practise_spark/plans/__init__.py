@@ -89,6 +89,7 @@ _FRONT = [
     "knn_pq_adc",
     "word_pair_pmi",
     "part_similar_items",
+    "documents_containment_join",
 ]
 
 

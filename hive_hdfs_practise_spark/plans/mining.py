@@ -866,3 +866,187 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("community_id"),
         F.count(F.lit(1)).over(wl).alias("n_members"),
     )
+
+
+# Asymmetric containment join — the curation question Jaccard can't
+# ask: "is doc A (mostly) CONTAINED in doc B?" (quotes, excerpts,
+# supersets; the pair can be wildly different sizes, so symmetric
+# similarity misses it). C(A->B) = |A∩B| / |A| >= 0.9, both
+# directions reported separately. Same exactness contract as the
+# prefix join: integer threshold predicates, recall-1 pruning, so the
+# naive quadratic SQL restatement is a valid oracle.
+CONTAIN_TAU_NUM = 9  # tau = 0.9 as the integer 9/10
+
+
+@register(
+    "documents_containment_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS INTEGER) AS n_inter,
+               CAST(len(a.shingles) AS INTEGER) AS sz_a,
+               CAST(len(b.shingles) AS INTEGER) AS sz_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, sz_a, sz_b,
+           round(CAST(n_inter AS DOUBLE) / sz_a, 6) AS containment
+    FROM pairs
+    WHERE sz_a > 0 AND 10 * n_inter >= {CONTAIN_TAU_NUM} * sz_a
+    """,
+)
+def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs >= 90% shingle-contained in another same-lang doc (see
+    note above). Sibling of ``dedup_jaccard_prefix_join`` — same
+    shingle/vocab/bitmap machinery, different (asymmetric) filter
+    theory:
+
+    - **prefix filter** (recall-1): if |A∩B| >= ceil(tau*|A|), then
+      A's first ``|A| - ceil(tau*|A|) + 1`` shingles in the global
+      (df asc, shingle) order must hit B — but B contributes its
+      FULL posting list (a superset B has no length bound above, so
+      B cannot be prefix-reduced; that asymmetry is the structural
+      cost of containment vs Jaccard, and why the A-prefix rides the
+      RAREST shingles where full posting lists are shortest).
+    - **length filter**: |B| >= |A∩B| >= tau*|A| as integers
+      (10*sz_b >= 9*sz_a); no upper bound on |B|.
+
+    Scale shape notes shared with the sibling (see its inline 40x
+    commentary): postings persist columnar; the candidate stream is
+    verified MAP-SIDE against broadcast bitmaps and never shuffled
+    raw; the threshold is a single-reference integer comparison
+    pushed into the filter; survivors-only distinct."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = (
+        d.where(F.length("text") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(SHINGLE_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"substring(text, i, {SHINGLE_K})").alias("s"),
+        )
+        .distinct()
+    )
+    sh.persist()
+    sh.count()
+    vocab = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .withColumn("vid", F.row_number().over(Window.orderBy("dfreq", "s")) - 1)
+        .select("s", "vid")
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = vocab.count()
+    post = sh.join(F.broadcast(vocab), "s").select("doc_id", "lang", "vid")
+    wd = Window.partitionBy("doc_id")
+    ranked = post.select(
+        "doc_id",
+        "lang",
+        "vid",
+        F.row_number().over(wd.orderBy("vid")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("sz"),
+    )
+    # containment prefix: sz - ceil(tau*sz) + 1 kept shingles
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.expr(f"({CONTAIN_TAU_NUM}*sz+9) div 10") + 1
+    ).select("doc_id", "lang", "vid", "sz")
+    pref.persist()
+    pref.count()
+    szs = ranked.filter(F.col("rn") == 1).select("doc_id", "sz")
+    n_join = spark.sparkContext.defaultParallelism * 8
+    a = pref.repartition(n_join, "vid", "lang").select(
+        F.col("doc_id").alias("doc_a"), "lang", "vid", F.col("sz").alias("sz_a")
+    )
+    # B side: FULL postings with sizes (no prefix reduction — see
+    # filter theory above)
+    b = (
+        post.join(szs.withColumnRenamed("sz", "sz_b"), "doc_id")
+        .repartition(n_join, "vid", "lang")
+        .select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("vid").alias("vid_b"),
+            "sz_b",
+        )
+    )
+    cand = a.join(
+        b,
+        (F.col("vid") == F.col("vid_b"))
+        & (F.col("lang") == F.col("lang_b"))
+        & (F.col("doc_a") != F.col("doc_b"))
+        & (10 * F.col("sz_b") >= CONTAIN_TAU_NUM * F.col("sz_a")),
+    ).select("doc_a", "doc_b", "sz_a", "sz_b")
+    nwords = (n_vocab + 63) // 64
+    if nwords <= _BITMAP_MAX_WORDS:
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))")
+        slots = [
+            F.bit_or(
+                F.when(
+                    (F.col("vid") >= k * 64) & (F.col("vid") < (k + 1) * 64), bit
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias(f"w{k}")
+            for k in range(nwords)
+        ]
+        bmp = post.groupBy("doc_id").agg(*slots)
+        ba = bmp.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"w{k}").alias(f"wa{k}") for k in range(nwords)],
+        )
+        bb = bmp.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"w{k}").alias(f"wb{k}") for k in range(nwords)],
+        )
+        inter_col = sum(
+            (
+                F.bit_count(F.col(f"wa{k}").bitwiseAND(F.col(f"wb{k}")))
+                for k in range(nwords)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        scored = (
+            cand.join(F.broadcast(ba), "doc_a")
+            .join(F.broadcast(bb), "doc_b")
+            .select("doc_a", "doc_b", inter_col.alias("n_inter"), "sz_a", "sz_b")
+        )
+    else:
+        arrs = post.groupBy("doc_id").agg(F.collect_list("vid").alias("shingles"))
+        arr_a = arrs.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        arr_b = arrs.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        scored = (
+            cand.join(F.broadcast(arr_a), "doc_a")
+            .join(F.broadcast(arr_b), "doc_b")
+            .select("doc_a", "doc_b", inter.alias("n_inter"), "sz_a", "sz_b")
+        )
+    return (
+        scored.filter(10 * F.col("n_inter") >= CONTAIN_TAU_NUM * F.col("sz_a"))
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("sz_a"), 6
+            ).alias("containment"),
+        )
+    )

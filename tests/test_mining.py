@@ -266,3 +266,75 @@ class TestBfsLevels:
         }
         assert got == want
         assert got and max(got.values()) <= BFS_ROUNDS
+
+
+class TestContainmentJoin:
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        return plans.QUERIES["documents_containment_join"](
+            spark, SF
+        ).collect()
+
+    @pytest.fixture(scope="class")
+    def shingle_sets(self, spark):
+        rows = table(spark, SF, "documents").select(
+            "doc_id", "lang", "text"
+        ).collect()
+        return {
+            r.doc_id: (
+                r.lang,
+                {r.text[i : i + 5] for i in range(max(len(r.text) - 4, 0))},
+            )
+            for r in rows
+        }
+
+    def test_matches_quadratic_recompute(self, result, shingle_sets):
+        """Prefix+length filtering is lossless for containment: the
+        banded plan's output equals the naive quadratic recompute."""
+        brute = set()
+        for da, (la, sa) in shingle_sets.items():
+            if not sa:
+                continue
+            for db, (lb, sb) in shingle_sets.items():
+                if da == db or la != lb:
+                    continue
+                inter = len(sa & sb)
+                if 10 * inter >= 9 * len(sa):
+                    brute.add((da, db, inter, len(sa), len(sb)))
+        got = {
+            (r.doc_a, r.doc_b, r.n_inter, r.sz_a, r.sz_b) for r in result
+        }
+        assert got == brute
+        assert got  # non-vacuous
+
+    def test_asymmetry_on_planted_superset(self, spark, tmp_path):
+        """Containment is directional — the case Jaccard structurally
+        cannot express. Planted corpus: doc 2 embeds doc 1's full
+        text inside much more material, so 1 is contained in 2
+        (C=1.0) while 2 is nowhere near contained in 1 (their Jaccard
+        is far below 0.9 too)."""
+        quote = "the quick brown fox jumps over the lazy dog again"
+        container = (
+            "unrelated preamble material here. "
+            + quote
+            + " and then a very long tail of completely different text "
+            + " ".join(f"filler{i}" for i in range(60))
+        )
+        df = spark.createDataFrame(
+            [
+                (1, quote, "en", "s"),
+                (2, container, "en", "s"),
+                (3, "entirely disjoint content", "en", "s"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        path = str(tmp_path / "contain")
+        df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        got = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in plans.QUERIES["documents_containment_join"](
+                spark, path
+            ).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        assert (2, 1) not in got

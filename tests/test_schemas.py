@@ -57,6 +57,8 @@ BUILD_EXECUTES = {
     "embeddings_pca_power",
     # r6: per-Lloyd-round codebook checkpoints
     "knn_pq_adc",
+    # r6: persists + counts the shingle postings at plan time
+    "documents_containment_join",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",
