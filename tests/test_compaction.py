@@ -1,0 +1,96 @@
+"""Small-file compaction: plan shape (FFD bins, large files
+untouched) and execution (row preservation, one file per bin)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hdfs_practise_spark.operators.compaction import (
+    compact_parquet,
+    plan_compaction,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """A deliberately fragmented table: 40 tiny files + 2 big ones."""
+    base = str(tmp_path_factory.mktemp("frag") / "t")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    # deterministic disjoint split (subtract is a SET op and would
+    # silently drop duplicate rows); repartition (not coalesce) keeps
+    # the two big files evenly sized
+    small = li.filter(F.col("l_orderkey") % 15 == 0)
+    big = li.filter(F.col("l_orderkey") % 15 != 0)
+    small.repartition(40).write.mode("overwrite").parquet(base)
+    big.repartition(2).write.mode("append").parquet(base)
+    return base, li.count()
+
+
+class TestPlan:
+    def test_ffd_plan_shape(self, fragmented):
+        base, _ = fragmented
+        sizes = {
+            f: os.path.getsize(f) for f in glob.glob(f"{base}/*.parquet")
+        }
+        big_two = sorted(sizes, key=sizes.get)[-2:]
+        target = int(max(sizes.values()) * 1.5)
+        plan = plan_compaction(base, target_bytes=target)
+        assert sorted(plan.untouched) == sorted(big_two)
+        packed = [f for g in plan.bins for f in g]
+        assert sorted(packed + plan.untouched) == sorted(sizes)
+        # FFD: every bin fits the target, and no two bins could merge
+        for g in plan.bins:
+            assert sum(sizes[f] for f in g) <= target
+        if len(plan.bins) >= 2:
+            loads = sorted(sum(sizes[f] for f in g) for g in plan.bins)
+            assert loads[-1] + loads[-2] > target
+
+    def test_rewrite_cost_is_small_files_only(self, fragmented):
+        base, _ = fragmented
+        sizes = {
+            f: os.path.getsize(f) for f in glob.glob(f"{base}/*.parquet")
+        }
+        target = int(max(sizes.values()) * 1.5)
+        plan = plan_compaction(base, target_bytes=target)
+        assert plan.small_bytes < plan.total_bytes / 2
+
+
+class TestExecute:
+    def test_rows_preserved_one_file_per_bin(
+        self, spark, fragmented, tmp_path
+    ):
+        base, n_total = fragmented
+        out = str(tmp_path / "compacted")
+        sizes = [
+            os.path.getsize(f) for f in glob.glob(f"{base}/*.parquet")
+        ]
+        target = int(max(sizes) * 1.5)
+        plan = compact_parquet(spark, base, out, target_bytes=target)
+        bin_dirs = sorted(glob.glob(f"{out}/bin-*"))
+        assert len(bin_dirs) == len(plan.bins)
+        for d in bin_dirs:
+            assert len(glob.glob(f"{d}/*.parquet")) == 1
+        compacted = spark.read.parquet(*bin_dirs)
+        untouched = spark.read.parquet(*plan.untouched)
+        assert compacted.count() + untouched.count() == n_total
+        # value-level preservation: checksum both unions
+        def chk(df):
+            return (
+                df.agg(
+                    F.sum("l_orderkey").alias("a"),
+                    F.sum("l_partkey").alias("b"),
+                    F.sum("l_quantity").alias("c"),
+                ).collect()[0]
+            )
+        before = chk(spark.read.parquet(base))
+        after_df = compacted.unionByName(untouched)
+        after = chk(after_df)
+        assert (before.a, before.b, before.c) == (after.a, after.b, after.c)
