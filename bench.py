@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
     "knn_pq_adc",
+    "embeddings_matryoshka_audit",
     "word_pair_pmi",
     "part_similar_items",
     # asymmetric sibling of the prefix join: A-prefix x B-full

@@ -90,6 +90,7 @@ _FRONT = [
     "word_pair_pmi",
     "part_similar_items",
     "documents_containment_join",
+    "embeddings_matryoshka_audit",
 ]
 
 

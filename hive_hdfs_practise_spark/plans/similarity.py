@@ -1433,3 +1433,92 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2sq_fp", "vec_id")
         .limit(TOP_K)
     )
+
+
+# Matryoshka-truncation retrieval audit (Kusupati et al., "Matryoshka
+# Representation Learning", NeurIPS 2022): MRL-style deployments
+# serve ANN from a PREFIX of each embedding (8/16/32 of 64 dims) and
+# re-rank with the full vector — this audit measures what the
+# truncation costs on THIS corpus by running the same top-k search
+# at each prefix width and reporting overlap with the full-width
+# answer. Rankings order by the 6-dp-rounded cosine with vec_id
+# tiebreak (the knn_brute_cosine idiom), so both engines rank
+# identically and the overlap counts are exact.
+MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    def top10(vexpr: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT e.vec_id FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY round(list_cosine_similarity({vexpr},
+                       q.qv[1:len({vexpr})]), 6) DESC, e.vec_id
+        LIMIT {TOP_K}
+    )"""
+
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    {top10("e.v", "full10")}"""
+    ]
+    selects = []
+    for d in MRL_DIMS:
+        parts.append(top10(f"e.v[1:{d}]", f"t{d}"))
+        selects.append(
+            f"""SELECT {d} AS trunc_dim,
+               CAST((SELECT count(*) FROM t{d} JOIN full10 USING (vec_id))
+                    AS INTEGER) AS n_overlap"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@register("embeddings_matryoshka_audit", oracle=_mrl_oracle())
+def embeddings_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@{TOP_K} between prefix-width retrieval and full-width
+    retrieval for each MRL_DIMS truncation (see note above).
+
+    Scale shape: each width is one knn_brute_cosine-shaped pass —
+    broadcast 1-row query, per-row JVM fold, TakeOrderedAndProject
+    (k rows per partition, no global sort); the overlap joins are
+    10-row x 10-row broadcasts. At deployment the audit runs over a
+    query SAMPLE with the same per-width plan; the single-query form
+    keeps the oracle total."""
+    e = wide_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", vec.as_double(F.col("embedding")).alias("v"))
+    qv = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+
+    def top10(width: int | None):
+        vcol = F.col("v") if width is None else F.slice("v", 1, width)
+        qcol = (
+            F.col("qv") if width is None else F.slice("qv", 1, width)
+        )
+        return (
+            base.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .join(F.broadcast(qv))
+            .select(
+                "vec_id", F.round(vec.cosine(vcol, qcol), 6).alias("c")
+            )
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+
+    full10 = top10(None)
+    out = None
+    for d in MRL_DIMS:
+        row = (
+            top10(d)
+            .join(full10, "vec_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
+            .select(F.lit(d).alias("trunc_dim"), "n_overlap")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
