@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # bucket-pruned probe — the write dominates; the probe alone is
     # the exchange-free pruned scan the plan test pins
     "knn_ivf_indexed",
+    "knn_ivf_filtered",
     "documents_pii_scrub",
     "documents_source_quota",
     "documents_lang_rebalance",

@@ -91,6 +91,7 @@ _FRONT = [
     "part_similar_items",
     "documents_containment_join",
     "embeddings_matryoshka_audit",
+    "knn_ivf_filtered",
 ]
 
 

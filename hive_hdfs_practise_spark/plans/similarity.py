@@ -284,7 +284,10 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(
-    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE, iters: int = IVF_ITERS
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    label: int | None = None,
 ) -> str:
     """DuckDB restatement of the ENTIRE IVF pipeline — deterministic
     k-means (lowest-id seeding, argmin ties to the lower cluster id,
@@ -345,12 +348,18 @@ def _ivf_oracle(
         ORDER BY {dist('q.qv', 'c.c')}, c.cid LIMIT {nprobe}
     )"""
     )
+    label_join = (
+        ""
+        if label is None
+        else f" JOIN embeddings AS lab ON lab.vec_id = f.vec_id"
+    )
+    label_pred = "" if label is None else f" AND lab.label = {label}"
     return (
         ",\n    ".join(parts)
         + f"""
     SELECT f.vec_id, round(list_cosine_similarity(f.v, q.qv), 6) AS cosine
-    FROM a{final} AS f, probe, q
-    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}
+    FROM a{final} AS f{label_join}, probe, q
+    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}{label_pred}
     ORDER BY cosine DESC, f.vec_id
     LIMIT {TOP_K}
     """
@@ -1522,3 +1531,39 @@ def embeddings_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# Filtered ANN: attribute-constrained vector search ("nearest
+# same-class items"), the variant every production vector store
+# exposes. The constraint applies BEFORE scoring (pre-filtering):
+# candidates from the probed lists are pruned by the predicate and
+# the top-k comes from the filtered set — post-filtering a plain
+# top-k can return fewer than k. At deployment the predicate rides
+# the bucketed assignment table's parquet row-group stats (the
+# knn_ivf_indexed layout) — here the inline form keeps the oracle
+# total: same unrolled k-means, plus the label join.
+KNN_FILTER_LABEL = 2  # the query vector's own class — same-class retrieval
+
+
+@register(
+    "knn_ivf_filtered",
+    oracle=_ivf_oracle(label=KNN_FILTER_LABEL),
+)
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} same-class (label = {KNN_FILTER_LABEL}) neighbors
+    via the IVF quantizer (see note above — pre-filtering semantics;
+    quantizer trained on the FULL corpus, so index layout is shared
+    across predicates). Oracle: knn_ivf's unrolled k-means plus the
+    label join. Builder checkpoints per Lloyd round: BUILD_EXECUTES."""
+    from ..similarity.knn import knn_ivf
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e,
+        QUERY_VEC_ID,
+        TOP_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        iters=IVF_ITERS,
+        label_filter=KNN_FILTER_LABEL,
+    )

@@ -218,9 +218,13 @@ def knn_ivf(
     nprobe: int = 2,
     iters: int = 3,
     vec_col: str = "embedding",
+    label_filter: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors of a stored vector, searching only the
-    query's ``nprobe`` nearest inverted lists."""
+    query's ``nprobe`` nearest inverted lists. ``label_filter``
+    restricts candidates BEFORE scoring (pre-filtering — the variant
+    that still returns k rows from the filtered set where
+    post-filtering a plain top-k can come up short)."""
     centroids = kmeans_centroids(emb, nlist, iters)
     assigned = assign_clusters(emb, centroids, vec_col)
     qv = (
@@ -234,9 +238,13 @@ def knn_ivf(
         .limit(nprobe)
         .select("cluster_id")
     )
+    cand = assigned.join(F.broadcast(probe), "cluster_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    if label_filter is not None:
+        cand = cand.filter(F.col("label") == label_filter)
     return (
-        assigned.join(F.broadcast(probe), "cluster_id")
-        .filter(F.col("vec_id") != query_vec_id)
+        cand
         .join(F.broadcast(qv))
         .select(
             "vec_id",

@@ -59,6 +59,8 @@ BUILD_EXECUTES = {
     "knn_pq_adc",
     # r6: persists + counts the shingle postings at plan time
     "documents_containment_join",
+    # r6: same per-Lloyd-round checkpoints as knn_ivf
+    "knn_ivf_filtered",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",
