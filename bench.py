@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "lineitem_measures_unpivot",
     "embeddings_pca_power",
     "knn_pq_adc",
+    "knn_ivfpq_adc",
     "embeddings_matryoshka_audit",
     "word_pair_pmi",
     "part_similar_items",

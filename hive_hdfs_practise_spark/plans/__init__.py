@@ -92,6 +92,7 @@ _FRONT = [
     "documents_containment_join",
     "embeddings_matryoshka_audit",
     "knn_ivf_filtered",
+    "knn_ivfpq_adc",
 ]
 
 

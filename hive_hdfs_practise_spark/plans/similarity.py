@@ -1567,3 +1567,323 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=IVF_ITERS,
         label_filter=KNN_FILTER_LABEL,
     )
+
+
+# IVFPQ — the coarse-quantizer + residual-PQ composition (Jegou et
+# al. 2011 §IV; the FAISS "IVFx,PQy" workhorse index): an integer
+# coarse k-means partitions the corpus into inverted lists, each
+# vector stores PQ codes of its RESIDUAL (x - coarse centroid) —
+# residuals are far better conditioned for VQ than raw vectors — and
+# a query probes the nearest lists with a PER-LIST ADC table (the
+# query residual differs per list). Everything runs in the same
+# exact-integer regime as knn_pq_adc (sum-div-count centroids,
+# first-argmin ties, residuals exact int64 with |x-c| <= 4e6), so
+# coarse training, residual codebooks, probing, ADC and re-rank all
+# value-check against the doubly-unrolled SQL restatement.
+IVFPQ_NLIST = 8
+IVFPQ_COARSE_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    d64 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    d8 = (
+        "list_sum(list_transform(range(1, {sd} + 1), "
+        "i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])))"
+    ).format(sd=PQ_SUBDIM)
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * {_COV_SCALE}) AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    cseed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xi AS c
+        FROM e ORDER BY vec_id LIMIT {IVFPQ_NLIST}
+    )"""
+    ]
+    prev = "cseed"
+    for k in range(1, IVFPQ_COARSE_ITERS + 1):
+        parts.append(
+            f"""cja{k} AS MATERIALIZED (
+        SELECT e.vec_id, e.xi, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d64.format(a="e.xi", b="c.c")}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+        )
+        parts.append(
+            f"""cjc{k} AS MATERIALIZED (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i, sum(a.xi[t.i]) // count(*) AS m
+            FROM cja{k} AS a, generate_series(1, 64) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"cjc{k}"
+    parts.append(
+        f"""caf AS MATERIALIZED (
+        SELECT e.vec_id, e.xi, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d64.format(a="e.xi", b="c.c")}, c.cid) AS rn
+        FROM e, {prev} AS c
+    ),
+    res AS MATERIALIZED (
+        SELECT f.vec_id, f.cid AS lst,
+               list_transform(range(1, 65), i -> f.xi[i] - c.c[i]) AS r
+        FROM caf AS f JOIN {prev} AS c ON c.cid = f.cid
+        WHERE f.rn = 1
+    ),
+    sub AS MATERIALIZED (
+        SELECT vec_id, lst, t.s,
+               list_transform(range(1, {PQ_SUBDIM} + 1),
+                              i -> r[t.s * {PQ_SUBDIM} + i]) AS v
+        FROM res, generate_series(0, {PQ_M - 1}) AS t(s)
+    ),
+    seed AS (
+        SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+               v AS c
+        FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {PQ_K}
+    )"""
+    )
+    prev = "seed"
+    for k in range(1, PQ_ITERS + 1):
+        parts.append(
+            f"""pa{k} AS MATERIALIZED (
+        SELECT s.vec_id, s.s, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.s
+                                  ORDER BY {d8}, c.cid) AS rn
+        FROM sub AS s, {prev} AS c
+        WHERE s.s = c.s
+    )"""
+        )
+        parts.append(
+            f"""pc{k} AS MATERIALIZED (
+        SELECT s, cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.s, a.cid, t.i, sum(a.v[t.i]) // count(*) AS m
+            FROM pa{k} AS a, generate_series(1, {PQ_SUBDIM}) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.s, a.cid, t.i
+        ) GROUP BY s, cid
+    )"""
+        )
+        prev = f"pc{k}"
+    final = PQ_ITERS + 1
+    parts.append(
+        f"""paf AS MATERIALIZED (
+        SELECT s.vec_id, s.lst, s.s, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.s
+                                  ORDER BY {d8}, c.cid) AS rn
+        FROM sub AS s, {prev} AS c
+        WHERE s.s = c.s
+    ),
+    q AS (SELECT xi FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT c.cid FROM cjc{IVFPQ_COARSE_ITERS} AS c, q
+        ORDER BY {d64.format(a="q.xi", b="c.c")}, c.cid
+        LIMIT {IVFPQ_NPROBE}
+    ),
+    qsub AS (
+        SELECT c.cid AS lst, t.s,
+               list_transform(range(1, {PQ_SUBDIM} + 1),
+                              i -> (q.xi[t.s * {PQ_SUBDIM} + i]
+                                    - c.c[t.s * {PQ_SUBDIM} + i])) AS v
+        FROM cjc{IVFPQ_COARSE_ITERS} AS c JOIN probe ON probe.cid = c.cid,
+             q, generate_series(0, {PQ_M - 1}) AS t(s)
+    ),
+    dq AS (
+        SELECT s.lst, c.s, c.cid, {d8} AS d
+        FROM {prev} AS c JOIN qsub AS s ON s.s = c.s
+    ),
+    scored AS (
+        SELECT f.vec_id, CAST(sum(dq.d) AS BIGINT) AS adc_fp
+        FROM paf AS f
+        JOIN dq ON dq.lst = f.lst AND dq.s = f.s AND dq.cid = f.cid
+        WHERE f.rn = 1 AND f.vec_id <> {QUERY_VEC_ID}
+        GROUP BY f.vec_id
+    ),
+    shortlist AS MATERIALIZED (
+        SELECT vec_id, adc_fp FROM scored
+        ORDER BY adc_fp, vec_id LIMIT {PQ_RERANK}
+    ),
+    exact AS (
+        SELECT e.vec_id,
+               CAST({d64.format(a="e.xi", b="q.xi")} AS BIGINT) AS l2sq_fp
+        FROM e JOIN shortlist AS sl ON sl.vec_id = e.vec_id, q
+    )
+    SELECT x.vec_id, x.l2sq_fp,
+           round(CAST(x.l2sq_fp AS DOUBLE) / {_COV_SCALE}.0 / {_COV_SCALE}, 6)
+               AS l2sq,
+           sl.adc_fp
+    FROM exact AS x JOIN shortlist AS sl ON sl.vec_id = x.vec_id
+    ORDER BY x.l2sq_fp, x.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+    return ",\n    ".join(parts)
+
+
+@register("knn_ivfpq_adc", oracle=_ivfpq_oracle())
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} nearest neighbors via IVFPQ (see note above):
+    coarse lists prune the scan to nprobe/{IVFPQ_NLIST} of the
+    corpus, residual PQ codes compress what remains, per-list ADC
+    tables score it, and the {PQ_RERANK}-candidate shortlist
+    re-ranks exactly.
+
+    Scale shape: the same treeAggregate passes as knn_pq_adc
+    (similarity/pq.py) — each training round and the final
+    encode+score are ONE mapInPandas scan emitting bounded partials,
+    with coarse + subspace codebooks (8*64 + 1024 ints) carried
+    driver-side. The probed-list filter applies IN the scan here;
+    at deployment it is the bucket-pruned index scan knn_ivf_indexed
+    already demonstrates (codes partitioned by coarse list). Builder
+    collects codebook state at plan time: BUILD_EXECUTES."""
+    import numpy as np
+
+    from ..similarity.pq import (
+        pq_score_pass,
+        pq_update_pass,
+        quantize_rows,
+        trunc_div,
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max(PQ_K, IVFPQ_NLIST))
+        .collect()
+    )
+    X0 = quantize_rows([r.embedding for r in seed_rows])
+
+    def rounds(init_cents, m, sd, coarse=None, iters=PQ_ITERS):
+        cents = init_cents
+        for _ in range(iters):
+            agg = (
+                pq_update_pass(e, cents, m, sd, coarse=coarse)
+                .groupBy("s", "cid", "i")
+                .agg(F.sum("ssum").alias("ts"), F.sum("cnt").alias("tc"))
+                .collect()
+            )
+            comp_map: dict = {}
+            for r in agg:
+                comp_map.setdefault((r.s, r.cid), {})[r.i] = trunc_div(
+                    int(r.ts), int(r.tc)
+                )
+            cents = {}
+            for sub in range(m):
+                items = sorted(
+                    (cid, comps)
+                    for (ss, cid), comps in comp_map.items()
+                    if ss == sub
+                )
+                cents[sub] = (
+                    np.array([cid for cid, _ in items], dtype=np.int64),
+                    np.array(
+                        [
+                            [comps[i + 1] for i in range(sd)]
+                            for _, comps in items
+                        ],
+                        dtype=np.int64,
+                    ),
+                )
+        return cents
+
+    coarse = rounds(
+        {0: (np.arange(IVFPQ_NLIST, dtype=np.int64), X0[:IVFPQ_NLIST].copy())},
+        1,
+        64,
+        iters=IVFPQ_COARSE_ITERS,
+    )[0]
+    # residual-PQ seeds: residuals of the PQ_K lowest vec_ids under
+    # the trained coarse quantizer, sliced per subspace (driver-side
+    # — same numpy arithmetic as the passes)
+    ccids, C64 = coarse
+    from ..similarity.pq import _assign
+
+    sa, _ = _assign(X0[:PQ_K], C64)
+    R0 = X0[:PQ_K] - C64[sa]
+    cents = {
+        sub: (
+            np.arange(PQ_K, dtype=np.int64),
+            R0[:, sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM].copy(),
+        )
+        for sub in range(PQ_M)
+    }
+    cents = rounds(cents, PQ_M, PQ_SUBDIM, coarse=coarse)
+    qrow = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    qX = quantize_rows([qrow.embedding])[0]
+    cdist = sorted(
+        (int(((qX - C64[i]) ** 2).sum()), int(ccids[i]))
+        for i in range(len(ccids))
+    )
+    probe = {cid for _, cid in cdist[:IVFPQ_NPROBE]}
+    dq = {}
+    for L in probe:
+        qres = qX - C64[list(ccids).index(L)]
+        for sub in range(PQ_M):
+            cids, C = cents[sub]
+            qs = qres[sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM]
+            for idx, cid in enumerate(cids):
+                dq[(L, sub, int(cid))] = int(((qs - C[idx]) ** 2).sum())
+    scored = pq_score_pass(
+        e, cents, dq, QUERY_VEC_ID, PQ_M, PQ_SUBDIM,
+        coarse=coarse, probe_lists=probe,
+    )
+    shortlist = (
+        scored.orderBy("adc_fp", "vec_id")
+        .limit(PQ_RERANK)
+        .localCheckpoint(eager=True)
+    )
+    comps = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("p", "xf"))
+        .select(
+            "vec_id",
+            F.round(F.col("xf").cast("double") * _COV_SCALE)
+            .cast("bigint")
+            .alias("xi"),
+            "p",
+        )
+    )
+    q = comps.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "p", F.col("xi").alias("qx")
+    )
+    exact = (
+        comps.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .join(F.broadcast(q), "p")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("xi") - F.col("qx")) * (F.col("xi") - F.col("qx"))
+            )
+            .cast("bigint")
+            .alias("l2sq_fp")
+        )
+    )
+    return (
+        exact.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "l2sq_fp",
+            F.round(
+                F.col("l2sq_fp").cast("double") / float(_COV_SCALE) / _COV_SCALE,
+                6,
+            ).alias("l2sq"),
+            "adc_fp",
+        )
+        .orderBy("l2sq_fp", "vec_id")
+        .limit(TOP_K)
+    )

@@ -56,12 +56,22 @@ def _assign(Xs, C):
     return D.argmin(axis=1), D
 
 
+def _residualize(X, coarse):
+    """Subtract each row's nearest coarse centroid (IVFPQ residual
+    encoding). ``coarse``: (cids, C) over the FULL dimension; exact
+    int64 (|x - c| <= 4e6, squared sums <= 64 * 1.6e13)."""
+    cids, C = coarse
+    a, _ = _assign(X, C)
+    return X - C[a], a
+
+
 def pq_update_pass(
-    emb: DataFrame, cents: dict, m: int, sd: int
+    emb: DataFrame, cents: dict, m: int, sd: int, coarse: tuple | None = None
 ) -> DataFrame:
     """One Lloyd round: per-partition member-component sums + counts
     per (subspace, cid). ``cents``: {s: (cids int64[k], C int64[k,sd])}
-    with cids ascending."""
+    with cids ascending. With ``coarse``, the subspace codebooks
+    train on coarse-quantizer RESIDUALS (IVFPQ)."""
 
     def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -72,6 +82,8 @@ def pq_update_pass(
             if not len(pdf):
                 continue
             X = _quantize(pdf["embedding"])
+            if coarse is not None:
+                X, _ = _residualize(X, coarse)
             for s in range(m):
                 Xs = X[:, s * sd : (s + 1) * sd]
                 cids, C = cents[s]
@@ -115,11 +127,22 @@ def pq_update_pass(
 
 
 def pq_score_pass(
-    emb: DataFrame, cents: dict, dq: dict, query_vec_id: int, m: int, sd: int
+    emb: DataFrame,
+    cents: dict,
+    dq: dict,
+    query_vec_id: int,
+    m: int,
+    sd: int,
+    coarse: tuple | None = None,
+    probe_lists: "set | None" = None,
 ) -> DataFrame:
     """Final encode + ADC in one scan: per vector, the exact integer
     sum over subspaces of the query-to-centroid distance of its
-    code. ``dq``: {(s, cid): exact int distance}."""
+    code. Plain PQ: ``dq`` = {(s, cid): dist}. IVFPQ (``coarse`` +
+    ``probe_lists`` set): vectors encode as residuals, only rows in
+    probed coarse lists survive (the inline form of the bucket-pruned
+    index scan), and ``dq`` = {(list, s, cid): dist} — the query
+    residual differs per list."""
 
     def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -129,15 +152,31 @@ def pq_score_pass(
                 continue
             X = _quantize(pdf["embedding"])
             vids = pdf["vec_id"].to_numpy()
-            adc = np.zeros(len(pdf), dtype=np.int64)
+            if coarse is not None:
+                X, ca = _residualize(X, coarse)
+                clist = coarse[0][ca]
+                keep0 = np.isin(clist, list(probe_lists))
+                X, vids, clist = X[keep0], vids[keep0], clist[keep0]
+                if not len(vids):
+                    continue
+            adc = np.zeros(len(vids), dtype=np.int64)
             for s in range(m):
                 Xs = X[:, s * sd : (s + 1) * sd]
                 cids, C = cents[s]
                 a, _ = _assign(Xs, C)
-                lut = np.array(
-                    [dq[(s, int(cid))] for cid in cids], dtype=np.int64
-                )
-                adc += lut[a]
+                if coarse is None:
+                    lut = np.array(
+                        [dq[(s, int(cid))] for cid in cids], dtype=np.int64
+                    )
+                    adc += lut[a]
+                else:
+                    for L in probe_lists:
+                        lut = np.array(
+                            [dq[(L, s, int(cid))] for cid in cids],
+                            dtype=np.int64,
+                        )
+                        mask = clist == L
+                        adc[mask] += lut[a[mask]]
             keep = vids != query_vec_id
             yield pd.DataFrame(
                 {

@@ -61,6 +61,8 @@ BUILD_EXECUTES = {
     "documents_containment_join",
     # r6: same per-Lloyd-round checkpoints as knn_ivf
     "knn_ivf_filtered",
+    # r6: coarse + residual codebook collects at plan time
+    "knn_ivfpq_adc",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",
