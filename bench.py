@@ -184,7 +184,10 @@ BENCH_QUERIES = [
     "word_pair_pmi",
     "part_similar_items",
     # asymmetric sibling of the prefix join: A-prefix x B-full
-    # candidate stream makes it family-priced with the line above
+    # candidate stream makes it family-priced with the line above.
+    # (its KMV sketch twin dedup_containment_kmv is bench-EXCLUDED:
+    # on this saturating vocab the exact join dominates — regime
+    # analysis in the sketch docstring, simhash-crossover precedent)
     "documents_containment_join",
 ]
 

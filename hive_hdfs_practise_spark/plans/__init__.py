@@ -93,6 +93,7 @@ _FRONT = [
     "embeddings_matryoshka_audit",
     "knn_ivf_filtered",
     "knn_ivfpq_adc",
+    "dedup_containment_kmv",
 ]
 
 

@@ -338,3 +338,50 @@ class TestContainmentJoin:
         }
         assert (1, 2) in got and got[(1, 2)] == 1.0
         assert (2, 1) not in got
+
+
+class TestContainmentKmv:
+    def test_recall_vs_exact_twin(self, spark):
+        """Every exact-containment pair at sf0.001 is recovered by
+        the KMV sketch (md5 family => deterministic, so this is a
+        pin, not a flaky bound)."""
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["documents_containment_join"](
+                spark, SF
+            ).collect()
+        }
+        sk = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["dedup_containment_kmv"](
+                spark, SF
+            ).collect()
+        }
+        assert exact and exact <= sk
+
+    def test_planted_superset(self, spark, tmp_path):
+        quote = "the quick brown fox jumps over the lazy dog again"
+        container = (
+            "unrelated preamble material here. "
+            + quote
+            + " and then a tail of different text "
+            + " ".join(f"filler{i}" for i in range(40))
+        )
+        df = spark.createDataFrame(
+            [
+                (1, quote, "en", "s"),
+                (2, container, "en", "s"),
+                (3, "entirely disjoint content", "en", "s"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        path = str(tmp_path / "kmv")
+        df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        got = {
+            (r.doc_a, r.doc_b): r.containment_est
+            for r in plans.QUERIES["dedup_containment_kmv"](
+                spark, path
+            ).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] >= 0.9
+        assert (3, 1) not in got and (3, 2) not in got

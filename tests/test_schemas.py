@@ -63,6 +63,8 @@ BUILD_EXECUTES = {
     "knn_ivf_filtered",
     # r6: coarse + residual codebook collects at plan time
     "knn_ivfpq_adc",
+    # r6: checkpoints the bottom-k posting table at plan time
+    "dedup_containment_kmv",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",
