@@ -494,3 +494,53 @@ class TestIvfPq:
             assert r.l2sq_fp == int(np.sum((X[r.vec_id] - q) ** 2))
         dists = [r.l2sq_fp for r in got]
         assert dists == sorted(dists)
+
+
+class TestDegenerateEmbeddings:
+    """Zero/constant corpora exercise the am=0 / mw=0 / den=0 guard
+    branches in the r6 embedding operators — the ANSI-division trap
+    class no natural corpus reaches (adversarial-corpus pattern)."""
+
+    @pytest.fixture(scope="class")
+    def corpora(self, spark, tmp_path_factory):
+        base = tmp_path_factory.mktemp("degen")
+        paths = {}
+        for name, vec in (
+            ("zeros", [0.0] * 64),
+            ("constant", [0.25] * 64),
+        ):
+            path = str(base / name)
+            df = spark.createDataFrame(
+                [(i, vec, i % 3) for i in range(40)],
+                "vec_id long, embedding array<float>, label int",
+            )
+            df.write.mode("overwrite").parquet(
+                f"{path}/embeddings.parquet"
+            )
+            paths[name] = path
+        return paths
+
+    def test_pca_zero_covariance_yields_zero_vector(self, spark, corpora):
+        for path in corpora.values():
+            rows = (
+                plans.QUERIES["embeddings_pca_power"](spark, path)
+                .orderBy("dim")
+                .collect()
+            )
+            assert len(rows) == 64
+            assert all(r.loading_fp == 0 for r in rows)
+            assert all(r.lambda_cov == 0.0 for r in rows)
+
+    def test_pq_ties_are_deterministic(self, spark, corpora):
+        for path in corpora.values():
+            rows = plans.QUERIES["knn_pq_adc"](spark, path).collect()
+            # all-identical vectors: every distance 0, ties resolve
+            # by vec_id — the 10 lowest non-query ids, in order
+            assert [r.vec_id for r in rows] == list(range(1, 11))
+            assert all(r.adc_fp == 0 and r.l2sq_fp == 0 for r in rows)
+
+    def test_ivfpq_ties_are_deterministic(self, spark, corpora):
+        for path in corpora.values():
+            rows = plans.QUERIES["knn_ivfpq_adc"](spark, path).collect()
+            assert [r.vec_id for r in rows] == list(range(1, 11))
+            assert all(r.l2sq_fp == 0 for r in rows)
