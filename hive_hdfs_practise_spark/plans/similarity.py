@@ -1449,36 +1449,51 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # serve ANN from a PREFIX of each embedding (8/16/32 of 64 dims) and
 # re-rank with the full vector — this audit measures what the
 # truncation costs on THIS corpus by running the same top-k search
-# at each prefix width and reporting overlap with the full-width
-# answer. Rankings order by the 6-dp-rounded cosine with vec_id
+# at each prefix width over a deterministic MRL_QUERIES-vector query
+# sample and reporting total/mean overlap with the full-width
+# answers. Rankings order by the 6-dp-rounded cosine with vec_id
 # tiebreak (the knn_brute_cosine idiom), so both engines rank
-# identically and the overlap counts are exact.
+# identically and the overlap counts are exact integers; the mean is
+# one exact division, rounded 3 dp identically.
 MRL_DIMS = (8, 16, 32)
+MRL_QUERIES = 8  # query sample: the MRL_QUERIES lowest vec_ids
 
 
 def _mrl_oracle() -> str:
-    def top10(vexpr: str, name: str) -> str:
-        return f"""{name} AS (
-        SELECT e.vec_id FROM e, q
-        WHERE e.vec_id <> {QUERY_VEC_ID}
-        ORDER BY round(list_cosine_similarity({vexpr},
-                       q.qv[1:len({vexpr})]), 6) DESC, e.vec_id
-        LIMIT {TOP_K}
+    def ranked(vexpr: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+        SELECT qs.qid, e.vec_id
+        FROM e, qs
+        WHERE e.vec_id <> qs.qid
+        QUALIFY row_number() OVER (
+            PARTITION BY qs.qid
+            ORDER BY round(list_cosine_similarity({vexpr},
+                           qs.qv[1:len({vexpr})]), 6) DESC, e.vec_id
+        ) <= {TOP_K}
     )"""
 
     parts = [
         f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
-    {top10("e.v", "full10")}"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qs AS (
+        SELECT vec_id AS qid, v AS qv FROM e
+        ORDER BY vec_id LIMIT {MRL_QUERIES}
+    ),
+    {ranked("e.v", "full10")}"""
     ]
     selects = []
     for d in MRL_DIMS:
-        parts.append(top10(f"e.v[1:{d}]", f"t{d}"))
+        parts.append(ranked(f"e.v[1:{d}]", f"t{d}"))
         selects.append(
             f"""SELECT {d} AS trunc_dim,
-               CAST((SELECT count(*) FROM t{d} JOIN full10 USING (vec_id))
-                    AS INTEGER) AS n_overlap"""
+               CAST((SELECT count(*) FROM t{d}
+                     JOIN full10 USING (qid, vec_id)) AS INTEGER)
+                   AS sum_overlap,
+               round(CAST((SELECT count(*) FROM t{d}
+                           JOIN full10 USING (qid, vec_id)) AS DOUBLE)
+                     / {MRL_QUERIES}, 3) AS mean_overlap"""
         )
     return (
         ",\n    ".join(parts)
@@ -1489,45 +1504,59 @@ def _mrl_oracle() -> str:
 
 @register("embeddings_matryoshka_audit", oracle=_mrl_oracle())
 def embeddings_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlap@{TOP_K} between prefix-width retrieval and full-width
-    retrieval for each MRL_DIMS truncation (see note above).
+    """Total and mean overlap@{TOP_K} between prefix-width retrieval
+    and full-width retrieval over the MRL_QUERIES-vector query
+    sample, per MRL_DIMS truncation (see note above).
 
-    Scale shape: each width is one knn_brute_cosine-shaped pass —
-    broadcast 1-row query, per-row JVM fold, TakeOrderedAndProject
-    (k rows per partition, no global sort); the overlap joins are
-    10-row x 10-row broadcasts. At deployment the audit runs over a
-    query SAMPLE with the same per-width plan; the single-query form
-    keeps the oracle total."""
+    Scale shape: per width, cosines compute in one projection over
+    the corpus x query-sample cross join (the query side is
+    MRL_QUERIES broadcast rows), THEN the per-query top-k window
+    runs — its partition count equals the query-sample size, which
+    is the audit's natural parallelism unit (a production audit
+    scales Q, not the corpus side of each partition; rank<=k pushes
+    down to WindowGroupLimit so no partition fully sorts). Overlap
+    joins are k x Q-row metadata."""
     e = wide_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", vec.as_double(F.col("embedding")).alias("v"))
-    qv = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+    qs = (
+        base.orderBy("vec_id")
+        .limit(MRL_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     )
 
-    def top10(width: int | None):
+    def ranked(width: int | None):
         vcol = F.col("v") if width is None else F.slice("v", 1, width)
-        qcol = (
-            F.col("qv") if width is None else F.slice("qv", 1, width)
+        qcol = F.col("qv") if width is None else F.slice("qv", 1, width)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("c"), F.asc("vec_id")
         )
         return (
-            base.filter(F.col("vec_id") != QUERY_VEC_ID)
-            .join(F.broadcast(qv))
+            base.join(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("qid"))
             .select(
-                "vec_id", F.round(vec.cosine(vcol, qcol), 6).alias("c")
+                "qid",
+                "vec_id",
+                F.round(vec.cosine(vcol, qcol), 6).alias("c"),
             )
-            .orderBy(F.desc("c"), F.asc("vec_id"))
-            .limit(TOP_K)
-            .select("vec_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "vec_id")
         )
 
-    full10 = top10(None)
+    full10 = ranked(None).localCheckpoint(eager=True)
     out = None
     for d in MRL_DIMS:
         row = (
-            top10(d)
-            .join(full10, "vec_id")
-            .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
-            .select(F.lit(d).alias("trunc_dim"), "n_overlap")
+            ranked(d)
+            .join(full10, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).cast("int").alias("sum_overlap"))
+            .select(
+                F.lit(d).alias("trunc_dim"),
+                "sum_overlap",
+                F.round(
+                    F.col("sum_overlap").cast("double") / MRL_QUERIES, 3
+                ).alias("mean_overlap"),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out

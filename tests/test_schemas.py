@@ -65,6 +65,8 @@ BUILD_EXECUTES = {
     "knn_ivfpq_adc",
     # r6: checkpoints the bottom-k posting table at plan time
     "dedup_containment_kmv",
+    # r6: checkpoints the thrice-referenced full-width rank table
+    "embeddings_matryoshka_audit",
     # r5: builds (writes) the bucketed IVF index at plan time, then
     # collects centroids + query row to compute the probe-list filter
     "knn_ivf_indexed",
