@@ -782,7 +782,11 @@ SUPP_TOP_K = 3
                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
         FROM lineitem GROUP BY l_suppkey, l_partkey
     )
-    SELECT l_suppkey, l_partkey, cents AS revenue_cents,
+    SELECT l_suppkey, l_partkey,
+           -- sum(BIGINT) is HUGEINT in DuckDB and its pandas
+           -- materialization turns un-cast HUGEINT into float64,
+           -- which hash-mismatches Spark's int64 (driver r05)
+           CAST(cents AS BIGINT) AS revenue_cents,
            CAST(rnk AS INTEGER) AS rnk
     FROM (
         SELECT l_suppkey, l_partkey, cents,
@@ -827,10 +831,16 @@ def supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_measures_unpivot",
     oracle="""
     WITH g AS (
+        -- outer CASTs: DuckDB sum(BIGINT) returns HUGEINT, which its
+        -- pandas materialization converts to float64 — hash-mismatch
+        -- against Spark's int64 (driver r05)
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-               sum(CAST(round(l_discount * 100) AS BIGINT)) AS disc_cents
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS disc_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     )
     SELECT l_returnflag, l_linestatus, 'qty_cents' AS measure,

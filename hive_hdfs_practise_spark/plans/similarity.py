@@ -627,7 +627,12 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            round(scale, 6) AS scale,
-           codes,
+           -- string-serialized: the driver's pandas canonicalizer
+           -- cannot hash list-valued cells (r05 ERR row), so the
+           -- registry forbids nested output types — emit the codes
+           -- as a '|'-joined string on BOTH sides (value check is
+           -- still exact: the ints print identically)
+           array_to_string(codes, '|') AS codes,
            round(list_reduce(
                      list_transform(list_zip(v, codes),
                                     p -> abs(p[1] - p[2] * scale / 127.0)),
@@ -668,7 +673,12 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "vec_id",
         F.round("scale_raw", 6).alias("scale"),
-        "codes",
+        # '|'-joined string, not array<int>: the driver's pandas
+        # canonicalizer dies on list cells (unhashable) — nested
+        # output types are forbidden registry-wide (test_schemas)
+        F.concat_ws("|", F.col("codes").cast("array<string>")).alias(
+            "codes"
+        ),
         F.round(mae, 6).alias("mean_abs_err"),
     )
 

@@ -98,6 +98,21 @@ def test_snapshot_covers_registry():
     )
 
 
+def test_no_nested_output_types():
+    """The driver's pandas canonicalizer cannot hash list cells, so a
+    registered query with an array/map/struct OUTPUT column ERRORs at
+    the driver before any comparison (r05: embeddings_quantize_int8).
+    Nested values must be serialized (concat_ws / to_json) before the
+    final select. The snapshot records simpleString() of a top-level
+    struct, so skip the first 7 chars ("struct<") when scanning."""
+    bad = {
+        name: schema
+        for name, schema in SNAPSHOT.items()
+        if any(t in schema[7:] for t in ("array<", "map<", "struct<"))
+    }
+    assert not bad, f"nested output types violate the driver contract: {bad}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(plans.QUERIES) - BUILD_EXECUTES)
 )

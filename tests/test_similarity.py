@@ -296,8 +296,11 @@ class TestQuantizeInt8:
         ).collect()
         assert rows
         for r in rows:
-            assert all(-127 <= c <= 127 for c in r.codes)
-            assert max(abs(c) for c in r.codes) == 127  # max-abs hits full range
+            # codes serialize as '|'-joined ints (driver forbids
+            # nested output types — r05 canon ERR)
+            codes = [int(c) for c in r.codes.split("|")]
+            assert all(-127 <= c <= 127 for c in codes)
+            assert max(abs(c) for c in codes) == 127  # max-abs hits full range
             # per-element |err| ≤ scale/254 → mean ≤ scale/254 (+6dp slack)
             assert r.mean_abs_err <= r.scale / 254 + 1e-6
 
@@ -307,7 +310,7 @@ class TestQuantizeInt8:
 
         sf = "/root/testdata/sf0.001"
         got = {
-            r.vec_id: list(r.codes)
+            r.vec_id: [int(c) for c in r.codes.split("|")]
             for r in plans.QUERIES["embeddings_quantize_int8"](spark, sf).collect()
         }
         for row in table(spark, sf, "embeddings").collect():

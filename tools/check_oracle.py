@@ -1,9 +1,31 @@
 """Local replica of the driver's correctness gate.
 
 Runs every registered query through Spark AND its DuckDB oracle at
-the given scale factor, then compares row count, column names, and
-order-insensitive values (columns sorted by name, rows sorted by
-their full value tuple). Run me before every commit that touches
+the given scale factor, then compares row count, column names,
+PANDAS DTYPE FAMILIES, and order-insensitive values.
+
+Driver fidelity (the r5 lesson): the driver materializes BOTH sides
+through pandas — Spark via ``toPandas()``-equivalent Arrow transfer,
+DuckDB via ``res.df()`` — then canonicalizes (sort columns by name,
+sort rows) and hashes the values. Two whole failure classes are
+INVISIBLE to a ``collect()``/``fetchall()`` comparison but fatal to
+the driver:
+
+1. DuckDB ``sum(BIGINT)`` returns HUGEINT, and DuckDB's pandas
+   conversion turns un-cast HUGEINT into float64 — so the driver
+   hashes ``123.0`` against Spark's int64 ``123`` (r05:
+   supplier_top_parts, lineitem_measures_unpivot). ``fetchall()``
+   gives Python ints for HUGEINT and hides this.
+2. A nested (array/map/struct) output column reaches the driver's
+   pandas canonicalizer as list cells, which ``sort_values`` cannot
+   hash — the row ERRORs before any comparison (r05:
+   embeddings_quantize_int8). ``collect()`` tuples sort fine by repr
+   and hide this.
+
+This gate therefore materializes both sides through pandas, compares
+the dtype FAMILY of every column (int vs float vs bool vs datetime
+vs object), and hard-fails any query whose Spark schema or pandas
+frame carries a nested type. Run me before every commit that touches
 plans/:
 
     python tools/check_oracle.py [sf_dir] [query ...]
@@ -11,27 +33,107 @@ plans/:
 
 from __future__ import annotations
 
+import datetime
+import math
 import os
 import sys
 import time
 
 import duckdb
 
+# Nullable ints become float64 in pandas on BOTH engines (NaN has no
+# int representation), so int-vs-float alone is not proof of a skew:
+# only flag when the column has no nulls on either side (a fully
+# populated column has no excuse to change family).
+_INT_KINDS = frozenset("iu")
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                # mirror probable driver tolerance: exact compare is the goal,
-                # but repr-level noise below 1e-9 is not a real mismatch
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+
+def dtype_family(kind: str) -> str:
+    if kind in _INT_KINDS:
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind in "Mm":
+        return "datetime"
+    return "object"
+
+
+def _norm_cell(v):
+    """Canonicalize one pandas cell to a plain, repr-stable Python value."""
+    if v is None:
+        return None
+    # numpy scalars -> Python scalars (repr differs across numpy 1/2)
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # mirror probable driver tolerance: exact compare is the goal,
+        # but repr-level noise below 1e-9 is not a real mismatch
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        # unify pd.Timestamp / datetime64[ns vs us] / datetime; a
+        # midnight timestamp canons like a date — Spark DATE arrives
+        # as datetime.date objects while DuckDB DATE materializes as
+        # datetime64, and a date carries no time to diverge on
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return ("d", v.year, v.month, v.day)
+        return ("ts", v.year, v.month, v.day, v.hour, v.minute, v.second, v.microsecond)
+    if isinstance(v, datetime.date):
+        return ("d", v.year, v.month, v.day)
+    return v
+
+
+def canon(df) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            try:
+                if v is not None and v != v:  # NaN/NaT without isnan's type limits
+                    v = None
+            except Exception:  # noqa: BLE001 — exotic __eq__
+                pass
+            row.append(_norm_cell(v))
+        rows.append(tuple(row))
+    return sorted(rows, key=repr)
+
+
+def nested_cols(df) -> list[str]:
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        for v in col:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+                bad.append(c)
+            break
+    return bad
+
+
+def dtype_skews(spdf, odf) -> list[str]:
+    """int-vs-float family skews on fully populated columns — the
+    exact class the driver's value hash dies on."""
+    skews = []
+    for c in spdf.columns:
+        if c not in odf.columns:
+            continue
+        f_s = dtype_family(spdf[c].dtype.kind)
+        f_o = dtype_family(odf[c].dtype.kind)
+        if f_s == f_o:
+            continue
+        if {f_s, f_o} == {"int", "float"}:
+            side = spdf[c] if f_o == "int" else odf[c]
+            if not side.isna().any():
+                skews.append(f"{c}: spark={f_s} duckdb={f_o}")
+    return skews
 
 
 def main() -> int:
@@ -67,8 +169,12 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            nested_schema = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            spdf = sdf.toPandas()
             # drop any intermediates the builder persist()ed so a
             # long sweep doesn't accumulate cached blocks
             spark.catalog.clearCache()
@@ -77,27 +183,47 @@ def main() -> int:
             results[name] = {"status": "FAIL", "err": f"spark error: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        if nested_schema:
+            failures.append(name)
+            msg = (
+                f"nested output type (driver canon cannot hash list cells): "
+                f"{nested_schema}"
+            )
+            results[name] = {"status": "FAIL", "err": msg}
+            print(f"FAIL  {name}: {msg}")
+            continue
         oracle = plans.ORACLES.get(name)
         if oracle is None:
-            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            results[name] = {"status": "rows_only", "spark_rows": len(spdf)}
+            print(f"ok?   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             res = con.execute(oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = res.df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             results[name] = {"status": "FAIL", "err": f"duckdb error: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         status = []
-        if len(srows) != len(orows):
-            status.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            status.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        bad_cells = nested_cols(spdf) + nested_cols(odf)
+        if bad_cells:
+            status.append(f"nested cells in columns {sorted(set(bad_cells))}")
+        if len(spdf) != len(odf):
+            status.append(f"rowcount spark={len(spdf)} duckdb={len(odf)}")
+        if sorted(spdf.columns) != sorted(odf.columns):
+            status.append(
+                f"columns spark={sorted(spdf.columns)} duckdb={sorted(odf.columns)}"
+            )
         if not status:
-            sn, on_ = normalize(srows, scols), normalize(orows, ocols)
+            skews = dtype_skews(spdf, odf)
+            if skews:
+                status.append(
+                    "dtype family skew (driver hashes these differently): "
+                    + "; ".join(skews)
+                )
+        if not status:
+            sn, on_ = canon(spdf), canon(odf)
             if sn != on_:
                 diff = [(x, y) for x, y in zip(sn, on_) if x != y][:3]
                 status.append(f"values differ, first diffs: {diff}")
@@ -108,10 +234,10 @@ def main() -> int:
         else:
             results[name] = {
                 "status": "OK",
-                "spark_rows": len(srows),
+                "spark_rows": len(spdf),
                 "secs": round(time.time() - t0, 1),
             }
-            print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"OK    {name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
 
     out = os.environ.get("ORACLE_JSON")
     if out:
