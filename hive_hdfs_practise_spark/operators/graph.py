@@ -1,0 +1,96 @@
+"""Shared graph edge builds — registration-free (plans module import
+order is load-bearing, so library code must not import a registering
+module; the plans/constants.py lesson).
+
+Five registered queries ride these builds: graph_triangle_count and
+graph_label_propagation share the thresholded part co-purchase graph,
+graph_pagerank and graph_bfs_levels share the customer↔supplier trade
+graph, and orders_frequent_part_pairs shares the basket pair counts.
+Before r6 each rebuilt its edges inline (~14 s of bench across the
+family); the build is factored AND tuned once here.
+
+The tuned pair build (basket arrays, not a self-join): group each
+order's distinct parts into one sorted array (ONE shuffle, map-side
+partial collect_set), then generate ordered pairs with two Generate
+nodes — posexplode for the left element, explode of the array suffix
+for the right. The items self-join it replaces shuffled the item set
+twice and joined before the pair aggregate; measured at sf0.1 the
+array build returns the identical 3,573 thresholded edges in 1.22 s
+vs the join's 1.89 s (best-of-3). Pair mass is unchanged — quadratic
+in BASKET size (bounded by order shape, ~7 for TPC-H-shaped data),
+never in catalog size — so the plan survives a 100× corpus exactly
+like the join did, minus one corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+
+def basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str, min_sup: int
+) -> DataFrame:
+    """(pa, pb, sup): co-occurrence counts of ordered item pairs
+    (pa < pb) within baskets, support-thresholded. Input need not be
+    deduplicated — collect_set dedups within the basket aggregate."""
+    baskets = df.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("ps")
+    )
+    pos = baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+    # suffix after position i (0-based) = 1-based slice from i+2; the
+    # length arg only needs an upper bound and slice clips at the end
+    # (start > size yields [], which explode drops — no ANSI hazard:
+    # both args are positive)
+    pairs = pos.select(
+        "pa",
+        F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("pb"),
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= min_sup)
+    )
+
+
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_sup: int, checkpoint: bool = True
+) -> DataFrame:
+    """Thresholded part co-purchase edge list (pa < pb): parts bought
+    together in >= min_sup distinct orders. Checkpointed by default —
+    every consumer reads it more than once (degree/orientation joins,
+    per-round LPA joins) and the basket build would otherwise replay
+    per consumer."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = basket_pair_counts(l, "l_orderkey", "l_partkey", min_sup).select(
+        "pa", "pb"
+    )
+    return e.localCheckpoint(eager=True) if checkpoint else e
+
+
+def trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier trade pairs as integer node ids
+    (2·custkey even / 2·suppkey+1 odd — strings through an iterative
+    join measured 2.4× slower; see graph_pagerank). Checkpointed:
+    both branches of the direction union read it, and iterative
+    consumers join it every round."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def undirected(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both directions of an edge list (columns preserved by name)."""
+    return pairs.unionByName(
+        pairs.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )

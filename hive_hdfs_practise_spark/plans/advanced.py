@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as tx
+from ..operators.graph import trade_pairs, undirected
 from ..sources.catalog import table, wide_table
 from .registry import register
 
@@ -264,26 +265,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Undirected edges mean no dangling nodes, so total mass stays
     bounded without a global renormalization step (which would need a
     cross-partition scalar every round)."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # Integer node ids (2·custkey / 2·suppkey+1) through the whole
-    # iteration; the readable label is built only on the final
-    # |nodes|-row projection. Strings here cost real time: the
-    # concat'd-key version shuffled 600k string pairs through the
-    # distinct + checkpoint (with the pairs checkpoint below, the
-    # three fixes together measured 9.5 s → 3.9 s at sf0.1).
-    pairs = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        # both branches of the direction-union read pairs: without
-        # the checkpoint the scan+join+distinct executes TWICE
-        .localCheckpoint(eager=True)
-    )
-    e = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Shared build (operators/graph.py): integer node ids
+    # (2·custkey / 2·suppkey+1) through the whole iteration; the
+    # readable label is built only on the final |nodes|-row
+    # projection. Strings here cost real time: the concat'd-key
+    # version shuffled 600k string pairs through the distinct +
+    # checkpoint (with the pairs checkpoint, the three fixes
+    # together measured 9.5 s → 3.9 s at sf0.1).
+    e = undirected(trade_pairs(spark, sf_dir))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr"))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.graph import basket_pair_counts
 from ..sources.catalog import table
 from .registry import register
 
@@ -450,20 +451,10 @@ def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders")
     )
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= FIS_MIN_SUP)
-    )
+    # shared tuned pair build (operators/graph.py): basket arrays +
+    # suffix explode instead of the items self-join — identical pair
+    # counts, one fewer corpus-sized shuffle
+    pairs = basket_pair_counts(l, "l_orderkey", "l_partkey", FIS_MIN_SUP)
     ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
     return (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..dedup.minhash import md5_shingle_hash_sql  # registration-free
+from ..operators.graph import copurchase_edges, trade_pairs, undirected
 from ..sources.catalog import table, wide_table
 from .constants import JACCARD_THRESHOLD, SHINGLE_K
 from .registry import register
@@ -388,27 +389,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     restatement. The oriented edge list feeds three joins (two wedge
     sides + closure), so it is localCheckpointed once.
     """
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = l.distinct()
-    ia = items.alias("ia")
-    ib = items.alias("ib")
-    edges = (
-        ia.join(
-            ib,
-            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
-            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
-        )
-        .groupBy(
-            F.col("ia.l_partkey").alias("pa"), F.col("ib.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= TRI_MIN_SUP)
-        .select("pa", "pb")
-        # consumed by deg (twice, via the direction union) and the
-        # orientation join: without the checkpoint the items
-        # self-join + pair aggregate replays per consumer
-        .localCheckpoint(eager=True)
-    )
+    # shared tuned build (operators/graph.py): basket-array pair
+    # generation, checkpointed — consumed by deg (twice, via the
+    # direction union) and the orientation join
+    edges = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
     und = edges.unionByName(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).select(F.col("pa").alias("v"))
@@ -721,20 +705,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's join would otherwise re-execute all prior rounds (the
     graph_pagerank lesson).
     """
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # shared build (operators/graph.py): distinct integer-id pairs,
+    # checkpointed once; the undirected view checkpoints too since
+    # every BFS round joins it
+    e = undirected(trade_pairs(spark, sf_dir)).localCheckpoint(eager=True)
     reached = spark.createDataFrame(
         [(BFS_SOURCE_CUSTKEY * 2, 0)], "node bigint, level int"
     )
@@ -824,22 +798,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle UNROLL all {LPA_ROUNDS} rounds in SQL and value-check
     an iterative graph algorithm exactly. Builder runs jobs at plan
     time (per-round checkpoints): BUILD_EXECUTES."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = l.distinct()
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= TRI_MIN_SUP)
-        .select("pa", "pb")
-    )
+    # shared tuned build (operators/graph.py), checkpointed: both
+    # branches of the direction union read it (un-checkpointed, the
+    # basket build replays once per branch); the undirected view is
+    # checkpointed too since every LPA round joins it
+    e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
     und = (
         e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
         .unionByName(e.select(F.col("pb").alias("v"), F.col("pa").alias("w")))
