@@ -1096,6 +1096,11 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    if not s_rows:
+        raise ValueError(
+            "embeddings_pca_power: embeddings table is empty at "
+            f"{sf_dir!r} — no rows to decompose"
+        )
     n = int(s_rows[0]["cnt"])
     # co-moments via Arrow-batched GEMM (similarity/comoment.py) —
     # the posexplode self-join shape shuffles O(n * d^2) rows and
@@ -1388,11 +1393,17 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype=np.int64,
                 ),
             )
-    qrow = (
+    qrows = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
-        .collect()[0]
+        .collect()
     )
+    if not qrows:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} not found in the "
+            f"embeddings table at {sf_dir!r}"
+        )
+    qrow = qrows[0]
     qX = quantize_rows([qrow.embedding])[0]
     dq = {}
     for sub in range(PQ_M):
@@ -1858,11 +1869,17 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for sub in range(PQ_M)
     }
     cents = rounds(cents, PQ_M, PQ_SUBDIM, coarse=coarse)
-    qrow = (
+    qrows = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
-        .collect()[0]
+        .collect()
     )
+    if not qrows:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} not found in the "
+            f"embeddings table at {sf_dir!r}"
+        )
+    qrow = qrows[0]
     qX = quantize_rows([qrow.embedding])[0]
     cdist = sorted(
         (int(((qX - C64[i]) ** 2).sum()), int(ccids[i]))

@@ -134,7 +134,11 @@ def write_ivf_index(
     for suffix in ("_centroids", "_assign"):
         t = f"{table_prefix}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        parts = t.split(".")
+        # managed-table paths use the LOWERCASED identifier (catalog
+        # identifiers are case-insensitive); a mixed-case prefix
+        # otherwise misses the leftover dir and saveAsTable fails
+        # with LOCATION_ALREADY_EXISTS
+        parts = t.lower().split(".")
         rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
         shutil.rmtree(f"{wh}/{rel}", ignore_errors=True)
 

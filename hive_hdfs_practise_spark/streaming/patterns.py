@@ -72,6 +72,13 @@ def _match(
                 # round in the batch twin and shared oracle — Python's
                 # built-in round() is banker's (half-to-even) and would
                 # diverge on exact .5 micro-products
+                # NULL view values arrive as NaN in the pandas batch;
+                # the batch twin's F.round(value*1e6) null-propagates
+                # and its windowed SUM skips nulls — mirror that as a
+                # 0 contribution (math.floor(NaN) would raise and kill
+                # the stream)
+                if value is None or value != value:
+                    continue
                 v = value * 1_000_000
                 vmicro += int(math.floor(v + 0.5)) if v >= 0 else -int(
                     math.floor(-v + 0.5)

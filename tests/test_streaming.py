@@ -379,3 +379,43 @@ class TestStreamPattern:
             for r in got
         )
         assert straddle
+
+    def test_null_view_value_matches_batch_null_skip(self, spark, tmp_path):
+        """A NULL value on a view event must not kill the stream
+        (NaN reaches the pandas batch and math.floor(NaN) raises);
+        the batch twin's SUM(round(value*1e6)) skips nulls, so the
+        automaton counts the view but contributes 0 micro-units."""
+        import datetime as dt
+
+        from hive_hdfs_practise_spark.streaming.patterns import (
+            browse_buy_matches,
+        )
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            (1, 10, t(1), "click", 1.0),
+            (1, 11, t(2), "view", None),
+            (1, 12, t(3), "view", 2.5),
+            (1, 13, t(4), "purchase", 9.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "event_type string, value double",
+        )
+        src = tmp_path / "null_view_src"
+        df.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        q = (
+            browse_buy_matches(stream)
+            .writeStream.format("memory")
+            .queryName("pattern_null_view_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("pattern_null_view_test").collect()
+        assert len(got) == 1
+        assert got[0].n_views == 2  # the null-valued view still counts
+        assert got[0].views_value == 2.5  # but contributes no value
