@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "embeddings_pca_power",
     "knn_pq_adc",
     "knn_ivfpq_adc",
+    "knn_opq_adc",
     "embeddings_matryoshka_audit",
     "word_pair_pmi",
     "part_similar_items",

@@ -49,6 +49,7 @@ _FRONT = [
     # never driver-sampled in r1-r5 (r05 slot 51)
     "dedup_containment_kmv",
     # round-6 additions (never sampled by construction) appended here
+    "knn_opq_adc",
 ]
 
 

@@ -1213,19 +1213,27 @@ PQ_ITERS = 2    # Lloyd rounds
 PQ_RERANK = 100  # ADC shortlist size handed to the exact re-rank
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(e_head: str | None = None, disp_div: str = "") -> str:
+    """The unrolled PQ cascade. ``e_head``: override the WITH-head up
+    to (and producing) CTE ``e(vec_id, xi)`` — the OPQ variant swaps
+    in a rotated component list; ``disp_div``: extra divisor appended
+    to the display-scale division chain (rotation scales squared
+    distances by d)."""
     dist8 = (
         "list_sum(list_transform(range(1, {sd} + 1), "
         "i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])))"
     ).format(sd=PQ_SUBDIM)
-    parts = [
-        f"""
+    if e_head is None:
+        e_head = f"""
     WITH e AS MATERIALIZED (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(round(x * {_COV_SCALE}) AS BIGINT)) AS xi
         FROM embeddings
-    ),
+    )"""
+    parts = [
+        e_head
+        + f""",
     sub AS MATERIALIZED (
         SELECT vec_id, t.s,
                list_transform(range(1, {PQ_SUBDIM} + 1),
@@ -1297,7 +1305,7 @@ def _pq_oracle() -> str:
         GROUP BY s.vec_id
     )
     SELECT x.vec_id, x.l2sq_fp,
-           round(CAST(x.l2sq_fp AS DOUBLE) / {_COV_SCALE}.0 / {_COV_SCALE}, 6)
+           round(CAST(x.l2sq_fp AS DOUBLE) / {_COV_SCALE}.0 / {_COV_SCALE}{disp_div}, 6)
                AS l2sq,
            sl.adc_fp
     FROM exact AS x JOIN shortlist AS sl ON sl.vec_id = x.vec_id
@@ -1306,6 +1314,94 @@ def _pq_oracle() -> str:
     """
     )
     return ",\n    ".join(parts)
+
+
+def _pq_train(e: DataFrame, rot=None) -> dict:
+    """Seed (PQ_K lowest vec_ids) + PQ_ITERS integer Lloyd rounds;
+    returns {s: (cids, C)} with cids ascending. ``rot``: optional
+    ±1 rotation applied after quantization (OPQ)."""
+    import numpy as np
+
+    from ..similarity.pq import pq_update_pass, quantize_rows, trunc_div
+
+    seed_rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K).collect()
+    )
+    X0 = quantize_rows([r.embedding for r in seed_rows])
+    if rot is not None:
+        X0 = X0 @ rot.T
+    cents = {
+        sub: (
+            np.arange(PQ_K, dtype=np.int64),
+            X0[:, sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM].copy(),
+        )
+        for sub in range(PQ_M)
+    }
+    for _ in range(PQ_ITERS):
+        agg = (
+            pq_update_pass(e, cents, PQ_M, PQ_SUBDIM, rot=rot)
+            .groupBy("s", "cid", "i")
+            .agg(F.sum("ssum").alias("ts"), F.sum("cnt").alias("tc"))
+            .collect()
+        )
+        comp_map: dict = {}
+        for r in agg:
+            # trunc_div, NOT Python // — Spark div and DuckDB //
+            # truncate toward zero on the possibly-negative sums
+            comp_map.setdefault((r.s, r.cid), {})[r.i] = trunc_div(
+                int(r.ts), int(r.tc)
+            )
+        cents = {}
+        for sub in range(PQ_M):
+            items = sorted(
+                (cid, comps)
+                for (ss, cid), comps in comp_map.items()
+                if ss == sub
+            )
+            cents[sub] = (
+                np.array([cid for cid, _ in items], dtype=np.int64),
+                np.array(
+                    [
+                        [comps[i + 1] for i in range(PQ_SUBDIM)]
+                        for _, comps in items
+                    ],
+                    dtype=np.int64,
+                ),
+            )
+    return cents
+
+
+def _pq_query_row(e: DataFrame, sf_dir: str, rot=None):
+    """The query vector, quantized (and optionally rotated) — with a
+    clear error when QUERY_VEC_ID is missing from the corpus."""
+    from ..similarity.pq import quantize_rows
+
+    qrows = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} not found in the "
+            f"embeddings table at {sf_dir!r}"
+        )
+    qX = quantize_rows([qrows[0].embedding])
+    if rot is not None:
+        qX = qX @ rot.T
+    return qX[0]
+
+
+def _pq_query_lut(cents: dict, qX) -> dict:
+    """{(s, cid): exact int squared distance} from the query's
+    subvectors to every centroid."""
+    dq: dict = {}
+    for sub in range(PQ_M):
+        cids, C = cents[sub]
+        qs = qX[sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM]
+        for idx, cid in enumerate(cids):
+            dq[(sub, int(cid))] = int(((qs - C[idx]) ** 2).sum())
+    return dq
 
 
 @register("knn_pq_adc", oracle=_pq_oracle())
@@ -1339,78 +1435,14 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the raw vectors — that asymmetry is the entire point of
     PQ at 100 TB. Builder collects codebook state at plan time:
     BUILD_EXECUTES."""
-    import numpy as np
-
-    from ..similarity.pq import (
-        pq_score_pass,
-        pq_update_pass,
-        quantize_rows,
-        trunc_div,
-    )
+    from ..similarity.pq import pq_score_pass
 
     e = wide_table(spark, sf_dir, "embeddings")
     # codebook state is M * K * SUBDIM = 1024 ints — driver-side,
     # like IVF's centroid table. Seeds: the PQ_K lowest vec_ids.
-    seed_rows = (
-        e.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K).collect()
-    )
-    X0 = quantize_rows([r.embedding for r in seed_rows])
-    cents = {
-        sub: (
-            np.arange(PQ_K, dtype=np.int64),
-            X0[:, sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM].copy(),
-        )
-        for sub in range(PQ_M)
-    }
-    for _ in range(PQ_ITERS):
-        agg = (
-            pq_update_pass(e, cents, PQ_M, PQ_SUBDIM)
-            .groupBy("s", "cid", "i")
-            .agg(F.sum("ssum").alias("ts"), F.sum("cnt").alias("tc"))
-            .collect()
-        )
-        comp_map: dict = {}
-        for r in agg:
-            # trunc_div, NOT Python // — Spark div and DuckDB //
-            # truncate toward zero on the possibly-negative sums
-            comp_map.setdefault((r.s, r.cid), {})[r.i] = trunc_div(
-                int(r.ts), int(r.tc)
-            )
-        cents = {}
-        for sub in range(PQ_M):
-            items = sorted(
-                (cid, comps)
-                for (ss, cid), comps in comp_map.items()
-                if ss == sub
-            )
-            cents[sub] = (
-                np.array([cid for cid, _ in items], dtype=np.int64),
-                np.array(
-                    [
-                        [comps[i + 1] for i in range(PQ_SUBDIM)]
-                        for _, comps in items
-                    ],
-                    dtype=np.int64,
-                ),
-            )
-    qrows = (
-        e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .collect()
-    )
-    if not qrows:
-        raise ValueError(
-            f"query vector vec_id={QUERY_VEC_ID} not found in the "
-            f"embeddings table at {sf_dir!r}"
-        )
-    qrow = qrows[0]
-    qX = quantize_rows([qrow.embedding])[0]
-    dq = {}
-    for sub in range(PQ_M):
-        cids, C = cents[sub]
-        qs = qX[sub * PQ_SUBDIM : (sub + 1) * PQ_SUBDIM]
-        for idx, cid in enumerate(cids):
-            dq[(sub, int(cid))] = int(((qs - C[idx]) ** 2).sum())
+    cents = _pq_train(e)
+    qX = _pq_query_row(e, sf_dir)
+    dq = _pq_query_lut(cents, qX)
     scored = pq_score_pass(e, cents, dq, QUERY_VEC_ID, PQ_M, PQ_SUBDIM)
     # exact re-rank inputs: quantized component rows (JVM-side
     # explode — only the 100 shortlisted vectors survive the
@@ -1456,6 +1488,157 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l2sq_fp",
             F.round(
                 F.col("l2sq_fp").cast("double") / float(_COV_SCALE) / _COV_SCALE,
+                6,
+            ).alias("l2sq"),
+            "adc_fp",
+        )
+        .orderBy("l2sq_fp", "vec_id")
+        .limit(TOP_K)
+    )
+
+
+# OPQ-style rotated product quantization (Ge et al., "Optimized
+# Product Quantization", CVPR'13): PQ's subspace independence
+# assumption fails when variance concentrates in a few correlated
+# dims, so deployments rotate vectors before quantizing. Training R
+# needs per-iteration SVDs (not oracle-expressible); the standard
+# train-free substitute at scale is a STRUCTURED rotation — a
+# sign-flip diagonal D then a Sylvester-Hadamard H (the FJLT /
+# "random rotation" option in FAISS's OPQ family) — which this
+# operator makes fully deterministic: D's signs come from md5
+# nibbles (the house portable hash family) and S = H·D has ±1
+# entries with SᵀS = 64·I. Rotating the 1e6-quantized INTEGER
+# vectors is therefore exact (64 signed int64 terms per coordinate,
+# |y| ≤ 1.28e8) and distance-preserving up to the integer factor 64:
+# ‖S(a−b)‖² = 64·‖a−b‖² exactly — so the exact re-rank returns the
+# SAME neighbor ranking as the unrotated pipeline (pinned in
+# test_similarity::TestOpqAdc), while codes, ADC sums and the
+# shortlist are genuinely computed in the rotated domain.
+OPQ_DIM = PQ_M * PQ_SUBDIM  # 64
+
+
+def _opq_e_head() -> str:
+    """WITH-head producing CTE e(vec_id, xi) of ROTATED quantized
+    components: y_i = Σ_j sgn(i,j)·x_j with sgn = Hadamard
+    (-1)^popcount(i&j) times the md5 sign of column j. Integer sums
+    are exact in any order, so a plain SQL GROUP BY restates the
+    rotation."""
+    return f"""
+    WITH raw AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * {_COV_SCALE}) AS BIGINT)) AS x0
+        FROM embeddings
+    ),
+    rot AS (
+        SELECT ti.i, tj.j,
+               CASE WHEN (bit_count(CAST(ti.i AS BIGINT) & CAST(tj.j AS BIGINT))
+                          + CASE WHEN strpos('13579bdf',
+                                substr(md5('opq:' || CAST(tj.j AS VARCHAR)), 1, 1)) > 0
+                            THEN 1 ELSE 0 END) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM range(0, {OPQ_DIM}) AS ti(i), range(0, {OPQ_DIM}) AS tj(j)
+    ),
+    e AS MATERIALIZED (
+        SELECT vec_id, list(y ORDER BY i) AS xi FROM (
+            SELECT raw.vec_id, rot.i,
+                   CAST(sum(rot.sgn * raw.x0[rot.j + 1]) AS BIGINT) AS y
+            FROM raw, rot GROUP BY raw.vec_id, rot.i
+        ) GROUP BY vec_id
+    )"""
+
+
+@register(
+    "knn_opq_adc", oracle=_pq_oracle(e_head=_opq_e_head(), disp_div=" / 64")
+)
+def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} nearest neighbors by ROTATED product quantization
+    (see the structured-rotation note above): deterministic
+    Hadamard·sign-diagonal rotation of the integer-quantized vectors,
+    then the identical integer-Lloyd PQ cascade — codebooks, codes,
+    ADC shortlist and exact re-rank all live in the rotated domain,
+    and every stage stays exact-integer, so the whole pipeline
+    value-checks against the unrolled SQL restatement (the rotation
+    itself is one GROUP BY of signed integer sums in the oracle).
+
+    Scale shape: the rotation rides INSIDE the existing mapInPandas
+    passes (one 64×64 ±1 GEMM per Arrow batch — similarity/pq.py),
+    so training and scoring remain single-scan treeAggregate-shaped;
+    the exact re-rank rotates ONLY the PQ_RERANK shortlist rows via
+    a broadcast 4096-row sign table (shortlist × d² rows — metadata
+    scale, never the corpus). ‖S(a−b)‖² = 64·‖a−b‖² exactly, so
+    every re-ranked distance is 64× the unrotated pipeline's for the
+    same pair (pinned in test_similarity::TestOpqAdc); the SHORTLISTS
+    may differ — measured at sf0.001 the rotated ADC holds 8/10 of
+    the true top-10 vs plain PQ's 10/10, the honest cost of rotating
+    an already-isotropic corpus (OPQ pays off when variance is
+    concentrated, which random synthetic data is not). Builder
+    collects codebook state at plan time: BUILD_EXECUTES."""
+    from ..similarity.pq import opq_rotation, pq_score_pass
+
+    R = opq_rotation(OPQ_DIM)
+    e = wide_table(spark, sf_dir, "embeddings")
+    cents = _pq_train(e, rot=R)
+    qX = _pq_query_row(e, sf_dir, rot=R)
+    dq = _pq_query_lut(cents, qX)
+    scored = pq_score_pass(e, cents, dq, QUERY_VEC_ID, PQ_M, PQ_SUBDIM, rot=R)
+    shortlist = (
+        scored.orderBy("adc_fp", "vec_id")
+        .limit(PQ_RERANK)
+        # referenced twice below (semi-join + final join): cut the
+        # lineage or the whole ADC scan executes twice
+        .localCheckpoint(eager=True)
+    )
+    # exact re-rank in the rotated domain, over the SHORTLIST only:
+    # semi-join first, THEN rotate — the broadcast join against the
+    # 4096-row sign table touches PQ_RERANK vectors, not the corpus
+    rotdf = spark.createDataFrame(
+        [
+            (int(i), int(j), int(R[i, j]))
+            for i in range(OPQ_DIM)
+            for j in range(OPQ_DIM)
+        ],
+        "i int, j int, sgn long",
+    )
+    raw = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("j", "xf"))
+        .select(
+            "vec_id",
+            "j",
+            F.round(F.col("xf").cast("double") * _COV_SCALE)
+            .cast("bigint")
+            .alias("x0"),
+        )
+    )
+    rotated = (
+        raw.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .join(F.broadcast(rotdf), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("sgn") * F.col("x0")).cast("bigint").alias("yi"))
+    )
+    qdf = spark.createDataFrame(
+        [(int(i), int(qX[i])) for i in range(OPQ_DIM)], "i int, qy long"
+    )
+    exact = (
+        rotated.join(F.broadcast(qdf), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("yi") - F.col("qy")) * (F.col("yi") - F.col("qy")))
+            .cast("bigint")
+            .alias("l2sq_fp")
+        )
+    )
+    return (
+        exact.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "l2sq_fp",
+            F.round(
+                F.col("l2sq_fp").cast("double")
+                / float(_COV_SCALE)
+                / _COV_SCALE
+                / 64,
                 6,
             ).alias("l2sq"),
             "adc_fp",

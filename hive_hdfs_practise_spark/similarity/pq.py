@@ -66,12 +66,20 @@ def _residualize(X, coarse):
 
 
 def pq_update_pass(
-    emb: DataFrame, cents: dict, m: int, sd: int, coarse: tuple | None = None
+    emb: DataFrame,
+    cents: dict,
+    m: int,
+    sd: int,
+    coarse: tuple | None = None,
+    rot: "object | None" = None,
 ) -> DataFrame:
     """One Lloyd round: per-partition member-component sums + counts
     per (subspace, cid). ``cents``: {s: (cids int64[k], C int64[k,sd])}
     with cids ascending. With ``coarse``, the subspace codebooks
-    train on coarse-quantizer RESIDUALS (IVFPQ)."""
+    train on coarse-quantizer RESIDUALS (IVFPQ). With ``rot`` (a
+    d x d +-1 integer matrix), rows rotate X @ rot.T right after
+    quantization (OPQ) — exact int64: |x| <= 2e6 per component, d=64
+    signed terms, |y| <= 1.28e8."""
 
     def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -82,6 +90,8 @@ def pq_update_pass(
             if not len(pdf):
                 continue
             X = _quantize(pdf["embedding"])
+            if rot is not None:
+                X = X @ rot.T
             if coarse is not None:
                 X, _ = _residualize(X, coarse)
             for s in range(m):
@@ -135,6 +145,7 @@ def pq_score_pass(
     sd: int,
     coarse: tuple | None = None,
     probe_lists: "set | None" = None,
+    rot: "object | None" = None,
 ) -> DataFrame:
     """Final encode + ADC in one scan: per vector, the exact integer
     sum over subspaces of the query-to-centroid distance of its
@@ -151,6 +162,8 @@ def pq_score_pass(
             if not len(pdf):
                 continue
             X = _quantize(pdf["embedding"])
+            if rot is not None:
+                X = X @ rot.T
             vids = pdf["vec_id"].to_numpy()
             if coarse is not None:
                 X, ca = _residualize(X, coarse)
@@ -188,6 +201,41 @@ def pq_score_pass(
     return emb.select("vec_id", "embedding").mapInPandas(
         f, "vec_id long, adc_fp long"
     )
+
+
+def opq_rotation(d: int) -> "object":
+    """Deterministic structured rotation S = H_d · D: the Sylvester
+    Hadamard (h_ij = (-1)^popcount(i & j), 0-indexed) times an
+    md5-seeded ±1 sign diagonal (d_j = -1 iff the first hex nibble of
+    md5("opq:<j>") is odd — the house portable hash family). Entries
+    are ±1 and SᵀS = d·I, so rotating EXACT integer vectors preserves
+    squared distances exactly, scaled by d: ‖S(a-b)‖² = d·‖a-b‖².
+    This is the FJLT / FAISS-style structured random rotation that
+    decorrelates subspaces for PQ without training (OPQ's cheap,
+    deterministic cousin — Ge et al. CVPR'13 train R; HD sign-flip
+    rotations are the standard drop-in at scale)."""
+    import hashlib
+
+    import numpy as np
+
+    assert d & (d - 1) == 0, "Sylvester Hadamard needs a power of 2"
+    H = np.array(
+        [
+            [-1 if bin(i & j).count("1") % 2 else 1 for j in range(d)]
+            for i in range(d)
+        ],
+        dtype=np.int64,
+    )
+    sign = np.array(
+        [
+            -1
+            if int(hashlib.md5(f"opq:{j}".encode()).hexdigest()[0], 16) % 2
+            else 1
+            for j in range(d)
+        ],
+        dtype=np.int64,
+    )
+    return H * sign[None, :]
 
 
 def quantize_rows(vectors) -> "object":

@@ -89,6 +89,8 @@ BUILD_EXECUTES = {
     "stream_sliding_rate",
     # r4: per-round frontier checkpoints
     "graph_bfs_levels",
+    # r6: OPQ codebook training collects at plan time
+    "knn_opq_adc",
 }
 
 
