@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_bpe_apply",
     "dedup_embedding_lsh_strict",
+    "dedup_semdedup",
     "graph_pagerank",
     "documents_boilerplate_ngrams",
     "part_fuzzy_name_match",

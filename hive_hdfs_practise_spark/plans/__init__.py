@@ -50,6 +50,7 @@ _FRONT = [
     "dedup_containment_kmv",
     # round-6 additions (never sampled by construction) appended here
     "knn_opq_adc",
+    "dedup_semdedup",
 ]
 
 

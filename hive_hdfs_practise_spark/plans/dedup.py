@@ -996,3 +996,128 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "vec_id", F.col("b.cnd").alias("nn_id"), F.col("b.cosine").alias("cosine")
     )
+
+
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", 2023): the
+# LLM-pretraining semantic-dedup operator. Where dedup_embedding_*
+# blocks candidate pairs by a GIVEN key (label) or by LSH bands,
+# SemDeDup first k-means-clusters the embedding space and compares
+# pairs only WITHIN each learned cluster — the clusters both bound
+# the quadratic stage and catch near-duplicates that share no label
+# or bucket. The quantizer is the engine's deterministic k-means
+# (lowest-id seeding, 9-dp-rounded centroid components, cid-tiebreak
+# argmin — similarity/knn.py), which is exactly what lets the oracle
+# unroll the whole clustering in SQL and value-check the emitted
+# pairs, knn_ivf-style.
+SEM_NLIST = 8
+SEM_ITERS = 2
+# this corpus's near-dup level (random 64-dim vectors center near 0
+# cosine; planted dups score high) — deployments run ~0.95+, which
+# dedup_embedding_lsh_strict exercises on the same corpus
+SEM_TAU = COSINE_THRESHOLD
+
+
+def _semdedup_oracle() -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT {SEM_NLIST}
+    )""",
+    ]
+    prev = "seed"
+    for k in range(1, SEM_ITERS + 1):
+        parts.append(
+            f"""a{k} AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+        )
+        parts.append(
+            f"""c{k} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i, round(avg(a.v[t.i]), 9) AS m
+            FROM a{k} AS a, generate_series(1, 64) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{k}"
+    final = SEM_ITERS + 1
+    # MATERIALIZED: the final assignment is referenced twice (both
+    # sides of the pair join) and DuckDB inlines doubly-referenced
+    # CTEs — exponentially for this unrolled cascade
+    parts.append(
+        f"""a{final} AS MATERIALIZED (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cid AS INTEGER) AS cluster_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM a{final} AS a JOIN a{final} AS b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE a.rn = 1 AND b.rn = 1
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {SEM_TAU}
+    """
+    )
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-style (see note above):
+    k-means the embeddings ({SEM_NLIST} clusters, {SEM_ITERS} Lloyd
+    rounds), then exact cosine >= tau within each cluster only.
+
+    Scale shape: the quantizer build is the IVF machinery (broadcast
+    centroids, argmin per row — the corpus never shuffles during
+    assignment); the pair stage is quadratic per CLUSTER, which is
+    the operator's entire point — at deployment nlist grows with the
+    corpus (SemDeDup runs ~100k clusters at web scale) so cluster
+    sizes, and with them the per-cluster pair mass, stay bounded.
+    The assignment table feeds both sides of the pair join:
+    persist() (columnar cache), never a self-joined derived pipeline
+    (it would recompute the k-means per side). Builder runs Lloyd
+    checkpoints at plan time: BUILD_EXECUTES."""
+    from ..similarity.knn import assign_clusters, kmeans_centroids
+
+    e = wide_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(e, nlist=SEM_NLIST, iters=SEM_ITERS)
+    assigned = assign_clusters(e, cents).select(
+        "vec_id",
+        vec.as_double(F.col("embedding")).alias("v"),
+        "cluster_id",
+    )
+    assigned.persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(vec.cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster_id").cast("int").alias("cluster_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEM_TAU)
+    )

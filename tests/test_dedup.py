@@ -274,6 +274,54 @@ class TestEmbeddingLsh:
         assert (0, 100000) in got and (1, 100001) in got
 
 
+class TestSemDeDup:
+    """dedup_semdedup: k-means-blocked exact cosine pairs — cosines
+    exact, both endpoints co-clustered, and an exact planted
+    duplicate is always found (identical vectors share a cluster:
+    argmin of identical inputs picks the identical centroid)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_cosines_exact_and_co_clustered(self, spark):
+        import numpy as np
+
+        from hive_hdfs_practise_spark import plans as P
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{self.SF}/embeddings.parquet").collect()
+        }
+        rows = P.QUERIES["dedup_semdedup"](spark, self.SF).collect()
+        assert rows, "no semantic near-dup pairs on the test corpus"
+        for r in rows:
+            a, b = emb[r.vec_a], emb[r.vec_b]
+            want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r.cosine - round(want, 6)) < 1e-6
+            assert r.cosine >= 0.4 and r.vec_a < r.vec_b
+            assert 0 <= r.cluster_id < 8
+
+    def test_planted_duplicates_found(self, spark):
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans as P
+
+        base = spark.read.parquet(f"{self.SF}/embeddings.parquet").limit(50)
+        dup = base.filter(F.col("vec_id") < 2).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            base.union(dup).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            got = {
+                (r.vec_a, r.vec_b)
+                for r in P.QUERIES["dedup_semdedup"](spark, tmp).collect()
+            }
+        # identical vectors land in the same cluster and score cosine 1
+        assert (0, 100000) in got and (1, 100001) in got
+
+
 class TestSimhashBucketed:
     def test_bucketed_pairs_equal_bruteforce(self, spark):
         """Pigeonhole guarantee: chunk-bucketed candidates lose NO

@@ -91,6 +91,8 @@ BUILD_EXECUTES = {
     "graph_bfs_levels",
     # r6: OPQ codebook training collects at plan time
     "knn_opq_adc",
+    # r6: SemDeDup k-means Lloyd rounds checkpoint at plan time
+    "dedup_semdedup",
 }
 
 
