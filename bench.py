@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "sales_mom_growth",
     "documents_curriculum_deciles",
     "documents_source_classifier",
+    "documents_dsir_weights",
     # exact-recall set-similarity join: the priciest line by design —
     # this corpus's pairwise-similarity mass sits just under tau, so
     # ~1.2M candidates need exact verification (bitmap popcounts);

@@ -51,6 +51,7 @@ _FRONT = [
     # round-6 additions (never sampled by construction) appended here
     "knn_opq_adc",
     "dedup_semdedup",
+    "documents_dsir_weights",
 ]
 
 

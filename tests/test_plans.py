@@ -1235,3 +1235,74 @@ def test_supplier_top_parts_window_group_limit(spark):
     tasks forward at most k rows per supplier before the exchange."""
     p = _plan(spark, "supplier_top_parts")
     assert "WindowGroupLimit" in p
+
+
+class TestDsirWeights:
+    """r6: documents_dsir_weights — hashed-unigram importance scores.
+    The per-token score must separate the target slice from the pool
+    (the operator's entire point), and every score must equal a
+    from-scratch recomputation of the bucket log-ratios."""
+
+    def test_target_enrichment(self, spark):
+        from hive_hdfs_practise_spark.plans.sampling_plans import DSIR_TARGET
+
+        rows = plans.QUERIES["documents_dsir_weights"](spark, SF).collect()
+        assert len(rows) > 0
+        tgt = [r.score_per_token_fp for r in rows if r.source == DSIR_TARGET]
+        pool = [r.score_per_token_fp for r in rows if r.source != DSIR_TARGET]
+        assert tgt and pool
+        # target docs score strictly higher per token on average —
+        # their features ARE the target distribution
+        assert sum(tgt) / len(tgt) > sum(pool) / len(pool)
+
+    def test_scores_match_python_recompute(self, spark):
+        import math
+        import re
+
+        from hive_hdfs_practise_spark.dedup.minhash import P32
+        from hive_hdfs_practise_spark.plans.sampling_plans import (
+            DSIR_B,
+            DSIR_SCALE,
+            DSIR_TARGET,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+        def bucket(word: str) -> int:
+            import hashlib
+
+            h = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+            return (h % P32) % DSIR_B
+
+        tgt_c: dict = {}
+        raw_c: dict = {}
+        tt = rr = 0
+        feats = {}
+        for d in docs:
+            ws = re.findall(r"\S+", (d.text or "").strip().lower())
+            bs = [bucket(w) for w in ws]
+            feats[d.doc_id] = bs
+            for b in bs:
+                raw_c[b] = raw_c.get(b, 0) + 1
+                rr += 1
+                if d.source == DSIR_TARGET:
+                    tgt_c[b] = tgt_c.get(b, 0) + 1
+                    tt += 1
+        lam = {
+            b: int(
+                __import__("decimal").Decimal(
+                    (
+                        math.log((tgt_c.get(b, 0) + 1) / (tt + DSIR_B))
+                        - math.log((r + 1) / (rr + DSIR_B))
+                    )
+                    * DSIR_SCALE
+                ).quantize(0, rounding=__import__("decimal").ROUND_HALF_UP)
+            )
+            for b, r in raw_c.items()
+        }
+        got = {
+            r.doc_id: r.dsir_score_fp
+            for r in plans.QUERIES["documents_dsir_weights"](spark, SF).collect()
+        }
+        for doc_id, bs in feats.items():
+            assert got[doc_id] == sum(lam[b] for b in bs)
