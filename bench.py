@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "lineitem_checksum",
     "lineitem_ols",
     "orders_frequent_part_pairs",
+    "orders_association_rules",
     "events_rate_cusum",
     "sales_mom_growth",
     "documents_curriculum_deciles",

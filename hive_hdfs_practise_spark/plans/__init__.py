@@ -52,6 +52,7 @@ _FRONT = [
     "knn_opq_adc",
     "dedup_semdedup",
     "documents_dsir_weights",
+    "orders_association_rules",
 ]
 
 

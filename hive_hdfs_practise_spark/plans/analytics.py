@@ -475,6 +475,109 @@ def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Association rules — the directional layer over the pair counts
+# (Agrawal & Srikant, VLDB'94): each co-occurrence pair yields two
+# rules A=>B and B=>A; confidence = sup/cnt(A) answers "given A in
+# the basket, how often B?", which the symmetric pair/lift view
+# cannot. Thresholds are INTEGER predicates (sup >= min_sup;
+# 4*sup >= cnt(A) for confidence >= 0.25), so the rule set is exact;
+# the display confidence/lift divide exact integers in the identical
+# IEEE order on both engines before the 6-dp round. Floor calibrated
+# to the corpus: max observed confidence is 0.22/0.14 at
+# sf0.001/sf0.01 (sup is capped by the small basket overlap while
+# cnt(A) grows with the corpus), so 1/10 keeps a meaningful rule set
+# at every test SF.
+RULE_MIN_CONF_NUM = 1  # confidence >= 1/10 as the integer predicate
+RULE_MIN_CONF_DEN = 10
+
+
+@register(
+    "orders_association_rules",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    p AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {FIS_MIN_SUP}
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, sup FROM p
+        UNION ALL
+        SELECT pb, pa, sup FROM p
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.sup AS BIGINT) AS support,
+           round(CAST(r.sup AS DOUBLE) / ca.c, 6) AS confidence,
+           round(CAST(r.sup AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+               AS lift
+    FROM rules r, n
+    JOIN cnt ca ON ca.l_partkey = r.antecedent
+    JOIN cnt cb ON cb.l_partkey = r.consequent
+    WHERE {RULE_MIN_CONF_DEN} * r.sup >= {RULE_MIN_CONF_NUM} * ca.c
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over basket pair counts (see
+    note above): antecedent => consequent with exact integer support
+    and the confidence >= {RULE_MIN_CONF_NUM}/{RULE_MIN_CONF_DEN}
+    filter as a cross-multiplied integer predicate.
+
+    Scale shape: rides the shared tuned pair build
+    (operators/graph.py — basket arrays, one corpus shuffle); the
+    direction union doubles a support-thresholded, hence tiny, rule
+    stream; per-item counts reduce map-side and broadcast into the
+    rule joins. No windows, no LIMIT — the rule set is closed-form,
+    so the output needs no ordering determinism beyond the exact
+    predicates."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = l.distinct()
+    n_orders = l.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pairs = basket_pair_counts(l, "l_orderkey", "l_partkey", FIS_MIN_SUP)
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "sup",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "sup",
+        )
+    )
+    ca = cnt.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("cb"))
+    return (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .join(F.broadcast(n_orders))
+        .filter(
+            RULE_MIN_CONF_DEN * F.col("sup")
+            >= RULE_MIN_CONF_NUM * F.col("ca")
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup").cast("bigint").alias("support"),
+            F.round(F.col("sup").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("sup").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 @register(
     "sales_mom_growth",
     oracle="""

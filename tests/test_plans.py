@@ -1306,3 +1306,36 @@ class TestDsirWeights:
         }
         for doc_id, bs in feats.items():
             assert got[doc_id] == sum(lam[b] for b in bs)
+
+
+class TestAssociationRules:
+    """r6: orders_association_rules — direction symmetry with the
+    pair view and a from-scratch confidence recompute."""
+
+    def test_rules_consistent_with_pairs(self, spark):
+        from hive_hdfs_practise_spark.sources.catalog import table as T
+
+        rules = plans.QUERIES["orders_association_rules"](spark, SF).collect()
+        assert rules
+        items = (
+            T(spark, SF, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        cnt: dict = {}
+        baskets: dict = {}
+        for r in items:
+            cnt[r.l_partkey] = cnt.get(r.l_partkey, 0) + 1
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        sup: dict = {}
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    sup[(a, b)] = sup.get((a, b), 0) + 1
+        for r in rules:
+            key = tuple(sorted((r.antecedent, r.consequent)))
+            assert sup[key] == r.support >= 3
+            assert 10 * r.support >= cnt[r.antecedent]
+            assert abs(r.confidence - round(r.support / cnt[r.antecedent], 6)) < 1e-9
