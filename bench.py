@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "orders_psi_value_drift",
     "graph_bfs_levels",
     "graph_label_propagation",
+    "graph_link_prediction",
     "events_error_run_alerts",
     "events_pattern_browse_buy",
     "events_top_paths",

@@ -53,6 +53,7 @@ _FRONT = [
     "dedup_semdedup",
     "documents_dsir_weights",
     "orders_association_rules",
+    "graph_link_prediction",
 ]
 
 

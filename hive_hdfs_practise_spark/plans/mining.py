@@ -1200,3 +1200,110 @@ def dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_in_both").cast("double") / F.col("n_in_a"), 6
         ).alias("containment_est"),
     )
+
+
+# Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg,
+# CIKM'03): score NON-edges of the co-purchase graph by the Jaccard
+# of their endpoint neighborhoods — the classic "you may also like"
+# candidate generator. Everything is integer: common-neighbor counts
+# come from a wedge join, degrees from the direction union, and the
+# ranking quotient cn·SCALE div (deg_a + deg_b − cn) is exact
+# fixed-point (Jaccard is monotone in it), so the top-K with
+# (quotient, pa, pb) tiebreak is engine-identical and the whole
+# pipeline restates in SQL.
+LP_SCALE = 1_000_000_000
+LP_TOP = 25
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS (SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT v, count(*) AS deg FROM und GROUP BY v),
+    cn AS (
+        SELECT x.v AS pa, y.v AS pb, count(*) AS cn
+        FROM und x JOIN und y ON x.w = y.w AND x.v < y.v
+        GROUP BY x.v, y.v
+    ),
+    cand AS (
+        SELECT cn.pa, cn.pb, cn.cn, da.deg AS da, db.deg AS db
+        FROM cn
+        JOIN deg da ON da.v = cn.pa
+        JOIN deg db ON db.v = cn.pb
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.pa = cn.pa AND e.pb = cn.pb
+        )
+    )
+    SELECT pa AS part_a, pb AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           round(CAST(cn AS DOUBLE) / (da + db - cn), 6) AS jaccard
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY cn * {LP_SCALE} // (da + db - cn) DESC, pa, pb
+               ) AS rn
+        FROM cand
+    )
+    WHERE rn <= {LP_TOP}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOP} predicted links on the co-purchase graph by
+    neighborhood Jaccard (see note above): wedge-join common
+    neighbors, anti-join away existing edges, rank on the exact
+    fixed-point quotient.
+
+    Scale shape: rides the shared tuned edge build
+    (operators/graph.py, checkpointed — it feeds the wedge join
+    twice, the degree aggregate and the anti-join); the wedge join
+    shuffles on the shared NEIGHBOR, so its output is Σ deg(x)² —
+    bounded here by the support threshold's sparsification; at
+    hub-skewed scale the same degree-ordered orientation that caps
+    graph_triangle_count's wedges applies. The final global top-K is
+    a TakeOrdered over the candidate stream, not a full sort."""
+    e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
+    und = undirected(
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    ).select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = und.alias("x"), und.alias("y")
+    cn = (
+        x.join(
+            y,
+            (F.col("x.w") == F.col("y.w")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(F.col("x.v").alias("pa"), F.col("y.v").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = (
+        cn.join(e, ["pa", "pb"], "left_anti")
+        .join(deg.select(F.col("v").alias("pa"), F.col("deg").alias("da")), "pa")
+        .join(deg.select(F.col("v").alias("pb"), F.col("deg").alias("db")), "pb")
+    )
+    scored = cand.select(
+        "pa",
+        "pb",
+        "cn",
+        F.expr(f"cn * {LP_SCALE} div (da + db - cn)").alias("q"),
+        (F.col("da") + F.col("db") - F.col("cn")).alias("un"),
+    )
+    return (
+        scored.orderBy(F.desc("q"), "pa", "pb")
+        .limit(LP_TOP)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(F.col("cn").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

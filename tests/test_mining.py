@@ -385,3 +385,36 @@ class TestContainmentKmv:
         }
         assert (1, 2) in got and got[(1, 2)] >= 0.9
         assert (3, 1) not in got and (3, 2) not in got
+
+
+class TestLinkPrediction:
+    """r6: graph_link_prediction — predicted links must be NON-edges
+    with exactly the common-neighbor counts a from-scratch recompute
+    gives, ranked by the exact Jaccard quotient."""
+
+    def test_candidates_are_nonedges_with_exact_counts(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.operators.graph import (
+            copurchase_edges,
+        )
+        from hive_hdfs_practise_spark.plans.mining import TRI_MIN_SUP
+
+        sf = "/root/testdata/sf0.001"
+        got = plans.QUERIES["graph_link_prediction"](spark, sf).collect()
+        assert got
+        edges = {
+            (r.pa, r.pb)
+            for r in copurchase_edges(spark, sf, TRI_MIN_SUP).collect()
+        }
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for r in got:
+            assert (r.part_a, r.part_b) not in edges
+            common = adj.get(r.part_a, set()) & adj.get(r.part_b, set())
+            assert len(common) == r.common_neighbors > 0
+            un = (
+                len(adj[r.part_a]) + len(adj[r.part_b]) - r.common_neighbors
+            )
+            assert abs(r.jaccard - round(r.common_neighbors / un, 6)) < 1e-9

@@ -93,6 +93,8 @@ BUILD_EXECUTES = {
     "knn_opq_adc",
     # r6: SemDeDup k-means Lloyd rounds checkpoint at plan time
     "dedup_semdedup",
+    # r6: copurchase edge build checkpoints at plan time
+    "graph_link_prediction",
 }
 
 
