@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "text_bpe_apply",
     "dedup_embedding_lsh_strict",
     "dedup_semdedup",
+    "embeddings_cluster_balanced_sample",
     "graph_pagerank",
     "documents_boilerplate_ngrams",
     "part_fuzzy_name_match",

@@ -54,6 +54,7 @@ _FRONT = [
     "documents_dsir_weights",
     "orders_association_rules",
     "graph_link_prediction",
+    "embeddings_cluster_balanced_sample",
 ]
 
 

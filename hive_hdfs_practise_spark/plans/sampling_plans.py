@@ -818,3 +818,77 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_per_token_fp"),
         )
     )
+
+
+# Cluster-balanced sampling: k-means the embedding space, then keep
+# at most CBS_QUOTA vectors PER CLUSTER by md5(vec_id) rank — the
+# diversity-preserving subsampling step of embedding-driven curation
+# (uniform sampling over-represents dense regions; per-cluster
+# quotas flatten the density, the same motivation as SemDeDup's
+# clustering and DataComp-style balanced pools). The quantizer is
+# the engine's deterministic k-means, so the oracle restates the
+# whole clustering (shared generator: similarity/knn.py::
+# kmeans_unrolled_cte) and the md5 rank is the documents_source_quota
+# idiom — every stage engine-identical.
+CBS_NLIST = 8
+CBS_ITERS = 2
+CBS_QUOTA = 16
+
+
+def _cbs_oracle() -> str:
+    from ..similarity.knn import kmeans_unrolled_cte
+
+    return (
+        kmeans_unrolled_cte(CBS_NLIST, CBS_ITERS)
+        + f"""
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+           CAST(rn AS INT) AS cluster_rank
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM af
+    )
+    WHERE rn <= {CBS_QUOTA}
+    """
+    )
+
+
+@register("embeddings_cluster_balanced_sample", oracle=_cbs_oracle())
+def embeddings_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep at most {CBS_QUOTA} vectors per k-means cluster, chosen
+    by md5(vec_id) rank (see note above) — deterministic,
+    engine-portable, unbiased w.r.t. insertion order.
+
+    Scale shape: clustering is the IVF machinery (broadcast
+    centroids, argmin per row — the corpus never shuffles during
+    assignment); the quota is ONE window keyed on cluster_id whose
+    rank filter pushes down as WindowGroupLimit, so each map task
+    forwards at most {CBS_QUOTA} rows per cluster before the
+    exchange — at 100 TB the shuffle carries O(clusters × quota ×
+    tasks), and nlist grows with the corpus to keep clusters
+    balanced. Builder runs Lloyd checkpoints at plan time:
+    BUILD_EXECUTES."""
+    from pyspark.sql.window import Window as W
+
+    from ..similarity.knn import assign_clusters, kmeans_centroids
+
+    e = wide_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(e, nlist=CBS_NLIST, iters=CBS_ITERS)
+    assigned = assign_clusters(e, cents).select("vec_id", "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.row_number().over(w).alias("cluster_rank"),
+        )
+        .filter(F.col("cluster_rank") <= CBS_QUOTA)
+        .withColumn("cluster_rank", F.col("cluster_rank").cast("int"))
+    )

@@ -259,3 +259,61 @@ def knn_ivf(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(top_k)
     )
+
+
+def kmeans_unrolled_cte(nlist: int, iters: int, dim: int = 64) -> str:
+    """DuckDB CTE chain restating ``kmeans_centroids`` +
+    ``assign_clusters`` exactly (lowest-id seeds, 9-dp-rounded
+    centroid components, argmin with cid tiebreak): produces CTEs
+    ``e(vec_id, v)`` and ``af(vec_id, v, cid)`` — the final
+    assignment, already filtered to the argmin row. Shared by the
+    oracles of queries that compose on top of the deterministic
+    quantizer (the _ivf_oracle idiom, factored)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT {nlist}
+    )""",
+    ]
+    prev = "seed"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""a{k} AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+        )
+        parts.append(
+            f"""c{k} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i, round(avg(a.v[t.i]), 9) AS m
+            FROM a{k} AS a, generate_series(1, {dim}) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{k}"
+    final = iters + 1
+    parts.append(
+        f"""af AS MATERIALIZED (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist('e.v', 'c.c')}, c.cid)
+                       AS rn
+            FROM e, {prev} AS c
+        ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)

@@ -95,6 +95,8 @@ BUILD_EXECUTES = {
     "dedup_semdedup",
     # r6: copurchase edge build checkpoints at plan time
     "graph_link_prediction",
+    # r6: k-means Lloyd checkpoints at plan time
+    "embeddings_cluster_balanced_sample",
 }
 
 

@@ -599,3 +599,44 @@ class TestDegenerateEmbeddings:
             rows = plans.QUERIES["knn_ivfpq_adc"](spark, path).collect()
             assert [r.vec_id for r in rows] == list(range(1, 11))
             assert all(r.l2sq_fp == 0 for r in rows)
+
+
+class TestClusterBalancedSample:
+    """r6: embeddings_cluster_balanced_sample — per-cluster quota
+    holds, kept ids agree with an independent assignment recompute,
+    and the selection is md5-rank (order-insensitive)."""
+
+    def test_quota_and_assignment_parity(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.sampling_plans import (
+            CBS_ITERS,
+            CBS_NLIST,
+            CBS_QUOTA,
+        )
+        from hive_hdfs_practise_spark.similarity.knn import (
+            assign_clusters,
+            kmeans_centroids,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        got = plans.QUERIES["embeddings_cluster_balanced_sample"](
+            spark, SF
+        ).collect()
+        assert got
+        per = {}
+        for r in got:
+            per.setdefault(r.cluster_id, []).append(r)
+            assert 1 <= r.cluster_rank <= CBS_QUOTA
+        for rows in per.values():
+            assert len(rows) <= CBS_QUOTA
+            assert len({r.cluster_rank for r in rows}) == len(rows)
+        e = table(spark, SF, "embeddings").select("vec_id", "embedding")
+        cents = kmeans_centroids(e, nlist=CBS_NLIST, iters=CBS_ITERS)
+        want = {
+            r.vec_id: r.cluster_id
+            for r in assign_clusters(e, cents).select(
+                "vec_id", "cluster_id"
+            ).collect()
+        }
+        for r in got:
+            assert want[r.vec_id] == r.cluster_id
