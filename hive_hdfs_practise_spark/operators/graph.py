@@ -30,15 +30,20 @@ from pyspark.sql import functions as F
 from ..sources.catalog import table
 
 
-def basket_pair_counts(
-    df: DataFrame, basket_col: str, item_col: str, min_sup: int
-) -> DataFrame:
-    """(pa, pb, sup): co-occurrence counts of ordered item pairs
-    (pa < pb) within baskets, support-thresholded. Input need not be
-    deduplicated — collect_set dedups within the basket aggregate."""
-    baskets = df.groupBy(basket_col).agg(
+def order_baskets(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """(basket_col, ps): each basket's DISTINCT items as one sorted
+    array — ONE shuffle with map-side partial collect_set. Callers
+    that need several basket-derived aggregates (pairs, per-item
+    basket counts, basket totals) should build this once and persist:
+    every derived quantity then reads arrays, never re-shuffles the
+    raw rows."""
+    return df.groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("ps")
     )
+
+
+def pair_counts_from_baskets(baskets: DataFrame, min_sup: int) -> DataFrame:
+    """(pa, pb, sup) from an ``order_baskets`` table."""
     pos = baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
     # suffix after position i (0-based) = 1-based slice from i+2; the
     # length arg only needs an upper bound and slice clips at the end
@@ -52,6 +57,17 @@ def basket_pair_counts(
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= min_sup)
+    )
+
+
+def basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str, min_sup: int
+) -> DataFrame:
+    """(pa, pb, sup): co-occurrence counts of ordered item pairs
+    (pa < pb) within baskets, support-thresholded. Input need not be
+    deduplicated — collect_set dedups within the basket aggregate."""
+    return pair_counts_from_baskets(
+        order_baskets(df, basket_col, item_col), min_sup
     )
 
 

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.graph import basket_pair_counts
+from ..operators.graph import (
+    basket_pair_counts,
+    order_baskets,
+    pair_counts_from_baskets,
+)
 from ..sources.catalog import table
 from .registry import register
 
@@ -453,7 +457,12 @@ def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     # shared tuned pair build (operators/graph.py): basket arrays +
     # suffix explode instead of the items self-join — identical pair
-    # counts, one fewer corpus-sized shuffle
+    # counts, one fewer corpus-sized shuffle. Pipelined (no persist):
+    # each consumer here reads pairs once; association_rules, whose
+    # direction union reads pairs twice and whose cnt/total can ride
+    # the basket table, is the variant that persists (measured there:
+    # 57 -> 33 s at 40x; persisting HERE costs ~0.8 s at sf0.1 for
+    # nothing).
     pairs = basket_pair_counts(l, "l_orderkey", "l_partkey", FIS_MIN_SUP)
     ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
@@ -534,12 +543,24 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the output needs no ordering determinism beyond the exact
     predicates."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = l.distinct()
-    n_orders = l.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # ONE persisted basket table backs the pair counts, the per-part
+    # basket counts AND the basket total — the raw lineitem rows
+    # shuffle exactly once (three separate distinct-shaped shuffles
+    # before this refactor; the 40x corpus measured 57 -> 41 s)
+    baskets = order_baskets(l, "l_orderkey", "l_partkey")
+    baskets.persist()
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    pairs = basket_pair_counts(l, "l_orderkey", "l_partkey", FIS_MIN_SUP)
+    # checkpoint: both branches of the direction union read pairs —
+    # un-checkpointed, the 40x corpus's ~126M-row pair mass (~34 s
+    # once, measured) generates twice. Stores 1.2M rows at 40x.
+    pairs = pair_counts_from_baskets(baskets, FIS_MIN_SUP).localCheckpoint(
+        eager=True
+    )
     rules = pairs.select(
         F.col("pa").alias("antecedent"),
         F.col("pb").alias("consequent"),
