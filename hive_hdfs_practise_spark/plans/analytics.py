@@ -489,7 +489,8 @@ def orders_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rules A=>B and B=>A; confidence = sup/cnt(A) answers "given A in
 # the basket, how often B?", which the symmetric pair/lift view
 # cannot. Thresholds are INTEGER predicates (sup >= min_sup;
-# 4*sup >= cnt(A) for confidence >= 0.25), so the rule set is exact;
+# DEN*sup >= NUM*cnt(A) for confidence >= NUM/DEN), so the rule set
+# is exact;
 # the display confidence/lift divide exact integers in the identical
 # IEEE order on both engines before the 6-dp round. Floor calibrated
 # to the corpus: max observed confidence is 0.22/0.14 at

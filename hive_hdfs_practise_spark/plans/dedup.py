@@ -1019,62 +1019,20 @@ SEM_TAU = COSINE_THRESHOLD
 
 
 def _semdedup_oracle() -> str:
-    def dist(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, 65), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-        )
+    # shared unrolled-k-means generator (similarity/knn.py) — one
+    # copy of the load-bearing quantizer restatement; af(vec_id, v,
+    # cid) is MATERIALIZED there (the pair join reads it twice)
+    from ..similarity.knn import kmeans_unrolled_cte
 
-    parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""seed AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-        FROM e ORDER BY vec_id LIMIT {SEM_NLIST}
-    )""",
-    ]
-    prev = "seed"
-    for k in range(1, SEM_ITERS + 1):
-        parts.append(
-            f"""a{k} AS (
-        SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
-        FROM e, {prev} AS c
-    )"""
-        )
-        parts.append(
-            f"""c{k} AS (
-        SELECT cid, list(m ORDER BY i) AS c FROM (
-            SELECT a.cid, t.i, round(avg(a.v[t.i]), 9) AS m
-            FROM a{k} AS a, generate_series(1, 64) AS t(i)
-            WHERE a.rn = 1
-            GROUP BY a.cid, t.i
-        ) GROUP BY cid
-    )"""
-        )
-        prev = f"c{k}"
-    final = SEM_ITERS + 1
-    # MATERIALIZED: the final assignment is referenced twice (both
-    # sides of the pair join) and DuckDB inlines doubly-referenced
-    # CTEs — exponentially for this unrolled cascade
-    parts.append(
-        f"""a{final} AS MATERIALIZED (
-        SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
-        FROM e, {prev} AS c
-    )"""
-    )
     return (
-        ",\n    ".join(parts)
+        kmeans_unrolled_cte(SEM_NLIST, SEM_ITERS)
         + f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(a.cid AS INTEGER) AS cluster_id,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM a{final} AS a JOIN a{final} AS b
+    FROM af AS a JOIN af AS b
       ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE a.rn = 1 AND b.rn = 1
-      AND round(list_cosine_similarity(a.v, b.v), 6) >= {SEM_TAU}
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEM_TAU}
     """
     )
 

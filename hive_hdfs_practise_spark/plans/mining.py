@@ -393,9 +393,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation, checkpointed — consumed by deg (twice, via the
     # direction union) and the orientation join
     edges = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
-    und = edges.unionByName(
-        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).select(F.col("pa").alias("v"))
+    und = undirected(edges, src="pa", dst="pb").select(
+        F.col("pa").alias("v")
+    )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("dega"))
     db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("degb"))
@@ -804,8 +804,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed too since every LPA round joins it
     e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
     und = (
-        e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
-        .unionByName(e.select(F.col("pb").alias("v"), F.col("pa").alias("w")))
+        undirected(e, src="pa", dst="pb")
+        .select(F.col("pa").alias("v"), F.col("pb").alias("w"))
         .localCheckpoint(eager=True)
     )
     labels = und.select("v").distinct().withColumn("lab", F.col("v"))
@@ -1270,9 +1270,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_triangle_count's wedges applies. The final global top-K is
     a TakeOrdered over the candidate stream, not a full sort."""
     e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
-    und = undirected(
-        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    ).select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    und = undirected(e, src="pa", dst="pb").select(
+        F.col("pa").alias("v"), F.col("pb").alias("w")
+    )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     x, y = und.alias("x"), und.alias("y")
     cn = (

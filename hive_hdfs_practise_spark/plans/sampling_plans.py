@@ -808,14 +808,22 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "source")
         .join(doc, "doc_id", "left")
+        # per-token FIRST: a later expression referencing a name an
+        # EARLIER select item aliased resolves to the alias (lateral
+        # column resolution) — the divisor must see the RAW n_tokens,
+        # not the coalesced output column
         .select(
             "doc_id",
             "source",
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("score_fp"), F.lit(0)).alias("dsir_score_fp"),
             F.coalesce(
                 F.expr("score_fp div greatest(n_tokens, 1)"), F.lit(0)
             ).alias("score_per_token_fp"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("score_fp"), F.lit(0)).alias("dsir_score_fp"),
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "dsir_score_fp",
+            "score_per_token_fp",
         )
     )
 

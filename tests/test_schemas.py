@@ -97,6 +97,8 @@ BUILD_EXECUTES = {
     "graph_link_prediction",
     # r6: k-means Lloyd checkpoints at plan time
     "embeddings_cluster_balanced_sample",
+    # r6: thresholded pair stream checkpoints at plan time
+    "orders_association_rules",
 }
 
 

@@ -406,11 +406,14 @@ class TestPqAdc:
     precisely because plain ADC top-10 held 1/10 on this corpus."""
 
     def test_rerank_recall_and_exactness(self, spark, emb):
+        from hive_hdfs_practise_spark.similarity.pq import quantize_rows
+
         got = plans.QUERIES["knn_pq_adc"](spark, SF).collect()
         rows = emb.collect()
+        # quantize_rows, NOT np.round: numpy rounds half-even while
+        # the pipeline (and both engines) round HALF_UP
         X = {
-            r.vec_id: np.round(np.array(r.embedding, dtype=float) * 1e6)
-            for r in rows
+            r.vec_id: quantize_rows([r.embedding])[0] for r in rows
         }
         q = X[0]
         true = sorted(
@@ -439,14 +442,17 @@ class TestOpqAdc:
     def test_rotation_preserves_ranking_exactly(self, spark, emb):
         from hive_hdfs_practise_spark.similarity.pq import opq_rotation
 
+        from hive_hdfs_practise_spark.similarity.pq import quantize_rows
+
         R = opq_rotation(64)
         # S·Sᵀ = 64·I — the exactness contract of the whole operator
         assert (R @ R.T == 64 * np.eye(64, dtype=np.int64)).all()
         got = plans.QUERIES["knn_opq_adc"](spark, SF).collect()
         rows = emb.collect()
+        # quantize_rows, NOT np.round (numpy is half-even; the
+        # pipeline is HALF_UP)
         X = {
-            r.vec_id: np.round(np.array(r.embedding, dtype=float) * 1e6)
-            for r in rows
+            r.vec_id: quantize_rows([r.embedding])[0] for r in rows
         }
         q = X[0]
         true = sorted(

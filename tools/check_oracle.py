@@ -119,8 +119,21 @@ def nested_cols(df) -> list[str]:
 
 
 def dtype_skews(spdf, odf) -> list[str]:
-    """int-vs-float family skews on fully populated columns — the
-    exact class the driver's value hash dies on."""
+    """Dtype-family skews the driver's value hash dies on while a
+    value-equality compare stays green:
+
+    - int vs float (HUGEINT→float64, the r05 class): flagged when
+      the column is fully populated on both sides (nullable ints
+      legitimately become float64 on BOTH engines).
+    - bool vs int/float: True == 1 compares equal but hashes apart.
+    - a numeric-looking object column (e.g. DECIMAL materializing as
+      Decimal objects) against a real numeric dtype.
+
+    object-vs-datetime stays benign: DATE columns materialize as
+    datetime.date objects on one engine and datetime64 on the other,
+    and a date has no time component to diverge on."""
+    import decimal
+
     skews = []
     for c in spdf.columns:
         if c not in odf.columns:
@@ -129,10 +142,23 @@ def dtype_skews(spdf, odf) -> list[str]:
         f_o = dtype_family(odf[c].dtype.kind)
         if f_s == f_o:
             continue
-        if {f_s, f_o} == {"int", "float"}:
+        fams = {f_s, f_o}
+        if fams == {"int", "float"}:
             side = spdf[c] if f_o == "int" else odf[c]
             if not side.isna().any():
                 skews.append(f"{c}: spark={f_s} duckdb={f_o}")
+        elif "bool" in fams and fams & {"int", "float"}:
+            skews.append(f"{c}: spark={f_s} duckdb={f_o}")
+        elif "object" in fams and fams & {"int", "float", "bool"}:
+            obj = spdf[c] if f_s == "object" else odf[c]
+            vals = [v for v in obj if v is not None]
+            if vals and all(
+                isinstance(v, (int, float, bool, decimal.Decimal))
+                for v in vals
+            ):
+                skews.append(
+                    f"{c}: spark={f_s} duckdb={f_o} (numeric-valued object)"
+                )
     return skews
 
 
