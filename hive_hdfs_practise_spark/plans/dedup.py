@@ -1005,34 +1005,57 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup first k-means-clusters the embedding space and compares
 # pairs only WITHIN each learned cluster — the clusters both bound
 # the quadratic stage and catch near-duplicates that share no label
-# or bucket. The quantizer is the engine's deterministic k-means
-# (lowest-id seeding, 9-dp-rounded centroid components, cid-tiebreak
-# argmin — similarity/knn.py), which is exactly what lets the oracle
-# unroll the whole clustering in SQL and value-check the emitted
-# pairs, knn_ivf-style.
-SEM_NLIST = 8
+# or bucket.
+#
+# Scale design (r6 rework): the quantizer runs in the 1e6-scaled
+# INTEGER domain on the similarity/pq.py Arrow passes — training is
+# one mapInPandas scan per Lloyd round emitting bounded partials,
+# assignment is one GEMM scan — and nlist DERIVES FROM THE CORPUS
+# (max(8, n // SEM_TARGET_CLUSTER)), so cluster sizes, and with them
+# the quadratic per-cluster pair mass, stay bounded at any scale.
+# The float-k-means first cut paid an interpreted per-(row,centroid)
+# l2 fold AND was stuck at nlist=8 (68 s at the 10x corpus,
+# SCALING.md). Exactness: distances/argmin/updates are exact
+# integers (trunc-div centroid updates), the cosine threshold is the
+# integer predicate 25·dot² >= 4·na·nb with dot > 0 (tau=0.4, exact
+# as 4/25), and the display cosine divides exact-integer-derived
+# doubles with one IEEE sqrt each — so the WHOLE pipeline, dynamic
+# nlist included, restates in SQL (the seed count is a scalar
+# subquery inside the static unroll).
 SEM_ITERS = 2
-# this corpus's near-dup level (random 64-dim vectors center near 0
-# cosine; planted dups score high) — deployments run ~0.95+, which
-# dedup_embedding_lsh_strict exercises on the same corpus
-SEM_TAU = COSINE_THRESHOLD
+SEM_MIN_NLIST = 8
+SEM_TARGET_CLUSTER = 640
+# tau = 0.4 (this corpus's near-dup level; deployments run ~0.95+,
+# exercised by dedup_embedding_lsh_strict) as the exact rational
+# tau^2 = SEM_TAU2_NUM / SEM_TAU2_DEN
+SEM_TAU2_NUM = 4
+SEM_TAU2_DEN = 25
+assert abs(SEM_TAU2_NUM / SEM_TAU2_DEN - COSINE_THRESHOLD**2) < 1e-12
 
 
 def _semdedup_oracle() -> str:
-    # shared unrolled-k-means generator (similarity/knn.py) — one
-    # copy of the load-bearing quantizer restatement; af(vec_id, v,
-    # cid) is MATERIALIZED there (the pair join reads it twice)
-    from ..similarity.knn import kmeans_unrolled_cte
+    from ..similarity.pq import vq_kmeans_unrolled_cte
 
+    nlist_sql = (
+        f"greatest({SEM_MIN_NLIST}, "
+        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
+    )
     return (
-        kmeans_unrolled_cte(SEM_NLIST, SEM_ITERS)
-        + f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(a.cid AS INTEGER) AS cluster_id,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM af AS a JOIN af AS b
-      ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEM_TAU}
+        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        + f""",
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+               list_sum(list_transform(range(1, 65),
+                        i -> a.xi[i] * b.xi[i])) AS dot,
+               a.nrm AS na, b.nrm AS nb
+        FROM af AS a JOIN af AS b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, CAST(cid AS INTEGER) AS cluster_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM pairs
+    WHERE dot > 0
+      AND {SEM_TAU2_DEN} * dot * dot >= {SEM_TAU2_NUM} * na * nb
     """
     )
 
@@ -1040,42 +1063,92 @@ def _semdedup_oracle() -> str:
 @register("dedup_semdedup", oracle=_semdedup_oracle())
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs, SemDeDup-style (see note above):
-    k-means the embeddings ({SEM_NLIST} clusters, {SEM_ITERS} Lloyd
-    rounds), then exact cosine >= tau within each cluster only.
+    integer-domain k-means with corpus-derived nlist, then exact
+    quantized cosine >= tau within each cluster only.
 
-    Scale shape: the quantizer build is the IVF machinery (broadcast
-    centroids, argmin per row — the corpus never shuffles during
-    assignment); the pair stage is quadratic per CLUSTER, which is
-    the operator's entire point — at deployment nlist grows with the
-    corpus (SemDeDup runs ~100k clusters at web scale) so cluster
-    sizes, and with them the per-cluster pair mass, stay bounded.
-    The assignment table feeds both sides of the pair join:
-    persist() (columnar cache), never a self-joined derived pipeline
-    (it would recompute the k-means per side). Builder runs Lloyd
-    checkpoints at plan time: BUILD_EXECUTES."""
-    from ..similarity.knn import assign_clusters, kmeans_centroids
+    Scale shape: every training round and the final assignment is
+    ONE Arrow scan (GEMM per batch, bounded partials — the
+    treeAggregate shape); the codebook is driver-state like IVF's
+    centroid table (nlist × 64 ints, nlist = n/{SEM_TARGET_CLUSTER});
+    the pair stage is quadratic per CLUSTER with cluster size pinned
+    near {SEM_TARGET_CLUSTER} by construction, so pair mass grows
+    LINEARLY with the corpus. The assignment table (carrying each
+    row's quantized vector + squared norm, computed once per ROW in
+    the scan) persists before feeding both sides of the pair join.
+    Builder collects the codebook at plan time: BUILD_EXECUTES."""
+    import numpy as np
+
+    from ..similarity.pq import (
+        pq_update_pass,
+        quantize_rows,
+        trunc_div,
+        vq_assign_pass,
+    )
 
     e = wide_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_centroids(e, nlist=SEM_NLIST, iters=SEM_ITERS)
-    assigned = assign_clusters(e, cents).select(
-        "vec_id",
-        vec.as_double(F.col("embedding")).alias("v"),
-        "cluster_id",
+    n = e.count()
+    nlist = max(SEM_MIN_NLIST, n // SEM_TARGET_CLUSTER)
+    seed_rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(nlist).collect()
     )
+    X0 = quantize_rows([r.embedding for r in seed_rows])
+    cents = {0: (np.arange(nlist, dtype=np.int64), X0)}
+    for _ in range(SEM_ITERS):
+        agg = (
+            pq_update_pass(e, cents, 1, 64)
+            .groupBy("cid", "i")
+            .agg(F.sum("ssum").alias("ts"), F.sum("cnt").alias("tc"))
+            .collect()
+        )
+        comp: dict = {}
+        for r in agg:
+            comp.setdefault(r.cid, {})[r.i] = trunc_div(int(r.ts), int(r.tc))
+        items = sorted(comp.items())
+        cents = {
+            0: (
+                np.array([cid for cid, _ in items], dtype=np.int64),
+                np.array(
+                    [[c[i + 1] for i in range(64)] for _, c in items],
+                    dtype=np.int64,
+                ),
+            )
+        }
+    assigned = vq_assign_pass(e, cents[0])
     assigned.persist()
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(vec.cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (
+    dot = F.aggregate(
+        F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
         a.join(
             b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster_id").cast("int").alias("cluster_id"),
-            cos.alias("cosine"),
+            F.col("a.cid").alias("cid"),
+            dot.alias("dot"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         )
-        .filter(F.col("cosine") >= SEM_TAU)
+    )
+    # 25·dot² and 4·na·nb reach ~6.6e28 — DECIMAL, never int64
+    lhs = (
+        F.col("dot").cast("decimal(19,0)") * F.col("dot") * SEM_TAU2_DEN
+    )
+    rhs = F.col("na").cast("decimal(19,0)") * F.col("nb") * SEM_TAU2_NUM
+    return (
+        pairs.filter((F.col("dot") > 0) & (lhs >= rhs))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("cid").cast("int").alias("cluster_id"),
+            F.round(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("cosine"),
+        )
     )

@@ -247,3 +247,108 @@ def quantize_rows(vectors) -> "object":
     return np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
         np.int64
     )
+
+
+def vq_assign_pass(emb: DataFrame, cents: tuple) -> DataFrame:
+    """Plain vector-quantizer assignment in ONE Arrow scan:
+    (vec_id, cid, xi) where cid is the exact-integer-distance argmin
+    (first minimum == lowest cid, cids ascending) and xi is the row's
+    1e6-quantized int64 component vector (carried so consumers — e.g.
+    the within-cluster pair join — never re-read or re-quantize the
+    source). ``cents``: (cids int64[k], C int64[k, dim]). The GEMM
+    shape: one (batch × dim) @ (dim × k) per Arrow batch — this is
+    what lets nlist GROW with the corpus without the interpreted
+    per-(row, centroid) fold a broadcast-join argmin would pay."""
+
+    def f(batches):
+        import numpy as np
+
+        cids, C = cents
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(pdf["embedding"])
+            a, _ = _assign(X, C)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[a].astype("int32"),
+                    "xi": list(X),
+                    # per-ROW squared norm here, never per pair (and
+                    # never as a downstream interpreted fold that
+                    # CollapseProject would inline per reference)
+                    "nrm": (X * X).sum(axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        f, "vec_id long, cid int, xi array<long>, nrm long"
+    )
+
+
+def vq_kmeans_unrolled_cte(iters: int, nlist_sql: str, dim: int = 64) -> str:
+    """DuckDB CTE chain restating the INTEGER-domain vector
+    quantizer exactly (1e6 HALF_UP quantization, exact int squared
+    distances, first-min == lowest-cid ties, ``//`` truncating
+    centroid updates — the ``pq_update_pass``/``vq_assign_pass``
+    semantics). ``nlist_sql``: a SQL scalar expression for the seed
+    count, so nlist can DERIVE FROM THE DATA (e.g.
+    ``greatest(8, (SELECT count(*) FROM e) // 640)``) and the same
+    static unroll serves every corpus size. Produces ``e(vec_id,
+    xi)`` and ``af(vec_id, xi, cid, nrm)`` (final assignment +
+    per-row squared norm), af MATERIALIZED."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        f"""WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * {COMOMENT_SCALE}) AS BIGINT)) AS xi
+        FROM embeddings
+    )""",
+        f"""seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xi AS c
+        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= ({nlist_sql})
+    )""",
+    ]
+    prev = "seed"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""a{k} AS (
+        SELECT e.vec_id, e.xi, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.xi', 'c.c')}, c.cid) AS rn
+        FROM e, {prev} AS c
+    )"""
+        )
+        parts.append(
+            f"""c{k} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i,
+                   CAST(sum(a.xi[t.i]) // count(*) AS BIGINT) AS m
+            FROM a{k} AS a, generate_series(1, {dim}) AS t(i)
+            WHERE a.rn = 1
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{k}"
+    parts.append(
+        f"""af AS MATERIALIZED (
+        SELECT vec_id, xi, cid,
+               list_sum(list_transform(xi, x -> x * x)) AS nrm
+        FROM (
+            SELECT e.vec_id, e.xi, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist('e.xi', 'c.c')}, c.cid)
+                       AS rn
+            FROM e, {prev} AS c
+        ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)

@@ -286,19 +286,28 @@ class TestSemDeDup:
         import numpy as np
 
         from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.dedup import (
+            SEM_MIN_NLIST,
+            SEM_TARGET_CLUSTER,
+        )
+        from hive_hdfs_practise_spark.similarity.pq import quantize_rows
 
-        emb = {
-            r.vec_id: np.array(r.embedding, dtype=np.float64)
-            for r in spark.read.parquet(f"{self.SF}/embeddings.parquet").collect()
-        }
+        raw = spark.read.parquet(f"{self.SF}/embeddings.parquet").collect()
+        # the operator computes cosine over the 1e6-QUANTIZED integer
+        # vectors (HALF_UP — never np.round, which is half-even)
+        emb = {r.vec_id: quantize_rows([r.embedding])[0] for r in raw}
+        nlist = max(SEM_MIN_NLIST, len(raw) // SEM_TARGET_CLUSTER)
         rows = P.QUERIES["dedup_semdedup"](spark, self.SF).collect()
         assert rows, "no semantic near-dup pairs on the test corpus"
         for r in rows:
             a, b = emb[r.vec_a], emb[r.vec_b]
-            want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            dot = int(a @ b)
+            na, nb = int(a @ a), int(b @ b)
+            assert dot > 0 and 25 * dot * dot >= 4 * na * nb
+            want = dot / (np.sqrt(na) * np.sqrt(nb))
             assert abs(r.cosine - round(want, 6)) < 1e-6
-            assert r.cosine >= 0.4 and r.vec_a < r.vec_b
-            assert 0 <= r.cluster_id < 8
+            assert r.vec_a < r.vec_b
+            assert 0 <= r.cluster_id < nlist
 
     def test_planted_duplicates_found(self, spark):
         import os
