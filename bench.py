@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "text_bpe_apply",
     "dedup_embedding_lsh_strict",
     "dedup_semdedup",
+    "documents_duplicate_spans",
     "embeddings_cluster_balanced_sample",
     "graph_pagerank",
     "documents_boilerplate_ngrams",

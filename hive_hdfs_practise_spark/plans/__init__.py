@@ -55,6 +55,7 @@ _FRONT = [
     "orders_association_rules",
     "graph_link_prediction",
     "embeddings_cluster_balanced_sample",
+    "documents_duplicate_spans",
 ]
 
 

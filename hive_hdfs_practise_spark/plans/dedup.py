@@ -31,6 +31,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..dedup import minhash as mh
 from ..functions import simhash as sh
@@ -1152,3 +1153,113 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# Exact-substring duplicate spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL'22): the
+# complement of document-level dedup — find the REGIONS of text that
+# appear more than once anywhere in the corpus (boilerplate,
+# licenses, quoted passages), the spans the paper's suffix-array
+# pass removes before training. Spark-first restatement of the same
+# semantics: a char-ESD_K-gram occurring >= 2 times corpus-wide
+# (self-repeats included, as in the paper) marks its start position
+# duplicated; consecutive duplicated positions merge into maximal
+# spans by the gaps-and-islands window. Everything is integer
+# positions and counts — full SQL restatement, value-checked.
+ESD_K = 20
+
+
+@register(
+    "documents_duplicate_spans",
+    oracle=f"""
+    WITH p0 AS (
+        SELECT doc_id,
+               unnest(generate_series(1,
+                      greatest(len(text) - {ESD_K - 1}, 0))) AS i,
+               text
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               substring(text, i, {ESD_K}) AS gram
+        FROM p0
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    pos AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+    flg AS (
+        SELECT doc_id, i,
+               CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         = i - 1
+                    THEN 0 ELSE 1 END AS f
+        FROM pos
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+        FROM flg
+    )
+    SELECT doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {ESD_K - 1} AS BIGINT) AS span_end,
+           CAST(max(i) + {ESD_K} - min(i) AS BIGINT) AS span_len,
+           count(*) AS n_dup_grams
+    FROM grp
+    GROUP BY doc_id, gid
+    """,
+)
+def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-text spans per document (see note above):
+    positions whose {ESD_K}-gram repeats corpus-wide, merged into
+    spans by gaps-and-islands.
+
+    Scale shape: gram generation is EXPLODE + codegen'd substring
+    (the prefix-join idiom — no interpreted lambdas) over the
+    compute-widened corpus; the duplicated-gram vocabulary reduces
+    map-side before its shuffle; the position join shuffles on the
+    gram key; island-merging windows partition PER DOC, so
+    parallelism grows with the corpus. Total work is Θ(total chars)
+    — this is the linear-pass alternative to the paper's suffix
+    array, trading generality (fixed minimum match length {ESD_K})
+    for a shuffle-friendly plan."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = (
+        d.where(F.length("text") >= ESD_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(ESD_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("i"),
+            F.expr(f"substring(text, i, {ESD_K})").alias("gram"),
+        )
+    )
+    # feeds the corpus-wide count AND the position join
+    g.persist()
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    pos = g.join(dup, "gram").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flg = pos.select(
+        "doc_id",
+        "i",
+        F.when(F.lag("i").over(w) == F.col("i") - 1, 0)
+        .otherwise(1)
+        .alias("f"),
+    )
+    grp = flg.select(
+        "doc_id", "i", F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid")
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") + F.lit(ESD_K - 1)).cast("bigint").alias("span_end"),
+        (F.max("i") + F.lit(ESD_K) - F.min("i")).cast("bigint").alias("span_len"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("gid")

@@ -606,3 +606,50 @@ class TestFamilyPlantedCollisions:
         md5, xx = run("md5"), run("xxhash")
         assert md5 == xx
         assert len(md5) >= 2  # both planted high-J pairs found
+
+
+class TestDuplicateSpans:
+    """r6: documents_duplicate_spans — a planted shared passage must
+    surface as one maximal span with exact boundaries in BOTH docs;
+    an all-unique corpus yields nothing."""
+
+    def test_planted_shared_passage(self, spark, tmp_path):
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.dedup import ESD_K
+
+        import random
+
+        rng = random.Random(7)
+        uniq = lambda n: "".join(  # noqa: E731
+            rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)
+        )
+        shared = "the quick brown fox jumps over the lazy dog repeatedly"
+        a_pre, b_pre = uniq(40), uniq(55)
+        rows = [
+            (1, a_pre + shared + uniq(30), "en", "s1", 0),
+            (2, b_pre + shared + uniq(25), "en", "s2", 0),
+            (3, uniq(120), "en", "s3", 0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = os.path.join(tmp_path, "documents.parquet")
+        df.write.parquet(out)
+        got = {
+            r.doc_id: (r.span_start, r.span_end, r.span_len)
+            for r in P.QUERIES["documents_duplicate_spans"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # duplicated k-gram STARTS cover exactly the shared passage:
+        # first start = passage offset (1-based), last start =
+        # offset + len(shared) - K, so the span ends at the passage's
+        # last char
+        for doc_id, pre in ((1, a_pre), (2, b_pre)):
+            start = len(pre) + 1
+            end = len(pre) + len(shared)
+            assert got[doc_id] == (start, end, len(shared))
+        assert 3 not in got  # unique doc carries no duplicated span
