@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_strict",
     "dedup_semdedup",
     "documents_duplicate_spans",
+    "documents_winnowing_pairs",
     "embeddings_cluster_balanced_sample",
     "graph_pagerank",
     "documents_boilerplate_ngrams",

@@ -56,6 +56,7 @@ _FRONT = [
     "graph_link_prediction",
     "embeddings_cluster_balanced_sample",
     "documents_duplicate_spans",
+    "documents_winnowing_pairs",
 ]
 
 

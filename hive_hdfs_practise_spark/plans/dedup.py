@@ -1263,3 +1263,145 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("i") + F.lit(ESD_K) - F.min("i")).cast("bigint").alias("span_len"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).drop("gid")
+
+
+# Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting",
+# SIGMOD'03 — the MOSS algorithm): hash every char-WIN_K-gram, slide
+# a WIN_W-hash window, and keep each window's RIGHTMOST MINIMUM —
+# storing ~2/(w+1) of the hashes while GUARANTEEING that any shared
+# substring of length >= WIN_W + WIN_K - 1 contributes at least one
+# shared fingerprint. Docs sharing >= WIN_MIN_SHARED distinct
+# fingerprints are overlap candidates. Determinism/exactness: the
+# base hash is the portable md5-nibble u32; the rightmost-min-per-
+# window rule collapses to ONE integer window-min via the composite
+# key h·2^20 + (2^20 − i) (lexicographic: smallest h, then LARGEST
+# position — docs are far shorter than 2^20 chars and the key tops
+# out near 2^52); positions and counts are integers end-to-end, so
+# the whole pipeline restates in SQL. Ubiquitous fingerprints
+# (document frequency > WIN_DF_CAP) are dropped before pairing —
+# the standard MOSS move against boilerplate, and what bounds the
+# per-fingerprint pair fan-out at scale.
+# MIN_SHARED calibrated on this shared-vocab corpus (common words
+# make single 8-gram fingerprints collide freely): >=5 shared
+# fingerprints selects 561 of 124,750 possible pairs (0.45%) at
+# sf0.01; >=2 selected 11% — useless as a candidate set.
+WIN_K = 8
+WIN_W = 4
+WIN_DF_CAP = 20
+WIN_MIN_SHARED = 5
+_WIN_POS = 1 << 20
+
+
+@register(
+    "documents_winnowing_pairs",
+    oracle=f"""
+    WITH p0 AS (
+        SELECT doc_id,
+               unnest(generate_series(1,
+                      greatest(len(text) - {WIN_K - 1}, 0))) AS i,
+               text
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               {mh.md5_shingle_hash_sql(f"substring(text, i, {WIN_K})")}
+                   AS h
+        FROM p0
+    ),
+    keyed AS (
+        SELECT doc_id, i, h,
+               h * {_WIN_POS} + ({_WIN_POS} - i) AS key
+        FROM g
+    ),
+    wmin AS (
+        SELECT doc_id, i,
+               min(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN {WIN_W - 1} PRECEDING
+                                       AND CURRENT ROW) AS sel
+        FROM keyed
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, sel // {_WIN_POS} AS h
+        FROM wmin WHERE i >= {WIN_W}
+    ),
+    rare AS (
+        SELECT h FROM fp GROUP BY h HAVING count(*) <= {WIN_DF_CAP}
+    ),
+    fpr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WIN_MIN_SHARED}
+    """,
+)
+def documents_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= {WIN_MIN_SHARED} winnowing
+    fingerprints (see note above) — the MOSS overlap-candidate
+    generator with its detection guarantee.
+
+    Scale shape: gram hashing is EXPLODE + codegen'd substring/md5
+    (no lambdas); the winnowing selection is a PER-DOC integer
+    window min (parallelism grows with the corpus); the distinct
+    fingerprint table is ~2/(w+1) of the gram stream; the DF cap
+    both mirrors MOSS practice and bounds every fingerprint's pair
+    fan-out at |cap|^2, so candidate mass grows linearly in the
+    fingerprint table, not quadratically in the corpus."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = (
+        d.where(F.length("text") >= WIN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(WIN_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("i"),
+            mh.shingle_hash(
+                F.expr(f"substring(text, i, {WIN_K})"), "md5"
+            ).alias("h"),
+        )
+    )
+    keyed = g.select(
+        "doc_id",
+        "i",
+        (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("i"))).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WIN_W - 1), 0)
+    )
+    wmin = keyed.select(
+        "doc_id", "i", F.min("key").over(w).alias("sel")
+    ).where(F.col("i") >= WIN_W)
+    fp = wmin.select(
+        "doc_id", F.expr(f"sel div {_WIN_POS}").alias("h")
+    ).distinct()
+    # feeds the DF cap AND both sides of the pair join
+    fp.persist()
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WIN_DF_CAP)
+        .select("h")
+    )
+    fpr = fp.join(rare, "h")
+    a, b = fpr.alias("a"), fpr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )

@@ -653,3 +653,74 @@ class TestDuplicateSpans:
             end = len(pre) + len(shared)
             assert got[doc_id] == (start, end, len(shared))
         assert 3 not in got  # unique doc carries no duplicated span
+
+
+class TestWinnowingPairs:
+    """r6: documents_winnowing_pairs — the MOSS guarantee (a shared
+    substring of length >= W+K-1 yields >= 1 shared fingerprint) on
+    a planted passage, and a from-scratch Python winnowing recompute
+    of the full pair table."""
+
+    @staticmethod
+    def _winnow(text, K=8, W=4):
+        import hashlib
+
+        P32 = 4_294_967_291
+        n = len(text)
+        hs = []
+        for i in range(1, max(n - K + 1, 0) + 1):
+            g = text[i - 1 : i - 1 + K]
+            hs.append((i, int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % P32))
+        POS = 1 << 20
+        sel = set()
+        for e in range(W, len(hs) + 1):
+            win = hs[e - W : e]
+            key = min(h * POS + (POS - i) for i, h in win)
+            sel.add(key // POS)
+        return sel
+
+    def test_full_pair_table_matches_python(self, spark, tmp_path):
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.dedup import (
+            WIN_DF_CAP,
+            WIN_MIN_SHARED,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+        mk = lambda: " ".join(rng.choice(words) for _ in range(30))  # noqa: E731
+        shared = "this exact passage is planted into two documents"
+        texts = {1: mk() + " " + shared, 2: shared + " " + mk(), 3: mk(), 4: mk()}
+        rows = [(i, t, "en", f"s{i}", len(t)) for i, t in texts.items()]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp_path, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in P.QUERIES["documents_winnowing_pairs"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        fps = {i: self._winnow(t) for i, t in texts.items()}
+        df_count: dict = {}
+        for s_ in fps.values():
+            for h in s_:
+                df_count[h] = df_count.get(h, 0) + 1
+        rare = {h for h, c in df_count.items() if c <= WIN_DF_CAP}
+        want = {}
+        ids = sorted(fps)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    n = len(fps[x] & fps[y] & rare)
+                    if n >= WIN_MIN_SHARED:
+                        want[(x, y)] = n
+        assert got == want
+        # the guarantee: docs 1 and 2 share a >= W+K-1 char passage
+        assert (1, 2) in got
