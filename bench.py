@@ -197,6 +197,11 @@ BENCH_QUERIES = [
     # on this saturating vocab the exact join dominates — regime
     # analysis in the sketch docstring, simhash-crossover precedent)
     "documents_containment_join",
+    # r7: its banded MinHash sketch twin (the 100x-scale exit for the
+    # B-full-postings candidate mass) and the bounded link-prediction
+    # twin (the exact form's wedge join is Sigma deg^2 — no 40x point)
+    "documents_containment_minhash",
+    "graph_link_prediction_minhash",
 ]
 
 

@@ -48,6 +48,10 @@ _FRONT = [
     # the single never-driver-green name (r03 no_oracle, pre-oracle era)
     "pipeline_training_data_lsh",
     # round-7 additions (never sampled by construction) appended here
+    "graph_link_prediction_minhash",
+    "documents_containment_minhash",
+    "documents_duplicate_spans_summary",
+    "documents_winnowing_top_pairs",
 ]
 
 

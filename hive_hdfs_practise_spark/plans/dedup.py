@@ -1132,7 +1132,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cid").alias("cid"),
-            dot.alias("dot"),
+            # explode(array(dot)) materializes the interpreted
+            # 64-element fold through a Generate node: the threshold
+            # below references `dot` three times (dot>0 + dot·dot)
+            # and as a plain alias the fold would inline and run
+            # once PER REFERENCE on every candidate pair (the
+            # prefix-join single-reference lesson; advice r6) —
+            # generator outputs are materialized attributes that
+            # CollapseProject/pushdown cannot substitute into
+            F.explode(F.array(dot)).alias("dot"),
             F.col("a.nrm").alias("na"),
             F.col("b.nrm").alias("nb"),
         )
@@ -1221,6 +1229,12 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this is the linear-pass alternative to the paper's suffix
     array, trading generality (fixed minimum match length {ESD_K})
     for a shuffle-friendly plan."""
+    return _duplicate_span_table(spark, sf_dir)
+
+
+def _duplicate_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(doc, island) span grid documents_duplicate_spans
+    returns and documents_duplicate_spans_summary re-aggregates."""
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     g = (
         d.where(F.length("text") >= ESD_K)
@@ -1265,6 +1279,100 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("gid")
 
 
+@register(
+    "documents_duplicate_spans_summary",
+    oracle=f"""
+    WITH p0 AS (
+        SELECT doc_id,
+               unnest(generate_series(1,
+                      greatest(len(text) - {ESD_K - 1}, 0))) AS i,
+               text
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               substring(text, i, {ESD_K}) AS gram
+        FROM p0
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    pos AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+    flg AS (
+        SELECT doc_id, i,
+               CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         = i - 1
+                    THEN 0 ELSE 1 END AS f
+        FROM pos
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+        FROM flg
+    ),
+    spans AS (
+        SELECT doc_id, min(i) AS s, max(i) AS e, count(*) AS n
+        FROM grp GROUP BY doc_id, gid
+    ),
+    lens AS (SELECT doc_id, len(text) AS doc_len FROM documents)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(s.n) AS BIGINT) AS n_dup_grams,
+           CAST(max(s.e + {ESD_K} - s.s) AS BIGINT) AS max_span_len,
+           CAST(sum(s.e + {ESD_K} - s.s) AS BIGINT) AS dup_chars,
+           round(CAST(CAST(sum(s.e + {ESD_K} - s.s) AS BIGINT) AS DOUBLE)
+                 / min(l.doc_len), 6) AS dup_frac
+    FROM spans s JOIN lens l ON l.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def documents_duplicate_spans_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplication SUMMARY — the answer-mass-capped
+    companion of ``documents_duplicate_spans``: one row per document
+    with >= 1 duplicated span (span count, duplicated-gram count,
+    longest span, duplicated char mass, duplicated fraction of the
+    doc), instead of the full span enumeration.
+
+    This is the form a 100 TB curation pipeline consumes (filter
+    docs by dup_frac / longest span, à la Lee et al.'s "drop docs
+    that are mostly duplicated text"), and it bounds the OUTPUT at
+    one row per doc where the exact twin's span list grows with the
+    answer mass (81.9 s at 40×, SCALING.md round-7 table — the
+    replica corpus duplicates nearly every position, so spans
+    approach docs × islands). The span-finding stages are shared
+    (same Θ(total chars) gram pass — that part is irreducible: every
+    char must be read); what the cap removes is the answer-sized
+    output and everything a consumer would pay downstream of it.
+    Integer-exact: span extents and char masses are integers; the
+    single double division (dup_frac) is exact-int/exact-int rounded
+    6dp on both engines."""
+    spans = _duplicate_span_table(spark, sf_dir)
+    lens = (
+        wide_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("doc_len"))
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_dup_grams").alias("n_dup_grams"),
+            F.max("span_len").alias("max_span_len"),
+            F.sum("span_len").alias("dup_chars"),
+        )
+        .join(F.broadcast(lens), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_grams",
+            "max_span_len",
+            "dup_chars",
+            F.round(
+                F.col("dup_chars").cast("double") / F.col("doc_len"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
 # "Winnowing: Local Algorithms for Document Fingerprinting",
 # SIGMOD'03 — the MOSS algorithm): hash every char-WIN_K-gram, slide
@@ -1293,15 +1401,21 @@ WIN_MIN_SHARED = 5
 _WIN_POS = 1 << 20
 
 
-@register(
-    "documents_winnowing_pairs",
-    oracle=f"""
-    WITH p0 AS (
+# Shared winnowing CTE chain (through the distinct fingerprint
+# table) for the pair join and its capped variant. The p0 length
+# guard enforces the composite key's positional assumption (docs
+# must be shorter than _WIN_POS chars or h·2^20+(2^20−i) goes
+# negative and corrupts rightmost-min selection); both engines drop
+# over-long docs identically, so the oracle stays exact on any
+# corpus instead of silently sharing the corruption.
+_WINNOW_FP_CTES = f"""
+    p0 AS (
         SELECT doc_id,
                unnest(generate_series(1,
                       greatest(len(text) - {WIN_K - 1}, 0))) AS i,
                text
         FROM documents
+        WHERE len(text) < {_WIN_POS}
     ),
     g AS (
         SELECT doc_id, CAST(i AS INTEGER) AS i,
@@ -1321,36 +1435,21 @@ _WIN_POS = 1 << 20
                                        AND CURRENT ROW) AS sel
         FROM keyed
     ),
-    fp AS (
+    fp AS MATERIALIZED (
         SELECT DISTINCT doc_id, sel // {_WIN_POS} AS h
         FROM wmin WHERE i >= {WIN_W}
-    ),
-    rare AS (
-        SELECT h FROM fp GROUP BY h HAVING count(*) <= {WIN_DF_CAP}
-    ),
-    fpr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared
-    FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= {WIN_MIN_SHARED}
-    """,
-)
-def documents_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs sharing >= {WIN_MIN_SHARED} winnowing
-    fingerprints (see note above) — the MOSS overlap-candidate
-    generator with its detection guarantee.
+    )"""
 
-    Scale shape: gram hashing is EXPLODE + codegen'd substring/md5
-    (no lambdas); the winnowing selection is a PER-DOC integer
-    window min (parallelism grows with the corpus); the distinct
-    fingerprint table is ~2/(w+1) of the gram stream; the DF cap
-    both mirrors MOSS practice and bounds every fingerprint's pair
-    fan-out at |cap|^2, so candidate mass grows linearly in the
-    fingerprint table, not quadratically in the corpus."""
+
+def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, h) winnowing fingerprints — the Spark twin
+    of ``_WINNOW_FP_CTES`` (same length guard, same md5-nibble base
+    hash, same composite-key rightmost-min window)."""
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     g = (
-        d.where(F.length("text") >= WIN_K)
+        d.where(
+            (F.length("text") >= WIN_K) & (F.length("text") < _WIN_POS)
+        )
         .select(
             "doc_id",
             F.explode(
@@ -1379,9 +1478,39 @@ def documents_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = keyed.select(
         "doc_id", "i", F.min("key").over(w).alias("sel")
     ).where(F.col("i") >= WIN_W)
-    fp = wmin.select(
+    return wmin.select(
         "doc_id", F.expr(f"sel div {_WIN_POS}").alias("h")
     ).distinct()
+
+
+@register(
+    "documents_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTES},
+    rare AS (
+        SELECT h FROM fp GROUP BY h HAVING count(*) <= {WIN_DF_CAP}
+    ),
+    fpr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WIN_MIN_SHARED}
+    """,
+)
+def documents_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= {WIN_MIN_SHARED} winnowing
+    fingerprints (see note above) — the MOSS overlap-candidate
+    generator with its detection guarantee.
+
+    Scale shape: gram hashing is EXPLODE + codegen'd substring/md5
+    (no lambdas); the winnowing selection is a PER-DOC integer
+    window min (parallelism grows with the corpus); the distinct
+    fingerprint table is ~2/(w+1) of the gram stream; the DF cap
+    both mirrors MOSS practice and bounds every fingerprint's pair
+    fan-out at |cap|^2, so candidate mass grows linearly in the
+    fingerprint table, not quadratically in the corpus."""
+    fp = _winnowing_fingerprints(spark, sf_dir)
     # feeds the DF cap AND both sides of the pair join
     fp.persist()
     rare = (
@@ -1405,3 +1534,105 @@ def documents_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WIN_MIN_SHARED)
     )
+
+
+# Per-doc fingerprint budget + global output cap for the capped
+# variant. FP_CAP keeps each doc's WIN_FP_CAP RAREST fingerprints
+# (df asc, h asc — the prefix-filter idea applied to winnowing:
+# rare fingerprints are the selective ones, and truly overlapping
+# pairs share RARE fingerprints by construction since a shared
+# passage's fingerprints have df >= 2 but boilerplate's have df >
+# WIN_DF_CAP and are gone already); pair mass is then bounded by
+# n_docs·WIN_FP_CAP·(WIN_DF_CAP−1) instead of growing with the
+# shared-fingerprint answer mass (54.4 s at 40×, SCALING.md round-7
+# table — replica siblings share most fingerprints, pair mass
+# ~replica²). WIN_TOP bounds the OUTPUT by exact integer rank.
+WIN_FP_CAP = 64
+WIN_TOP = 100
+
+
+@register(
+    "documents_winnowing_top_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTES},
+    dft AS (
+        SELECT h, count(*) AS df FROM fp
+        GROUP BY h HAVING count(*) <= {WIN_DF_CAP}
+    ),
+    fpr AS (SELECT fp.doc_id, fp.h, dft.df FROM fp JOIN dft USING (h)),
+    capped AS MATERIALIZED (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY df, h
+                   ) AS rn
+            FROM fpr
+        ) WHERE rn <= {WIN_FP_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WIN_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY n_shared DESC, doc_a, doc_b
+               ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {WIN_TOP}
+    """,
+)
+def documents_winnowing_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{WIN_TOP} overlap pairs from per-doc fingerprint budgets
+    (see cap note above) — the answer-mass-capped companion of
+    ``documents_winnowing_pairs`` for corpora where shared-
+    fingerprint pair mass grows superlinearly.
+
+    Scale shape: shares the winnowing fingerprint pipeline (EXPLODE
+    + codegen md5, per-doc integer window min); the per-doc budget
+    is one row_number window over (df, h) — deterministic integer
+    order, no nullable keys; the pair join runs on the BUDGETED
+    table, so its mass is corpus-linear by construction; the final
+    top-{WIN_TOP} is a TakeOrdered on (n_shared, doc_a, doc_b) —
+    exact integer rank, engine-identical. Bounded recall is the
+    contract: a pair is ranked by shared fingerprints WITHIN the two
+    budgets, so heavily-overlapping pairs (many rare shared
+    fingerprints) surface first and diffuse low-overlap pairs fall
+    out — the exact twin remains the recall-1 path."""
+    fp = _winnowing_fingerprints(spark, sf_dir)
+    # feeds the DF aggregate AND the budget join
+    fp.persist()
+    dft = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WIN_DF_CAP)
+    )
+    fpr = fp.join(dft, "h")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    capped = (
+        fpr.select("doc_id", "h", F.row_number().over(wdoc).alias("rn"))
+        .where(F.col("rn") <= WIN_FP_CAP)
+        .select("doc_id", "h")
+    )
+    # feeds both sides of the pair join (the persisted-fp pattern)
+    capped.persist()
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(WIN_TOP)

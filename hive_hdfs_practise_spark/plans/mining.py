@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..dedup.minhash import md5_shingle_hash_sql  # registration-free
+from ..dedup.minhash import (  # registration-free
+    _perm_mins,
+    lsh_candidate_pairs,
+    md5_shingle_hash_sql,
+    minhash_family,
+    minhash_signature_from_text,
+    pairs_within_buckets,
+    perm_min_sql,
+    shingle_hash,
+)
 from ..operators.graph import copurchase_edges, trade_pairs, undirected
 from ..sources.catalog import table, wide_table
 from .constants import JACCARD_THRESHOLD, SHINGLE_K
@@ -1202,6 +1211,185 @@ def dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash containment sketch — the second bounded-recall twin of
+# documents_containment_join, storing N_PERM permutation mins per doc
+# (vs KMV's bottom-k VALUES). Estimator: slot agreement m/n estimates
+# Jaccard, and containment follows from J and the EXACT set sizes:
+#   C(A->B) = |A∩B|/|A| = J·(|A|+|B|) / ((1+J)·|A|)
+#   ⇒ Ĉ = m·(sz_a+sz_b) / ((n+m)·sz_a)   with Ĵ = m/(n stays n+m after
+#     substituting J=m/n into (1+J))
+# — integers end to end until one final double division, so the md5
+# family restates the WHOLE pipeline (signatures, banding, agreement
+# count, both direction thresholds) in SQL and value-checks exactly.
+# Candidates come from the SAME 16×8 banding dedup_minhash_lsh uses:
+# permutation-min band keys spread the saturated-vocab hot hashes that
+# mega-bucket the KMV sketch's single-hash banding (its docstring's
+# regime analysis), so this form is the one that keeps the candidate
+# stream near the true-pair mass on shared-vocab corpora. Recall
+# regime honesty: banding recalls J-similar pairs — on this corpus
+# every exact containment pair is a near-dup (J >= 0.98 at sf0.01, so
+# band recall ≈ 1-(1-J^8)^16 ≈ 1); a LOW-J asymmetric pair (small A
+# inside huge B: C=0.9 with |B|>>|A| gives J≈|A|/|B|) is this form's
+# blind spot and the KMV sketch's strength — the two sketches cover
+# complementary regimes, the exact join remains the recall-1 path.
+
+
+def _containment_minhash_oracle() -> str:
+    """Full SQL restatement (md5 family): dedup_minhash_lsh's
+    candidate CTE chain (lang-blocked) → integer slot-agreement count
+    → exact distinct-shingle sizes → both direction thresholds."""
+    from .dedup import N_PERM, _minhash_cand_ctes
+
+    terms = [
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    ]
+    # 8-term parenthesized chunks: a flat 128-term `+` chain trips
+    # DuckDB's binder recursion limit (the _minhash_lsh_oracle lesson)
+    est = " + ".join(
+        "(" + " + ".join(terms[g : g + 8]) + ")" for g in range(0, N_PERM, 8)
+    )
+    return f"""
+    WITH {_minhash_cand_ctes("documents", downsample=4, lang=True)},
+    szs AS MATERIALIZED (
+        SELECT doc_id, count(*) AS sz FROM mh_sh GROUP BY doc_id
+    ),
+    est AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b, {est} AS m, za.sz AS sz_a, zb.sz AS sz_b
+        FROM mh_cand c
+        JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+        JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+        JOIN szs za ON za.doc_id = c.doc_a
+        JOIN szs zb ON zb.doc_id = c.doc_b
+    ),
+    dirs AS (
+        SELECT doc_a AS src, doc_b AS dst, m, sz_a AS ss, sz_b AS sd FROM est
+        UNION ALL
+        SELECT doc_b, doc_a, m, sz_b, sz_a FROM est
+    )
+    SELECT src AS doc_a, dst AS doc_b, CAST(m AS INTEGER) AS n_matches,
+           ss AS sz_a, sd AS sz_b,
+           round(CAST(m * (ss + sd) AS DOUBLE) / (({N_PERM} + m) * ss), 6)
+               AS containment_est
+    FROM dirs
+    WHERE 10 * m * (ss + sd) >= {CONTAIN_TAU_NUM} * ({N_PERM} + m) * ss
+    """
+
+
+@register("documents_containment_minhash", oracle=_containment_minhash_oracle())
+def documents_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs at est >= 0.9 from MinHash
+    signatures + exact sizes (see estimator + regime note above) —
+    the banded bounded-recall twin of ``documents_containment_join``.
+
+    Scale shape: signatures ride ``minhash_signature_from_text``
+    (one codegen'd hash-aggregate over shingle POSITIONS, ÷4
+    winnowing, the dedup_minhash_lsh shape — O(N_PERM) longs per doc
+    retained, raw text dropped after one pass); exact sizes are one
+    distinct+count aggregate; banding/pair expansion is the shared
+    chunk-guarded machinery; the per-CANDIDATE 128-slot agreement
+    fold is interpreted but runs on the near-dup candidate stream
+    only, never the corpus. Both directions of each unordered
+    candidate emit from ONE row via explode (a union of the derived
+    pipeline would replay the candidate build per branch). At 40×
+    the exact twin is answer-mass-bound at 352.9 s; this sketch's
+    candidate stream stays near the true-pair mass (banding, not
+    single-hash buckets). Builder runs jobs at plan time (signature
+    checkpoint): BUILD_EXECUTES."""
+    from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
+
+    family = minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # signatures feed banding AND the agreement count — checkpoint
+    # (tiny: n_docs × 128 longs), else each consumer replays the scan
+    sigs = minhash_signature_from_text(
+        d, ["doc_id", "lang"], "text", SHINGLE_K, N_PERM, downsample=4, family=family
+    ).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
+    )
+    # exact distinct-shingle sizes (the estimator's |A|, |B|); docs
+    # shorter than a shingle have no row here, so the inner joins
+    # below also drop the sentinel-signature band collisions — same
+    # candidate set the SQL twin produces
+    szs = (
+        d.where(F.length("text") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(SHINGLE_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, i, {SHINGLE_K})").alias("s"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    m = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    base = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(
+            F.broadcast(szs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(szs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", m.alias("m"), "sz_a", "sz_b")
+    )
+    # both directions from ONE pass over the candidate stream
+    dirs = base.select(
+        "m",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("sz_a").alias("ss"),
+                    F.col("sz_b").alias("sd"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("sz_b").alias("ss"),
+                    F.col("sz_a").alias("sd"),
+                ),
+            )
+        ).alias("p"),
+    ).select("m", "p.src", "p.dst", "p.ss", "p.sd")
+    return dirs.filter(
+        10 * F.col("m") * (F.col("ss") + F.col("sd"))
+        >= CONTAIN_TAU_NUM * (F.lit(N_PERM) + F.col("m")) * F.col("ss")
+    ).select(
+        F.col("src").alias("doc_a"),
+        F.col("dst").alias("doc_b"),
+        F.col("m").cast("int").alias("n_matches"),
+        F.col("ss").alias("sz_a"),
+        F.col("sd").alias("sz_b"),
+        F.round(
+            (F.col("m") * (F.col("ss") + F.col("sd"))).cast("double")
+            / ((F.lit(N_PERM) + F.col("m")) * F.col("ss")),
+            6,
+        ).alias("containment_est"),
+    )
+
+
 # Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg,
 # CIKM'03): score NON-edges of the co-purchase graph by the Jaccard
 # of their endpoint neighborhoods — the classic "you may also like"
@@ -1294,6 +1482,199 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cn",
         F.expr(f"cn * {LP_SCALE} div (da + db - cn)").alias("q"),
         (F.col("da") + F.col("db") - F.col("cn")).alias("un"),
+    )
+    return (
+        scored.orderBy(F.desc("q"), "pa", "pb")
+        .limit(LP_TOP)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(F.col("cn").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# Bounded scale twin of graph_link_prediction: MinHash the NEIGHBOR
+# SETS instead of wedge-joining them. The exact form's wedge join
+# materializes Σ deg(w)² rows (irreducible — SCALING.md round-7
+# table; 50.4 s at 10×, no 40× point; at 10× the co-purchase graph
+# measures |V|=20k, avg deg 119.6, Σ deg² = 298M). Here each vertex
+# keeps LP_PERM permutation-min hashes of its neighbor set (the
+# sf-gated dedup/minhash.py family, so the md5 variant restates in
+# SQL) and candidate SCORING is free: under single-slot (r=1) bands
+# the number of bands a pair collides in IS the signature-agreement
+# count m (E[m] = LP_PERM·J), so one count-aggregate over the
+# collision stream replaces any per-pair signature fold. Per
+# permutation the buckets PARTITION the vertex set (each vertex has
+# exactly one min), so per-perm pair mass is Σ_buckets s² ≤
+# |V|·max_bucket (measured 39M total over 64 perms at 10× vs the
+# wedge join's 298M) — with the PAIR_CHUNK skew guard distributing
+# hot buckets. Existing edges anti-join away BEFORE the cap (high-J
+# pairs are mostly edges — they would otherwise crowd out the true
+# non-edge predictions), then the top LP_CAND_CAP pairs by
+# (m, pa, pb) — a deterministic integer TakeOrdered — are verified
+# EXACTLY (cn via a candidate-restricted neighbor join, exact
+# degrees, the same fixed-point rank), so precision is 1 and the
+# verify stage is O(cap·max_deg) rows no matter the scale. Recall is
+# bounded, not 1: a true top-pair is lost iff its deterministic
+# md5-family m falls below the cap boundary — measured margins on
+# the pin corpora: worst true-top-25 m-rank 1839 of 14,895 at
+# sf0.001 and 159 of 13,129 at sf0.01, both under half the 4096
+# cap, which is what lets the recall pin assert full top-25
+# equality vs the exact twin.
+LP_PERM = 64
+LP_CAND_CAP = 4096
+
+
+def _lp_minhash_oracle() -> str:
+    """Full SQL restatement of graph_link_prediction_minhash (md5
+    family): per-vertex neighbor-set signatures → r=1 band-collision
+    counts → edge anti-join → deterministic m-rank cap → exact
+    verification of the capped pairs → identical rank/top-K tail to
+    the exact twin's oracle."""
+    h = md5_shingle_hash_sql("CAST(w AS VARCHAR)")
+    mins = ", ".join(f"{perm_min_sql(i)} AS m{i}" for i in range(LP_PERM))
+    arms = " ".join(f"WHEN {i} THEN m{i}" for i in range(LP_PERM))
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS MATERIALIZED (
+        SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    hsh AS (SELECT v, {h} AS h FROM und),
+    sigs AS MATERIALIZED (SELECT v, {mins} FROM hsh GROUP BY v),
+    bands AS MATERIALIZED (
+        SELECT v, b.band, CASE b.band {arms} END AS band_key
+        FROM sigs, generate_series(0, {LP_PERM - 1}) AS b(band)
+    ),
+    mcnt AS (
+        SELECT a.v AS pa, b.v AS pb, count(*) AS m
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.v < b.v
+        GROUP BY a.v, b.v
+    ),
+    capped AS MATERIALIZED (
+        SELECT pa, pb FROM (
+            SELECT pa, pb,
+                   row_number() OVER (ORDER BY m DESC, pa, pb) AS mrk
+            FROM mcnt
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.pa = mcnt.pa AND e.pb = mcnt.pb
+            )
+        ) WHERE mrk <= {LP_CAND_CAP}
+    ),
+    deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM und GROUP BY v),
+    cn AS (
+        SELECT c.pa, c.pb, count(*) AS cn
+        FROM capped c
+        JOIN und x ON x.v = c.pa
+        JOIN und y ON y.v = c.pb AND y.w = x.w
+        GROUP BY c.pa, c.pb
+    ),
+    scored AS (
+        SELECT cn.pa, cn.pb, cn.cn, da.deg AS da, db.deg AS db
+        FROM cn
+        JOIN deg da ON da.v = cn.pa
+        JOIN deg db ON db.v = cn.pb
+    )
+    SELECT pa AS part_a, pb AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           round(CAST(cn AS DOUBLE) / (da + db - cn), 6) AS jaccard
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY cn * {LP_SCALE} // (da + db - cn) DESC, pa, pb
+               ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {LP_TOP}
+    """
+
+
+@register("graph_link_prediction_minhash", oracle=_lp_minhash_oracle())
+def graph_link_prediction_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOP} predicted links via MinHash collision-count
+    candidate ranking + capped exact verification (see the
+    recall/pair-mass note above) — the bounded scale twin of
+    ``graph_link_prediction``.
+
+    Scale shape: the signature build is ONE hash-aggregate over the
+    2|E| undirected edge rows (LP_PERM plain min() slots, map-side
+    combining, whole-stage codegen — the dedup_minhash_lsh aggregate
+    shape on integer keys); banding posexplodes |V|·LP_PERM
+    (vertex, band, min) rows — the min value IS the band key for
+    both hash families, no re-hashing; the collision stream is
+    consumed by a map-side-combining count aggregate (duplicates ARE
+    the signal — ``distinct=False``, the verify-then-distinct
+    lesson), never a distinct; the edge anti-join and the
+    TakeOrdered cap bound exact verification at
+    O(LP_CAND_CAP·max_deg) rows regardless of corpus scale. A first
+    cut that exact-verified EVERY band-collision pair measured
+    331.7 s at 10× — worse than the exact twin's 50.4 s, because on
+    the dense 10× graph the distinct candidate stream × avg-deg 119
+    verify join dwarfed the wedge mass it was meant to avoid; the
+    count-then-cap form verifies ≤ 4096 pairs at any scale. Builder
+    runs jobs at plan time (edge + und checkpoints):
+    BUILD_EXECUTES."""
+    family = minhash_family(sf_dir)
+    e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
+    # checkpoint: und feeds the signature build, BOTH verify sides,
+    # and the degree aggregate — un-checkpointed, the basket build
+    # would replay once per consumer
+    und = (
+        undirected(e, src="pa", dst="pb")
+        .select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    hashed = und.select(
+        "v", shingle_hash(F.col("w").cast("string"), family).alias("_h")
+    )
+    # every vertex has >= 1 neighbor (und comes from the edge list),
+    # so no empty-set sentinel is needed — the mins are never NULL
+    agg = hashed.groupBy("v").agg(*_perm_mins(LP_PERM))
+    sigs = agg.select(
+        "v", F.array(*[F.col(f"_m{i}") for i in range(LP_PERM)]).alias("sig")
+    )
+    banded = sigs.select("v", F.posexplode("sig").alias("band", "band_key"))
+    mcnt = (
+        pairs_within_buckets(banded, "v", ["band", "band_key"], distinct=False)
+        .groupBy(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    capped = (
+        mcnt.join(e, ["pa", "pb"], "left_anti")
+        .orderBy(F.desc("m"), "pa", "pb")
+        .limit(LP_CAND_CAP)
+        .select("pa", "pb")
+    )
+    x = und.select(F.col("v").alias("pa"), "w")
+    y = und.select(F.col("v").alias("pb"), "w")
+    cn = (
+        capped.join(x, "pa")
+        .join(y, ["pb", "w"])
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    scored = (
+        cn.join(deg.select(F.col("v").alias("pa"), F.col("deg").alias("da")), "pa")
+        .join(deg.select(F.col("v").alias("pb"), F.col("deg").alias("db")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "cn",
+            F.expr(f"cn * {LP_SCALE} div (da + db - cn)").alias("q"),
+            (F.col("da") + F.col("db") - F.col("cn")).alias("un"),
+        )
     )
     return (
         scored.orderBy(F.desc("q"), "pa", "pb")

@@ -724,3 +724,103 @@ class TestWinnowingPairs:
         assert got == want
         # the guarantee: docs 1 and 2 share a >= W+K-1 char passage
         assert (1, 2) in got
+
+
+class TestDuplicateSpansSummary:
+    """r7: the capped span miner — per-doc stats must equal a direct
+    recompute from the exact twin's span table, and dup_frac must be
+    the exact-integer ratio."""
+
+    def test_matches_exact_twin_aggregation(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        spans = P.QUERIES["documents_duplicate_spans"](spark, sf).collect()
+        lens = {
+            r.doc_id: r.n
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", F.length("text").alias("n"))
+            .collect()
+        }
+        want: dict = {}
+        for r in spans:
+            st = want.setdefault(r.doc_id, [0, 0, 0, 0])
+            st[0] += 1
+            st[1] += r.n_dup_grams
+            st[2] = max(st[2], r.span_len)
+            st[3] += r.span_len
+        got = P.QUERIES["documents_duplicate_spans_summary"](spark, sf).collect()
+        assert {r.doc_id for r in got} == set(want)
+        for r in got:
+            n_spans, n_grams, mx, chars = want[r.doc_id]
+            assert (r.n_spans, r.n_dup_grams, r.max_span_len, r.dup_chars) == (
+                n_spans,
+                n_grams,
+                mx,
+                chars,
+            )
+            # HALF_UP like Spark/DuckDB round(), not Python's
+            # banker's rounding (the recurring np.round test defect)
+            from decimal import ROUND_HALF_UP, Decimal
+
+            want_frac = float(
+                Decimal(chars / lens[r.doc_id]).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert abs(r.dup_frac - want_frac) < 1e-9
+
+
+class TestWinnowingTopPairs:
+    def test_subset_of_exact_twin_and_planted_recall(self, spark, tmp_path):
+        """Capped pairs are exact-twin pairs with n_shared bounded by
+        the un-capped count, and the planted passage (rare shared
+        fingerprints → inside both budgets) is recalled."""
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+
+        import random
+
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+        mk = lambda: " ".join(rng.choice(words) for _ in range(30))  # noqa: E731
+        shared = "this exact passage is planted into two documents"
+        texts = {1: mk() + " " + shared, 2: shared + " " + mk(), 3: mk(), 4: mk()}
+        rows = [(i, t, "en", f"s{i}", len(t)) for i, t in texts.items()]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp_path, "documents.parquet"))
+        exact = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in P.QUERIES["documents_winnowing_pairs"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in P.QUERIES["documents_winnowing_top_pairs"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert (1, 2) in got
+        for pair, n in got.items():
+            assert pair in exact and n <= exact[pair]
+
+    def test_corpus_subset(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in P.QUERIES["documents_winnowing_pairs"](spark, sf).collect()
+        }
+        got = P.QUERIES["documents_winnowing_top_pairs"](spark, sf).collect()
+        assert got
+        for r in got:
+            assert (r.doc_a, r.doc_b) in exact
+            assert r.n_shared <= exact[(r.doc_a, r.doc_b)]

@@ -418,3 +418,45 @@ class TestLinkPrediction:
                 len(adj[r.part_a]) + len(adj[r.part_b]) - r.common_neighbors
             )
             assert abs(r.jaccard - round(r.common_neighbors / un, 6)) < 1e-9
+
+
+class TestLinkPredictionMinhash:
+    """r7: bounded-recall twin — at the test corpora the r=1, b=64
+    banding recalls every positive-Jaccard pair with probability
+    1-(1-J)^64 (>= 1-6e-7 at the observed top-25 J floor 0.20) and
+    verification is exact, so the top-25 must EQUAL the exact twin's
+    (md5 family => fully deterministic: a pin, not a flaky bound)."""
+
+    def test_top25_equals_exact_twin(self, spark):
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            exact = sorted(
+                map(tuple, plans.QUERIES["graph_link_prediction"](spark, sf).collect())
+            )
+            sketch = sorted(
+                map(
+                    tuple,
+                    plans.QUERIES["graph_link_prediction_minhash"](spark, sf).collect(),
+                )
+            )
+            assert exact and sketch == exact
+
+
+class TestContainmentMinhash:
+    def test_recall_and_estimator_identity(self, spark):
+        """Every exact-containment DIRECTION at sf0.001 is recovered,
+        and each reported estimate satisfies the integer identity
+        est = m*(sa+sb)/((128+m)*sa) with m in [0, 128]."""
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["documents_containment_join"](spark, SF).collect()
+        }
+        got = plans.QUERIES["documents_containment_minhash"](spark, SF).collect()
+        sk = {(r.doc_a, r.doc_b) for r in got}
+        assert exact and exact <= sk
+        for r in got:
+            assert 0 <= r.n_matches <= 128
+            expect = round(
+                r.n_matches * (r.sz_a + r.sz_b) / ((128 + r.n_matches) * r.sz_a), 6
+            )
+            assert abs(r.containment_est - expect) < 1e-9
+            assert r.containment_est >= 0.9 - 1e-9

@@ -99,6 +99,10 @@ BUILD_EXECUTES = {
     "embeddings_cluster_balanced_sample",
     # r6: thresholded pair stream checkpoints at plan time
     "orders_association_rules",
+    # r7: copurchase edge + undirected view checkpoint at plan time
+    "graph_link_prediction_minhash",
+    # r7: signature table checkpoints at plan time
+    "documents_containment_minhash",
 }
 
 

@@ -105,17 +105,51 @@ def canon(df) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
-def nested_cols(df) -> list[str]:
+def nested_cols(df, sample: int = 100_000) -> list[str]:
+    """Columns holding nested (list/dict/ndarray) CELLS. Scans every
+    cell up to ``sample`` — an early unconditional break after the
+    first non-null value would pass a column whose first row is
+    scalar but later rows hold lists (advice r6), which the driver
+    canon would die on."""
     bad = []
     for c in df.columns:
-        col = df[c]
-        for v in col:
+        for v in df[c].head(sample):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
                 bad.append(c)
-            break
+                break
     return bad
+
+
+def date_grain_warnings(spdf, odf) -> list[str]:
+    """Warning-level (non-failing) note for columns where one engine
+    materializes datetime64 and the other object-of-date: canon()'s
+    midnight coercion compares them equal, but the DRIVER hashes
+    pandas datetime64 and datetime.date cells differently — such a
+    query should CAST the oracle (or the plan) so both sides agree
+    on the date/timestamp grain rather than rely on the local
+    coercion (advice r6)."""
+    import datetime as _dt
+
+    notes = []
+    for c in spdf.columns:
+        if c not in odf.columns:
+            continue
+        kinds = {spdf[c].dtype.kind, odf[c].dtype.kind}
+        if kinds != {"M", "O"}:
+            continue
+        obj = spdf[c] if spdf[c].dtype.kind == "O" else odf[c]
+        vals = [v for v in obj.head(1000) if v is not None]
+        if vals and all(
+            isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            for v in vals
+        ):
+            notes.append(
+                f"{c}: one side datetime64, other datetime.date — cast "
+                "the oracle/plan to a common grain (driver hashes differ)"
+            )
+    return notes
 
 
 def dtype_skews(spdf, odf) -> list[str]:
@@ -264,6 +298,9 @@ def main() -> int:
                 "secs": round(time.time() - t0, 1),
             }
             print(f"OK    {name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            for note in date_grain_warnings(spdf, odf):
+                results[name]["warn"] = note
+                print(f"warn  {name}: {note}")
 
     out = os.environ.get("ORACLE_JSON")
     if out:
