@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     # twin (the exact form's wedge join is Sigma deg^2 — no 40x point)
     "documents_containment_minhash",
     "graph_link_prediction_minhash",
+    "documents_url_dedup",
+    "documents_winnowing_top_pairs",
+    "documents_duplicate_spans_summary",
+    "split_decontamination_bloom",
 ]
 
 

@@ -52,6 +52,8 @@ _FRONT = [
     "documents_containment_minhash",
     "documents_duplicate_spans_summary",
     "documents_winnowing_top_pairs",
+    "documents_url_dedup",
+    "split_decontamination_bloom",
 ]
 
 

@@ -188,6 +188,175 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter decontamination — the scale twin of
+# split_decontamination (the GPT-3/PaLM-style screen: the benchmark
+# side is SMALL and fixed, so its n-grams compress into an m-bit
+# Bloom filter that probes the train side map-side; Brown et al.
+# 2020 run exactly this with 13-grams). Recall 1 by construction
+# (a truly shared gram sets all its bits); precision is bounded by
+# the FP rate (1-e^{-kn/m})^k — ~1e-7 at the sf0.01 test mass (5k
+# grams into 2^20 bits) and still <0.1% at a 50k-gram benchmark
+# suite — flagged-but-clean grams are the documented trade. Hashes
+# are k=4 independent u32s from one md5 (hex slices at 1/9/17/25),
+# so the WHOLE filter — bit positions, word packing, the all-k
+# membership test — restates in SQL and the estimator output is
+# value-checked, the established probabilistic-recall-is-no-excuse
+# pattern.
+DECON_BLOOM_M = 1 << 20  # filter bits (16K sparse int64 words, <=128 KB)
+_DECON_SLICES = (1, 9, 17, 25)  # md5 hex offsets → k=4 hashes
+
+
+def _md5_u32_sql(expr: str, start: int) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(e), start, 8), 16,
+    10): nibble-sum of 8 hex chars at ``start`` (the
+    md5_shingle_hash_sql idiom, offset-parameterized)."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substring(md5({expr}), {start + p}, 1)) - 1 "
+            f"AS BIGINT) * {1 << (4 * (7 - p))}"
+            for p in range(8)
+        )
+        + ")"
+    )
+
+
+def _bloom_decon_oracle() -> str:
+    m = DECON_BLOOM_M
+    pos_arms = " ".join(
+        f"WHEN {j} THEN {_md5_u32_sql('g', s)} % {m}"
+        for j, s in enumerate(_DECON_SLICES)
+    )
+    te_pos_union = "\n        UNION ALL ".join(
+        f"SELECT {_md5_u32_sql('g', s)} % {m} AS pos FROM te_g"
+        for s in _DECON_SLICES
+    )
+    return rf"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id, {_BUCKET} % 256 AS bucket,
+               list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
+                              for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})]) AS grams
+        FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+              FROM documents)
+    ),
+    te_g AS MATERIALIZED (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE bucket >= 231
+    ),
+    te_pos AS ({te_pos_union}),
+    filt AS MATERIALIZED (
+        SELECT pos // 64 AS w,
+               bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+        FROM te_pos GROUP BY pos // 64
+    ),
+    tr AS (
+        SELECT doc_id AS train_doc, unnest(grams) AS g
+        FROM sh WHERE bucket < 205
+    ),
+    tr_pos AS (
+        SELECT train_doc, g,
+               CASE j.j {pos_arms} END AS pos
+        FROM tr, generate_series(0, {len(_DECON_SLICES) - 1}) AS j(j)
+    ),
+    hits AS (
+        SELECT train_doc, g
+        FROM tr_pos p JOIN filt f ON f.w = p.pos // 64
+        WHERE (f.bits & (CAST(1 AS UBIGINT) << CAST(p.pos % 64 AS INT))) <> 0
+        GROUP BY train_doc, g
+        HAVING count(*) = {len(_DECON_SLICES)}
+    )
+    SELECT train_doc, count(*) AS n_flagged_grams
+    FROM hits GROUP BY train_doc
+    """
+
+
+@register("split_decontamination_bloom", oracle=_bloom_decon_oracle())
+def split_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs flagged by the test-split Bloom filter (see note
+    above): per train doc, the count of its distinct
+    {DECON_NGRAM}-token grams whose k=4 bit positions are all set.
+
+    Scale shape: the TEST side (benchmark-sized in the operator's
+    regime) builds the filter — one distinct + one bit_or aggregate
+    into DECON_BLOOM_M/64 sparse int64 words, checkpointed
+    (metadata-scale: <=128 KB); the TRAIN side probes via 4
+    BROADCAST hash joins on the word index (map-side, the train
+    grams are never shuffled on the gram key — the exact twin
+    shuffles every train gram) plus 4 codegen bit tests, then
+    aggregates straight to per-doc counts. The md5 is computed once
+    in its own select so the 4 slice references cannot re-inline it.
+    Regime honesty: the replica scale-up corpora grow the TEST split
+    with the corpus, which violates the fixed-benchmark premise —
+    at sfx40 the 8M test grams saturate any fixed-size filter and
+    the exact join (6.8 s) beats the sketch (14.4 s); the Bloom
+    form's regime is a FIXED benchmark side against a growing train
+    side, where the filter build is constant and the probe is the
+    only corpus-sized stage. Builder checkpoints the filter at plan
+    time: BUILD_EXECUTES."""
+    from ..operators.sampling import dataset_split
+
+    m = DECON_BLOOM_M
+    d = wide_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= DECON_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
+                lambda x: F.array_join(F.slice(toks, x, DECON_NGRAM), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = dataset_split(d, "doc_id", 80, 10)
+    sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    hashed = sh.select("doc_id", "split", F.md5(F.col("g")).alias("h"))
+    u32 = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.col("h"), s, 8), 16, 10).cast("bigint") % m
+    )
+    te_pos = (
+        hashed.filter(F.col("split") == "test")
+        .select("h")
+        .distinct()
+        .select(F.explode(F.array(*[u32(s) for s in _DECON_SLICES])).alias("pos"))
+    )
+    filt = (
+        te_pos.groupBy(F.expr("pos div 64").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr = hashed.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    # one select per derived level (lateral-alias discipline): the 4
+    # positions derive from the single materialized h column
+    tr_pos = tr.select(
+        "train_doc", *[u32(s).alias(f"p{j}") for j, s in enumerate(_DECON_SLICES)]
+    )
+    # 4 broadcast joins on the word index: an INNER join drops rows
+    # whose word has no set bits (correctly unflagged), so a gram
+    # survives all 4 joins AND all 4 bit tests iff it is a Bloom hit
+    flagged = tr_pos
+    for j in range(len(_DECON_SLICES)):
+        fj = filt.select(
+            F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        flagged = flagged.join(
+            F.broadcast(fj),
+            F.expr(f"p{j} div 64") == F.col(f"w{j}"),
+        ).filter(
+            F.col(f"bits{j}").bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))")
+            )
+            != 0
+        )
+    return flagged.groupBy("train_doc").agg(
+        F.count(F.lit(1)).alias("n_flagged_grams")
+    )
+
+
 # Per-source quota: cap how many documents any one source/domain may
 # contribute — the anti-domination step of corpus curation (one
 # crawled site must not swamp the mix). Selection within a source is

@@ -824,3 +824,81 @@ class TestWinnowingTopPairs:
         for r in got:
             assert (r.doc_a, r.doc_b) in exact
             assert r.n_shared <= exact[(r.doc_a, r.doc_b)]
+
+
+class TestUrlDedup:
+    """r7: documents_url_dedup — from-scratch Python recompute of the
+    synthetic-URL construction AND the canonicalizer; also pins that
+    the md5 noise actually exercises the normalizer (raw URLs within
+    a group are not all identical)."""
+
+    @staticmethod
+    def _canon(url):
+        import re
+
+        u = re.sub(r"#.*$", "", url).lower()
+        u = re.sub(r"^https?://", "", u)
+        hostport, _, tail = u.partition("/")
+        tail = "/" + tail if tail or u.endswith("/") else ""
+        host = re.sub(r":(80|443)$", "", re.sub(r"^www\.", "", hostport))
+        path, _, q = tail.partition("?")
+        path = re.sub(r"/+$", "", path)
+        if q:
+            ps = sorted(
+                p
+                for p in q.split("&")
+                if not (
+                    p.startswith("utm_")
+                    or p.startswith("fbclid=")
+                    or p.startswith("gclid=")
+                )
+            )
+            q = "&".join(ps)
+        return host + path + ("?" + q if q else "")
+
+    @staticmethod
+    def _synth(doc_id, source):
+        import hashlib
+
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        nib = lambda k: int(h[k - 1], 16)  # noqa: E731
+        scheme = "HTTP" if nib(1) % 2 == 0 else "https"
+        www = "WWW." if nib(2) % 2 == 0 else ""
+        port = (
+            (":80" if nib(1) % 2 == 0 else ":443") if nib(3) % 2 == 0 else ""
+        )
+        slash = "/" if nib(4) % 2 == 0 else ""
+        q = ["?x=1&utm_source=feed", "?utm_campaign=z&x=1", "?x=1"][nib(5) % 3]
+        frag = "#Sec2" if nib(6) % 2 == 0 else ""
+        return (
+            f"{scheme}://{www}{source}.Example.COM{port}"
+            f"/Docs/{doc_id // 100}{slash}{q}{frag}"
+        )
+
+    def test_groups_match_python_recompute(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = wide_table(spark, sf, "documents").select("doc_id", "source").collect()
+        raw = {r.doc_id: self._synth(r.doc_id, r.source) for r in docs}
+        groups: dict = {}
+        for did, u in raw.items():
+            groups.setdefault(self._canon(u), []).append(did)
+        want = {
+            k: sorted(v) for k, v in groups.items() if len(v) >= 2
+        }
+        got = {
+            r.canonical_url: (r.n_docs, r.keeper_doc_id, r.doc_ids)
+            for r in P.QUERIES["documents_url_dedup"](spark, sf).collect()
+        }
+        assert set(got) == set(want)
+        noisy_group_seen = False
+        for k, ids in want.items():
+            n, keeper, id_str = got[k]
+            assert (n, keeper) == (len(ids), min(ids))
+            assert id_str == ",".join(str(i) for i in ids)
+            if len({raw[i] for i in ids}) > 1:
+                noisy_group_seen = True
+        # the md5 noise must be live: some group's RAW urls differ
+        assert noisy_group_seen

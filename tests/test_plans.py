@@ -1339,3 +1339,69 @@ class TestAssociationRules:
             assert sup[key] == r.support >= 3
             assert 10 * r.support >= cnt[r.antecedent]
             assert abs(r.confidence - round(r.support / cnt[r.antecedent], 6)) < 1e-9
+
+
+class TestBloomDecontamination:
+    """r7: split_decontamination_bloom — recall 1 vs the exact twin
+    (every truly-contaminated train doc is flagged with at least its
+    true distinct-shared-gram count; extras are bounded-FP noise),
+    plus a planted-leak corpus where the flag count is exact."""
+
+    def test_recall_vs_exact_twin(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.01"
+        exact = P.QUERIES["split_decontamination"](spark, sf).collect()
+        true_grams: dict = {}
+        # n_shared counts shared grams per (train,test) pair; a train
+        # doc's flagged count must be >= its distinct shared grams
+        # with ANY test doc (>= the max over pairs, not the sum —
+        # the same gram can hit several test docs)
+        for r in exact:
+            true_grams[r.train_doc] = max(
+                true_grams.get(r.train_doc, 0), r.n_shared
+            )
+        got = {
+            r.train_doc: r.n_flagged_grams
+            for r in P.QUERIES["split_decontamination_bloom"](spark, sf).collect()
+        }
+        assert true_grams, "exact twin found no leakage at sf0.01?"
+        for doc, n in true_grams.items():
+            assert doc in got and got[doc] >= n
+
+    def test_planted_leak_exact_count(self, spark, tmp_path):
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.operators.sampling import md5_bucket
+        from pyspark.sql import functions as F
+
+        # find ids landing in train (<205) and test (>=231) buckets
+        probe = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"), md5_bucket(F.col("id")).alias("b")
+        ).collect()
+        train_id = next(r.doc_id for r in probe if r.b < 205)
+        test_id = next(r.doc_id for r in probe if r.b >= 231)
+        other_id = next(
+            r.doc_id for r in probe if r.b < 205 and r.doc_id != train_id
+        )
+        leak = " ".join(f"tok{i}" for i in range(12))  # 12 tokens → 5 8-grams
+        rows = [
+            (train_id, "prefix words here " + leak, "en", "s", 1),
+            (test_id, leak + " suffix words trail off", "en", "s", 1),
+            (other_id, "completely unrelated clean text with many words", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(os.path.join(tmp_path, "documents.parquet"))
+        got = {
+            r.train_doc: r.n_flagged_grams
+            for r in P.QUERIES["split_decontamination_bloom"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # the 5 shared 8-grams of the planted leak must all flag; the
+        # clean doc has ~40 grams — with FP ~0.5% it may rarely pick
+        # up a stray flag, so assert only on the planted doc
+        assert got.get(train_id, 0) >= 5
