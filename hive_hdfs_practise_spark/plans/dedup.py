@@ -150,15 +150,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 128 permutations in 16 bands × 8 rows. Detection probability
+# 128 permutations in 16 bands × 8 rows (values in plans/constants.py
+# — registration-free, per the cross-module-constants rule; mining.py
+# and pipeline.py share them). Detection probability
 # 1-(1-j^8)^16 ≈ 0.9999 at j=0.9. Band length r=8 matters as much as
 # recall: r=4 was measured to EXPLODE candidate counts 1000× on a
 # shared-vocabulary corpus (mid-Jaccard pairs collide at j^4 per
 # band → quadratic bucket joins); r=8 keeps buckets near-singleton
 # while exact verification downstream removes any false positives.
-N_PERM = 128
-N_BANDS = 16
-ROWS_PER_BAND = N_PERM // N_BANDS
+from .constants import N_BANDS, N_PERM, ROWS_PER_BAND  # noqa: E402
 # Signature-agreement prefilter cutoff, as an integer match count:
 # est = matches/128 ≥ (0.7 - 0.15) ⇔ matches ≥ 71 (the division by
 # a power of two is exact, so the double and integer filters are
@@ -166,53 +166,10 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 EST_MIN_MATCHES = math.ceil((JACCARD_THRESHOLD - 0.15) * N_PERM)
 
 
-def _minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
-    """CTE chain restating the md5-family MinHash-LSH candidate
-    generator over source relation ``src`` (doc_id[, lang], text):
-    distinct shingles → md5-derived base hash (÷``downsample``
-    winnowing) → 128 permutation mins → 16 concat_ws band keys →
-    distinct a<b pairs sharing any (block, band, key) bucket.
-    Bit-exact twin of ``minhash_signature_from_text`` +
-    ``lsh_candidate_pairs`` with ``family='md5'`` (see
-    ``dedup/minhash.py``: same u32-from-md5 base hash, same
-    (a_i·h+b_i) mod P32 family, same decimal-joined band keys).
-    Docs with no shingles are absent here but present (sentinel
-    signature) in Spark — sentinel buckets contain only empty docs,
-    whose pairs die at exact verification (0/0 Jaccard), so the
-    verified output is engine-identical."""
-    h = mh.md5_shingle_hash_sql("s")
-    lang_sel = "lang, " if lang else ""
-    lang_grp = ", lang" if lang else ""
-    lang_join = "a.lang = b.lang AND " if lang else ""
-    mins = ", ".join(f"{mh.perm_min_sql(i)} AS m{i}" for i in range(N_PERM))
-    arms = []
-    for b in range(N_BANDS):
-        cols = ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
-        arms.append(f"WHEN {b} THEN concat_ws(',', {cols})")
-    band_key = "CASE b.band " + " ".join(arms) + " END"
-    ds = f"WHERE h % {downsample} = 0" if downsample > 1 else ""
-    return f"""
-    mh_sh AS (
-        SELECT doc_id, {lang_sel}
-               unnest(list_distinct([substring(text, x, {SHINGLE_K})
-                      for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))]))
-               AS s
-        FROM {src}
-    ),
-    mh_h AS (SELECT doc_id, {lang_sel} {h} AS h FROM mh_sh {ds}),
-    mh_sigs AS (
-        SELECT doc_id, {lang_sel} {mins} FROM mh_h GROUP BY doc_id{lang_grp}
-    ),
-    mh_bands AS (
-        SELECT doc_id, {lang_sel} b.band, {band_key} AS band_key
-        FROM mh_sigs, generate_series(0, {N_BANDS - 1}) AS b(band)
-    ),
-    mh_cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM mh_bands a JOIN mh_bands b
-          ON {lang_join}a.band = b.band AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    )"""
+# moved to plans/minhash_sql.py (registration-free — mining.py and
+# pipeline.py import it too); the alias keeps this module's oracles
+# reading as before
+from .minhash_sql import minhash_cand_ctes as _minhash_cand_ctes  # noqa: E402
 
 
 def _minhash_lsh_oracle() -> str:
@@ -1177,10 +1134,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ESD_K = 20
 
 
-@register(
-    "documents_duplicate_spans",
-    oracle=f"""
-    WITH p0 AS (
+def _span_ctes(gap: int) -> str:
+    """Shared duplicated-position island CTE chain (p0 → grp),
+    parameterized by the island-merge GAP: positions i and lag(i)
+    stay in one island iff i - lag(i) <= gap. gap=1 gives the exact
+    twin's consecutive-position islands; gap=ESD_K merges islands
+    whose COVERED CHAR RANGES overlap or touch (position i covers
+    chars [i, i+K-1], so ranges of lag and i are disjoint iff
+    i - lag > K), which is what makes the summary's char masses an
+    exact set union instead of an overcount."""
+    return f"""p0 AS (
         SELECT doc_id,
                unnest(generate_series(1,
                       greatest(len(text) - {ESD_K - 1}, 0))) AS i,
@@ -1197,7 +1160,7 @@ ESD_K = 20
     flg AS (
         SELECT doc_id, i,
                CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                         = i - 1
+                         >= i - {gap}
                     THEN 0 ELSE 1 END AS f
         FROM pos
     ),
@@ -1205,7 +1168,13 @@ ESD_K = 20
         SELECT doc_id, i,
                sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS gid
         FROM flg
-    )
+    )"""
+
+
+@register(
+    "documents_duplicate_spans",
+    oracle=f"""
+    WITH {_span_ctes(1)}
     SELECT doc_id,
            CAST(min(i) AS BIGINT) AS span_start,
            CAST(max(i) + {ESD_K - 1} AS BIGINT) AS span_end,
@@ -1229,12 +1198,16 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this is the linear-pass alternative to the paper's suffix
     array, trading generality (fixed minimum match length {ESD_K})
     for a shuffle-friendly plan."""
-    return _duplicate_span_table(spark, sf_dir)
+    return _duplicate_span_table(spark, sf_dir, gap=1)
 
 
-def _duplicate_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-(doc, island) span grid documents_duplicate_spans
-    returns and documents_duplicate_spans_summary re-aggregates."""
+def _duplicate_span_table(
+    spark: SparkSession, sf_dir: str, gap: int = 1
+) -> DataFrame:
+    """The per-(doc, island) span grid — the Spark twin of
+    ``_span_ctes(gap)`` (see its docstring for the gap semantics):
+    gap=1 for documents_duplicate_spans' consecutive-position
+    islands, gap=ESD_K for the summary's char-union islands."""
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     g = (
         d.where(F.length("text") >= ESD_K)
@@ -1264,7 +1237,7 @@ def _duplicate_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     flg = pos.select(
         "doc_id",
         "i",
-        F.when(F.lag("i").over(w) == F.col("i") - 1, 0)
+        F.when(F.lag("i").over(w) >= F.col("i") - gap, 0)
         .otherwise(1)
         .alias("f"),
     )
@@ -1282,32 +1255,7 @@ def _duplicate_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "documents_duplicate_spans_summary",
     oracle=f"""
-    WITH p0 AS (
-        SELECT doc_id,
-               unnest(generate_series(1,
-                      greatest(len(text) - {ESD_K - 1}, 0))) AS i,
-               text
-        FROM documents
-    ),
-    g AS (
-        SELECT doc_id, CAST(i AS INTEGER) AS i,
-               substring(text, i, {ESD_K}) AS gram
-        FROM p0
-    ),
-    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-    pos AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
-    flg AS (
-        SELECT doc_id, i,
-               CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                         = i - 1
-                    THEN 0 ELSE 1 END AS f
-        FROM pos
-    ),
-    grp AS (
-        SELECT doc_id, i,
-               sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS gid
-        FROM flg
-    ),
+    WITH {_span_ctes(ESD_K)},
     spans AS (
         SELECT doc_id, min(i) AS s, max(i) AS e, count(*) AS n
         FROM grp GROUP BY doc_id, gid
@@ -1333,6 +1281,16 @@ def documents_duplicate_spans_summary(
     longest span, duplicated char mass, duplicated fraction of the
     doc), instead of the full span enumeration.
 
+    Islands here merge at gap=ESD_K (char-range union — see
+    ``_span_ctes``): two position-islands closer than a gram length
+    cover OVERLAPPING char ranges, and summing the exact twin's
+    per-island lengths would double-count the overlap (round-7
+    review catch: dup_frac could exceed 1.0, silently identically on
+    both engines). With char-union islands, dup_chars is the exact
+    cardinality of the duplicated char SET and dup_frac <= 1 by
+    construction — n_spans/max_span_len are therefore CHAR-island
+    stats (n_spans <= the exact twin's island count).
+
     This is the form a 100 TB curation pipeline consumes (filter
     docs by dup_frac / longest span, à la Lee et al.'s "drop docs
     that are mostly duplicated text"), and it bounds the OUTPUT at
@@ -1346,7 +1304,7 @@ def documents_duplicate_spans_summary(
     Integer-exact: span extents and char masses are integers; the
     single double division (dup_frac) is exact-int/exact-int rounded
     6dp on both engines."""
-    spans = _duplicate_span_table(spark, sf_dir)
+    spans = _duplicate_span_table(spark, sf_dir, gap=ESD_K)
     lens = (
         wide_table(spark, sf_dir, "documents")
         .select("doc_id", F.length("text").alias("doc_len"))

@@ -1,0 +1,60 @@
+"""SQL restatement of the md5-family MinHash-LSH candidate
+generator, registration-free (the _minhash_cand_ctes generator used
+to live in plans/dedup.py, but dedup.py REGISTERS queries at import
+time, and three other modules need this text — the cross-module rule
+in plans/constants.py's docstring applies to shared functions exactly
+as it does to constants)."""
+
+from __future__ import annotations
+
+from ..dedup import minhash as mh
+from .constants import N_BANDS, N_PERM, ROWS_PER_BAND, SHINGLE_K
+
+
+def minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
+    """CTE chain restating the md5-family MinHash-LSH candidate
+    generator over source relation ``src`` (doc_id[, lang], text):
+    distinct shingles → md5-derived base hash (÷``downsample``
+    winnowing) → 128 permutation mins → 16 concat_ws band keys →
+    distinct a<b pairs sharing any (block, band, key) bucket.
+    Bit-exact twin of ``minhash_signature_from_text`` +
+    ``lsh_candidate_pairs`` with ``family='md5'`` (see
+    ``dedup/minhash.py``: same u32-from-md5 base hash, same
+    (a_i·h+b_i) mod P32 family, same decimal-joined band keys).
+    Docs with no shingles are absent here but present (sentinel
+    signature) in Spark — sentinel buckets contain only empty docs,
+    whose pairs die at exact verification (0/0 Jaccard), so the
+    verified output is engine-identical."""
+    h = mh.md5_shingle_hash_sql("s")
+    lang_sel = "lang, " if lang else ""
+    lang_grp = ", lang" if lang else ""
+    lang_join = "a.lang = b.lang AND " if lang else ""
+    mins = ", ".join(f"{mh.perm_min_sql(i)} AS m{i}" for i in range(N_PERM))
+    arms = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        arms.append(f"WHEN {b} THEN concat_ws(',', {cols})")
+    band_key = "CASE b.band " + " ".join(arms) + " END"
+    ds = f"WHERE h % {downsample} = 0" if downsample > 1 else ""
+    return f"""
+    mh_sh AS (
+        SELECT doc_id, {lang_sel}
+               unnest(list_distinct([substring(text, x, {SHINGLE_K})
+                      for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))]))
+               AS s
+        FROM {src}
+    ),
+    mh_h AS (SELECT doc_id, {lang_sel} {h} AS h FROM mh_sh {ds}),
+    mh_sigs AS (
+        SELECT doc_id, {lang_sel} {mins} FROM mh_h GROUP BY doc_id{lang_grp}
+    ),
+    mh_bands AS (
+        SELECT doc_id, {lang_sel} b.band, {band_key} AS band_key
+        FROM mh_sigs, generate_series(0, {N_BANDS - 1}) AS b(band)
+    ),
+    mh_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh_bands a JOIN mh_bands b
+          ON {lang_join}a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )"""

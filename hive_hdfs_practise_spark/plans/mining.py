@@ -1238,7 +1238,8 @@ def _containment_minhash_oracle() -> str:
     """Full SQL restatement (md5 family): dedup_minhash_lsh's
     candidate CTE chain (lang-blocked) → integer slot-agreement count
     → exact distinct-shingle sizes → both direction thresholds."""
-    from .dedup import N_PERM, _minhash_cand_ctes
+    from .constants import N_PERM
+    from .minhash_sql import minhash_cand_ctes as _minhash_cand_ctes
 
     terms = [
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
@@ -1295,7 +1296,7 @@ def documents_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate stream stays near the true-pair mass (banding, not
     single-hash buckets). Builder runs jobs at plan time (signature
     checkpoint): BUILD_EXECUTES."""
-    from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
+    from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
 
     family = minhash_family(sf_dir)
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")

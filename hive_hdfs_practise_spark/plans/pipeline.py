@@ -29,7 +29,7 @@ from ..dedup.clusters import connected_components
 from ..functions import text as tx
 from ..operators.sampling import dataset_split
 from ..sources.catalog import table, wide_table
-from .dedup import JACCARD_THRESHOLD, SHINGLE_K
+from .constants import JACCARD_THRESHOLD, SHINGLE_K
 from .text import _lang_oracle, _quality_oracle, _token_agg
 
 QUALITY_MIN = 0.6
@@ -51,7 +51,7 @@ def _pipeline_oracle(lsh_pairs: bool = False) -> str:
     quality_sql = _quality_oracle().strip()
     lang_sql = _lang_oracle().strip()
     if lsh_pairs:
-        from .dedup import _minhash_cand_ctes
+        from .minhash_sql import minhash_cand_ctes as _minhash_cand_ctes
 
         pair_ctes = f"""{_minhash_cand_ctes("uniq", downsample=1, lang=True)},
     pairs AS (
@@ -232,7 +232,7 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle-checked pipeline_training_data: the swap changes
     cost, not results)."""
     from ..dedup import minhash as mh
-    from .dedup import N_BANDS, N_PERM, ROWS_PER_BAND
+    from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
 
     d = wide_table(spark, sf_dir, "documents")
     feats = _token_agg(spark, sf_dir)

@@ -744,17 +744,34 @@ class TestDuplicateSpansSummary:
             .select("doc_id", F.length("text").alias("n"))
             .collect()
         }
-        want: dict = {}
+        # merge the exact twin's spans whose CHAR ranges overlap or
+        # touch before aggregating — the summary reports the char-set
+        # union (see the gap=ESD_K note in the builder)
+        by_doc: dict = {}
         for r in spans:
-            st = want.setdefault(r.doc_id, [0, 0, 0, 0])
-            st[0] += 1
-            st[1] += r.n_dup_grams
-            st[2] = max(st[2], r.span_len)
-            st[3] += r.span_len
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.n_dup_grams)
+            )
+        want: dict = {}
+        for doc, sp in by_doc.items():
+            sp.sort()
+            merged = []
+            for s, e, n in sp:
+                if merged and s <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, e, n])
+            n_spans = len(merged)
+            n_grams = sum(m[2] for m in merged)
+            mx = max(m[1] - m[0] + 1 for m in merged)
+            chars = sum(m[1] - m[0] + 1 for m in merged)
+            want[doc] = (n_spans, n_grams, mx, chars)
         got = P.QUERIES["documents_duplicate_spans_summary"](spark, sf).collect()
         assert {r.doc_id for r in got} == set(want)
         for r in got:
             n_spans, n_grams, mx, chars = want[r.doc_id]
+            assert r.dup_frac <= 1.0 + 1e-9
             assert (r.n_spans, r.n_dup_grams, r.max_span_len, r.dup_chars) == (
                 n_spans,
                 n_grams,

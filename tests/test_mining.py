@@ -453,10 +453,17 @@ class TestContainmentMinhash:
         got = plans.QUERIES["documents_containment_minhash"](spark, SF).collect()
         sk = {(r.doc_a, r.doc_b) for r in got}
         assert exact and exact <= sk
+        from decimal import ROUND_HALF_UP, Decimal
+
         for r in got:
             assert 0 <= r.n_matches <= 128
-            expect = round(
-                r.n_matches * (r.sz_a + r.sz_b) / ((128 + r.n_matches) * r.sz_a), 6
+            # HALF_UP like Spark/DuckDB round(), not Python banker's
+            expect = float(
+                Decimal(
+                    r.n_matches
+                    * (r.sz_a + r.sz_b)
+                    / ((128 + r.n_matches) * r.sz_a)
+                ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
             )
             assert abs(r.containment_est - expect) < 1e-9
             assert r.containment_est >= 0.9 - 1e-9

@@ -1389,7 +1389,14 @@ class TestBloomDecontamination:
         rows = [
             (train_id, "prefix words here " + leak, "en", "s", 1),
             (test_id, leak + " suffix words trail off", "en", "s", 1),
-            (other_id, "completely unrelated clean text with many words", "en", "s", 1),
+            (
+                other_id,
+                "completely unrelated clean text with many different "
+                "words spread across plenty of whitespace tokens here",
+                "en",
+                "s",
+                1,
+            ),
         ]
         df = spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars long"

@@ -103,7 +103,7 @@ BUILD_EXECUTES = {
     "graph_link_prediction_minhash",
     # r7: signature table checkpoints at plan time
     "documents_containment_minhash",
-    # r7: collects the 1024-word Bloom filter at plan time
+    # r7: checkpoints the sparse Bloom filter words at plan time
     "split_decontamination_bloom",
 }
 
