@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "documents_winnowing_top_pairs",
     "documents_duplicate_spans_summary",
     "split_decontamination_bloom",
+    "documents_kn_perplexity",
 ]
 
 

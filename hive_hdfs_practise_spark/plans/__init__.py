@@ -54,6 +54,7 @@ _FRONT = [
     "documents_winnowing_top_pairs",
     "documents_url_dedup",
     "split_decontamination_bloom",
+    "documents_kn_perplexity",
 ]
 
 

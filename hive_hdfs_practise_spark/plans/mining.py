@@ -898,10 +898,11 @@ def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.9, vocab 1.5, prefix 2.1, candidate join 4.7 over 4.3M raw
     pairs — the B-full side carries ~4x the sibling's candidate
     mass, the honest structural cost of containment's missing upper
-    length bound. The bounded-recall scale alternative is a MinHash
-    CONTAINMENT sketch (min-wise estimate of |A∩B|/|A| — the
-    dedup_minhash_lsh family applied asymmetrically), the same
-    exact-vs-sketch pairing the Jaccard family ships."""
+    length bound. The bounded-recall scale alternative is BUILT:
+    ``documents_containment_minhash`` (slot-agreement Jaccard →
+    containment via exact sizes; 30.5 s at 40× vs this form's
+    352.9 s), alongside the KMV sketch — three regimes documented
+    across the three forms."""
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sh = (
         d.where(F.length("text") >= SHINGLE_K)
@@ -1454,10 +1455,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py, checkpointed — it feeds the wedge join
     twice, the degree aggregate and the anti-join); the wedge join
     shuffles on the shared NEIGHBOR, so its output is Σ deg(x)² —
-    bounded here by the support threshold's sparsification; at
-    hub-skewed scale the same degree-ordered orientation that caps
-    graph_triangle_count's wedges applies. The final global top-K is
-    a TakeOrdered over the candidate stream, not a full sort."""
+    bounded here by the support threshold's sparsification, but
+    irreducible as the graph densifies (50.4 s at 10×, no 40× point;
+    orientation only helps triangle ENUMERATION). The scale exit is
+    ``graph_link_prediction_minhash`` below — bounded candidate +
+    verify cost at any scale (55.2 s at 40×), top-25 pinned equal to
+    this form on the test corpora. The final global top-K here is a
+    TakeOrdered over the candidate stream, not a full sort."""
     e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
     und = undirected(e, src="pa", dst="pb").select(
         F.col("pa").alias("v"), F.col("pb").alias("w")

@@ -1520,3 +1520,138 @@ def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_fp"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+# Kneser-Ney-smoothed bigram LM quality score (the CCNet filter: a
+# 5-gram KenLM perplexity ranks documents for curation — Wenzek et
+# al. 2020; this is the same statistic from a bigram model trained
+# on the corpus itself). Interpolated KN with discount D = 3/4:
+#   p(w|v) = (max(c(vw) − D, 0) + D·N1+(v·)·p_cont(w)) / c(v·)
+#   p_cont(w) = N1+(·w) / |distinct bigrams|
+# With D = 3/4 every probability is the ratio of two EXACT int64
+# products — (max(4c−3, 0)·B + 3·N1p(v)·N1w(w)) / (4·cv·B) — so the
+# single double division is bit-identical across engines; each
+# bigram's ln() is rounded ONCE to a 1e-6-scaled BIGINT (the
+# documents_source_classifier / DSIR precedent) so per-doc scores
+# are exact integer sums. Each doc is scored under a '<s>' start
+# context; because the model trains on the corpus it scores, every
+# scored bigram has c >= 1 and every token has N1+(·w) >= 1 — no
+# zero-probability branch can raise. Output avg_neg_logprob is
+# ln(perplexity): low = fluent/common, high = noise — the curation
+# cutoff variable.
+KN_SCALE = 1_000_000
+
+
+def _kn_ppl_oracle() -> str:
+    return rf"""
+    WITH tk AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        FROM documents
+    ),
+    strm AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS v,
+               toks[i] AS w
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM tk)
+    ),
+    bg AS MATERIALIZED (SELECT v, w, count(*) AS c FROM strm GROUP BY v, w),
+    cv AS MATERIALIZED (
+        SELECT v, CAST(sum(c) AS BIGINT) AS cv, count(*) AS n1p
+        FROM bg GROUP BY v
+    ),
+    nw AS MATERIALIZED (SELECT w, count(*) AS n1w FROM bg GROUP BY w),
+    bt AS (SELECT count(*) AS btot FROM bg),
+    sbg AS MATERIALIZED (
+        SELECT bg.v, bg.w,
+               CAST(round(ln(
+                   (greatest(4 * bg.c - 3, 0) * bt.btot
+                    + 3 * cv.n1p * nw.n1w)
+                   / (4 * cv.cv * bt.btot)
+               ) * {KN_SCALE}) AS BIGINT) AS lp_micro
+        FROM bg JOIN cv USING (v) JOIN nw USING (w), bt
+    )
+    SELECT s.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(sbg.lp_micro) AS BIGINT) AS logprob_micro,
+           round(CAST(-CAST(sum(sbg.lp_micro) AS BIGINT) AS DOUBLE)
+                 / (count(*) * {KN_SCALE}), 6) AS avg_neg_logprob
+    FROM strm s JOIN sbg ON sbg.v = s.v AND sbg.w = s.w
+    GROUP BY s.doc_id
+    """
+
+
+@register("documents_kn_perplexity", oracle=_kn_ppl_oracle())
+def documents_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney bigram negative log-likelihood (see
+    note above) — the CCNet-style LM quality score, exact-integer
+    end to end (counts → one exact double division per DISTINCT
+    bigram → 1e-6 BIGINT micro-logs → integer doc sums).
+
+    Scale shape: the token stream explodes once (the toks array is
+    materialized through a Generate so the per-position element_at
+    cannot re-run the tokenizer per row — the CollapseProject
+    lesson); bigram counting is one map-side-combining aggregate;
+    the model tables (bigram/context/continuation counts) are
+    BIGRAM-vocabulary-sized, so ln() runs once per distinct bigram,
+    not per token; scoring is one join of the token stream against
+    the scored-bigram table and one per-doc sum. The bigram table is
+    checkpointed — it feeds four aggregates and the scoring join.
+    Builder runs jobs at plan time: BUILD_EXECUTES."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # explode(array(...)) materializes the tokenizer output through a
+    # Generate node — v/w below index into it per OUTPUT row
+    arr = d.select(
+        "doc_id", F.explode(F.array(tx.tokens(F.col("text")))).alias("toks")
+    )
+    tok = arr.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+    strm = tok.select(
+        "doc_id",
+        F.when(F.col("i") == 0, F.lit("<s>"))
+        .otherwise(F.element_at("toks", F.col("i")))
+        .alias("v"),
+        "w",
+    )
+    bg = (
+        strm.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cv = bg.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p")
+    )
+    nw = bg.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    bt = bg.agg(F.count(F.lit(1)).alias("btot"))
+    p = (
+        F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.col("btot")
+        + 3 * F.col("n1p") * F.col("n1w")
+    ) / (4 * F.col("cv") * F.col("btot"))
+    sbg = (
+        bg.join(cv, "v")
+        .join(nw, "w")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "v",
+            "w",
+            F.round(F.log(p) * KN_SCALE).cast("bigint").alias("lp_micro"),
+        )
+    )
+    return (
+        strm.join(sbg, ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_micro",
+            F.round(
+                (-F.col("logprob_micro")).cast("double")
+                / (F.col("n_tokens") * F.lit(KN_SCALE)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -105,6 +105,8 @@ BUILD_EXECUTES = {
     "documents_containment_minhash",
     # r7: checkpoints the sparse Bloom filter words at plan time
     "split_decontamination_bloom",
+    # r7: checkpoints the bigram count table at plan time
+    "documents_kn_perplexity",
 }
 
 

@@ -411,3 +411,74 @@ class TestSourceClassifier:
             ("srcB", "srcB"): 6,
             ("srcB", "srcA"): 1,  # the empty doc, classified by prior
         }
+
+
+class TestKnPerplexity:
+    """r7: documents_kn_perplexity — from-scratch Python recompute of
+    the interpolated-KN bigram model (counts, exact D=3/4 rational
+    probability, 1e-6 micro-log rounding, integer doc sums)."""
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {
+            r.doc_id: r.text
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        streams = {}
+        bg = Counter()
+        for did, text in docs.items():
+            toks = text.split()
+            pairs = [
+                ("<s>" if i == 0 else toks[i - 1], toks[i])
+                for i in range(len(toks))
+            ]
+            streams[did] = pairs
+            bg.update(pairs)
+        cv = Counter()
+        n1p = Counter()
+        n1w = Counter()
+        for (v, w), c in bg.items():
+            cv[v] += c
+            n1p[v] += 1
+            n1w[w] += 1
+        B = len(bg)
+        lp = {}
+        for (v, w), c in bg.items():
+            p = (max(4 * c - 3, 0) * B + 3 * n1p[v] * n1w[w]) / (4 * cv[v] * B)
+            lp[(v, w)] = int(
+                Decimal(math.log(p) * 1_000_000).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_micro, r.avg_neg_logprob)
+            for r in P.QUERIES["documents_kn_perplexity"](spark, sf).collect()
+        }
+        want_ids = {d for d, s in streams.items() if s}
+        assert set(got) == want_ids
+        for did in want_ids:
+            n = len(streams[did])
+            total = sum(lp[pair] for pair in streams[did])
+            # Spark's round() goes through BigDecimal.valueOf, i.e.
+            # the SHORTEST decimal repr of the double — Decimal(repr)
+            # replicates that; Decimal(float) would expand the exact
+            # binary value and flip half-boundary cases the engines
+            # agree on
+            avg = float(
+                Decimal(repr(-total / (n * 1_000_000))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            gn, gtotal, gavg = got[did]
+            assert gn == n
+            assert gtotal == total
+            assert abs(gavg - avg) < 1e-9
