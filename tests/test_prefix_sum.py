@@ -140,3 +140,59 @@ def test_r5_document_queries_survive_adversarial_corpus(spark, tiny_corpus_dir):
         spark, tiny_corpus_dir
     ).collect()
     assert sum(r.n_docs for r in conf) == 8  # corpus size
+
+
+def test_r7_document_queries_survive_adversarial_corpus(spark, tiny_corpus_dir):
+    """The r7 document operators must run (no ANSI 0/0 on the empty
+    shingle sets, no empty-seq traps, no div-by-zero on short docs)
+    on the adversarial corpus and hold their basic invariants."""
+    from hive_hdfs_practise_spark import plans
+
+    # containment minhash: identical docs 0/1 are J=1 -> band-collide
+    # in every band; both directions must report est >= 0.9. The
+    # cross-lang twin (doc 5) is blocked. The strict subset (doc 7,
+    # J=0.5) sits in this form's documented low-J blind spot — no
+    # recall assertion for it.
+    cm = plans.QUERIES["documents_containment_minhash"](
+        spark, tiny_corpus_dir
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in cm}
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert not any(5 in p for p in pairs)
+    for r in cm:
+        assert r.sz_a > 0 and r.containment_est >= 0.9 - 1e-9
+
+    # spans summary: docs 0/1/5 share the full base text -> every
+    # position duplicated -> dup_frac exactly 1.0 for the 36-char
+    # docs; never above 1 anywhere (the char-union invariant)
+    ss = plans.QUERIES["documents_duplicate_spans_summary"](
+        spark, tiny_corpus_dir
+    ).collect()
+    frac = {r.doc_id: r.dup_frac for r in ss}
+    assert frac[0] == frac[1] == 1.0
+    for r in ss:
+        assert r.dup_frac <= 1.0 + 1e-9 and r.max_span_len <= 36
+
+    # winnowing budget variant: identical docs share ALL fingerprints
+    top = plans.QUERIES["documents_winnowing_top_pairs"](
+        spark, tiny_corpus_dir
+    ).collect()
+    assert any((r.doc_a, r.doc_b) == (0, 1) for r in top)
+
+    # url dedup: 8 docs, one source, doc_id//100 == 0 for all ->
+    # one canonical group holding every doc
+    ud = plans.QUERIES["documents_url_dedup"](spark, tiny_corpus_dir).collect()
+    assert len(ud) == 1 and ud[0].n_docs == 8 and ud[0].keeper_doc_id == 0
+
+    # bloom decontamination + KN perplexity: crash-free on the tiny
+    # corpus whatever the split draw; KN scores every tokenized doc
+    plans.QUERIES["split_decontamination_bloom"](spark, tiny_corpus_dir).collect()
+    kn = {
+        r.doc_id: r.avg_neg_logprob
+        for r in plans.QUERIES["documents_kn_perplexity"](
+            spark, tiny_corpus_dir
+        ).collect()
+    }
+    assert set(kn) == set(range(8))  # every doc has >= 1 token
+    # identical docs under the same start context score identically
+    assert kn[0] == kn[1]
