@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "documents_duplicate_spans_summary",
     "split_decontamination_bloom",
     "documents_kn_perplexity",
+    "documents_bm25_topk",
 ]
 
 

@@ -55,6 +55,7 @@ _FRONT = [
     "documents_url_dedup",
     "split_decontamination_bloom",
     "documents_kn_perplexity",
+    "documents_bm25_topk",
 ]
 
 

@@ -135,6 +135,139 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval (Robertson et al., TREC-3; the Lucene +1 idf form
+# so scores are always positive): top-10 documents per query for a
+# fixed query set over the corpus vocabulary. Exactness: with
+# k1 = 6/5 and b = 3/4 the per-term score is
+#   ln((2N+2)/(2df+1)) · 44·tf·T / (20·tf·T + 6·T + 18·dl·N)
+# (T = corpus token count, N = doc count, dl = doc length) — the log
+# argument and the tf factor are both EXACT int64 ratios, so each
+# per-(doc, term) score is the same two IEEE double ops on identical
+# inputs in both engines; it is rounded ONCE to a 1e-6 BIGINT (the
+# classifier/DSIR/KN micro-log pattern) and per-(query, doc) scores
+# are exact integer sums, giving an engine-identical integer rank.
+BM25_QUERIES = [
+    (1, "hash"),
+    (1, "join"),
+    (2, "window"),
+    (2, "stream"),
+    (2, "sort"),
+    (3, "customer"),
+    (3, "scan"),
+]
+BM25_TOP = 10
+BM25_SCALE = 1_000_000
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{w}')" for qid, w in BM25_QUERIES)
+    return rf"""
+    WITH q AS (SELECT * FROM (VALUES {vals}) AS t(qid, word)),
+    toks AS MATERIALIZED (
+        SELECT doc_id, t.word AS word
+        FROM documents,
+             unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS t(word)
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT count(*) FROM toks) AS t
+    ),
+    term AS (
+        SELECT q.qid, tf.doc_id,
+               CAST(round(
+                   ln((2 * s.n + 2) / CAST(2 * df.dfreq + 1 AS DOUBLE))
+                   * (CAST(44 * tf.tf * s.t AS DOUBLE)
+                      / (20 * tf.tf * s.t + 6 * s.t + 18 * dl.dl * s.n))
+                   * {BM25_SCALE}
+               ) AS BIGINT) AS tm
+        FROM q
+        JOIN tf USING (word)
+        JOIN df USING (word)
+        JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    ),
+    sc AS (
+        SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
+        FROM term GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rn AS INT) AS rank, score_micro,
+           round(CAST(score_micro AS DOUBLE) / {BM25_SCALE}, 6) AS bm25
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score_micro DESC, doc_id
+               ) AS rn
+        FROM sc
+    )
+    WHERE rn <= {BM25_TOP}
+    """
+
+
+@register("documents_bm25_topk", oracle=_bm25_oracle())
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP} documents per query by BM25 (see the exactness
+    note above) — the retrieval scorer next to ``text_tfidf_topk``,
+    integer-ranked.
+
+    Scale shape: the query table is a literal broadcast; tf/df/dl
+    are the tfidf family's aggregates (map-side combining; the tf→q
+    join keeps only query-term postings, so everything after the
+    first aggregate is query-sized, not corpus-sized); N and T ride
+    one broadcast scalar row; the per-query top-{BM25_TOP} is a
+    WindowGroupLimit rank, never a global sort."""
+    d = wide_table(spark, sf_dir, "documents")
+    spark_q = spark.createDataFrame(BM25_QUERIES, "qid int, word string")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("t"))
+    )
+    idf = F.log(
+        (2 * F.col("n") + 2) / (2 * F.col("dfreq") + 1).cast("double")
+    )
+    quot = (44 * F.col("tf") * F.col("t")).cast("double") / (
+        20 * F.col("tf") * F.col("t") + 6 * F.col("t") + 18 * F.col("dl") * F.col("n")
+    )
+    term = (
+        tf.join(F.broadcast(spark_q), "word")
+        .join(dfreq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * quot * F.lit(float(BM25_SCALE)))
+            .cast("bigint")
+            .alias("tm"),
+        )
+    )
+    sc = term.groupBy("qid", "doc_id").agg(F.sum("tm").alias("score_micro"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        sc.select(
+            "qid", "doc_id", F.row_number().over(w).alias("rank"), "score_micro"
+        )
+        .where(F.col("rank") <= BM25_TOP)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score_micro",
+            F.round(
+                F.col("score_micro").cast("double") / BM25_SCALE, 6
+            ).alias("bm25"),
+        )
+    )
+
+
 @register(
     "sales_cube",
     oracle="""

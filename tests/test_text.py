@@ -482,3 +482,66 @@ class TestKnPerplexity:
             assert gn == n
             assert gtotal == total
             assert abs(gavg - avg) < 1e-9
+
+
+class TestBm25TopK:
+    """r7: documents_bm25_topk — full Python recompute of the Lucene
+    BM25 (k1=6/5, b=3/4 exact-integer form) incl. the micro rounding
+    and integer rank."""
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.advanced import (
+            BM25_QUERIES,
+            BM25_SCALE,
+            BM25_TOP,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {
+            r.doc_id: r.text.lower().split()
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        N = len(docs)
+        T = sum(len(t) for t in docs.values())
+        tf = {d: Counter(t) for d, t in docs.items()}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        scores: dict = {}
+        for qid, w in BM25_QUERIES:
+            for d, c in tf.items():
+                if w not in c:
+                    continue
+                t = c[w]
+                idf = math.log((2 * N + 2) / float(2 * df[w] + 1))
+                quot = (44 * t * T) / float(20 * t * T + 6 * T + 18 * len(docs[d]) * N)
+                micro = int(
+                    Decimal(repr(idf * quot * float(BM25_SCALE))).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                scores[(qid, d)] = scores.get((qid, d), 0) + micro
+        want = {}
+        by_q: dict = {}
+        for (qid, d), s in scores.items():
+            by_q.setdefault(qid, []).append((-s, d))
+        for qid, lst in by_q.items():
+            for rank, (negs, d) in enumerate(sorted(lst)[:BM25_TOP], 1):
+                want[(qid, d)] = (rank, -negs)
+        got = {
+            (r.qid, r.doc_id): (r.rank, r.score_micro, r.bm25)
+            for r in P.QUERIES["documents_bm25_topk"](spark, sf).collect()
+        }
+        assert set(got) == set(want)
+        for k, (rank, s) in want.items():
+            grank, gs, gbm = got[k]
+            assert (grank, gs) == (rank, s)
+            assert abs(gbm - round(s / BM25_SCALE, 6)) < 1e-9
