@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "split_decontamination_bloom",
     "documents_kn_perplexity",
     "documents_bm25_topk",
+    "stream_url_dedup",
 ]
 
 

@@ -56,6 +56,7 @@ _FRONT = [
     "split_decontamination_bloom",
     "documents_kn_perplexity",
     "documents_bm25_topk",
+    "stream_url_dedup",
 ]
 
 

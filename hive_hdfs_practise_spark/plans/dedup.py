@@ -1595,92 +1595,21 @@ def documents_winnowing_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(WIN_TOP)
 
-
 # URL-canonicalized dedup key (the CCNet/RefinedWeb curation stage:
-# near-identical pages fetched under cosmetically different URLs —
-# scheme/host case, www., default ports, tracking params, fragments,
-# trailing slashes — collapse to one canonical key BEFORE any
-# content-based dedup runs). The corpus carries no URL column, so
-# the INPUT urls are synthesized deterministically from document
-# metadata with md5-nibble noise (each doc draws its own cosmetic
-# variants), and the operator under test is the CANONICALIZER:
-#   strip fragment → lowercase → strip scheme → strip www. → strip
-#   default port (:80/:443) → drop tracking params (utm_*, fbclid,
-#   gclid) → sort surviving params → strip trailing path slashes.
-# The canonical key is a dedup KEY, not a fetchable URL (scheme
-# dropped, path lowercased — the aggressive normalization curation
-# pipelines use). Every step is a plain string/array function that
-# restates exactly in DuckDB (no capture-group replacements — Java
-# regex says $1 where RE2 says \1, so replacements stay literal).
-# By construction docs sharing (source, doc_id div 100) collide
-# after canonicalization — 5-doc groups on this corpus — while the
-# noise keeps their RAW urls distinct.
-def _url_nib_sql(k: int) -> str:
-    return (
-        f"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {k}, 1)) - 1)"
-    )
-
-
-_URL_SYNTH_SQL = f"""
-        CASE WHEN {_url_nib_sql(1)} % 2 = 0 THEN 'HTTP' ELSE 'https' END
-        || '://'
-        || CASE WHEN {_url_nib_sql(2)} % 2 = 0 THEN 'WWW.' ELSE '' END
-        || source || '.Example.COM'
-        || CASE WHEN {_url_nib_sql(3)} % 2 = 0
-                THEN CASE WHEN {_url_nib_sql(1)} % 2 = 0 THEN ':80' ELSE ':443' END
-                ELSE '' END
-        || '/Docs/' || CAST(doc_id // 100 AS VARCHAR)
-        || CASE WHEN {_url_nib_sql(4)} % 2 = 0 THEN '/' ELSE '' END
-        || CASE {_url_nib_sql(5)} % 3
-               WHEN 0 THEN '?x=1&utm_source=feed'
-               WHEN 1 THEN '?utm_campaign=z&x=1'
-               ELSE '?x=1' END
-        || CASE WHEN {_url_nib_sql(6)} % 2 = 0 THEN '#Sec2' ELSE '' END
-"""
+# near-identical pages fetched under cosmetically different URLs
+# collapse to one canonical key BEFORE any content-based dedup runs).
+# The synthesis + canonicalizer column pipeline and its SQL CTE
+# restatement live in the registration-free functions/urls.py —
+# shared verbatim with the streaming twin (stream_url_dedup) so the
+# two registered queries cannot drift. See that module's docstring
+# for the step list and the no-capture-group regex rule.
+from ..functions.urls import canonical_urls, synth_url_col, url_canon_ctes  # noqa: E402
 
 
 @register(
     "documents_url_dedup",
     oracle=f"""
-    WITH raw AS (
-        SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
-    ),
-    base AS (
-        SELECT doc_id,
-               lower(regexp_replace(url, '#.*$', '')) AS u
-        FROM raw
-    ),
-    noscheme AS (
-        SELECT doc_id, regexp_replace(u, '^https?://', '') AS u FROM base
-    ),
-    parts AS (
-        SELECT doc_id,
-               regexp_replace(
-                   regexp_replace(split_part(u, '/', 1), '^www\\.', ''),
-                   ':(80|443)$', ''
-               ) AS host,
-               regexp_replace(
-                   split_part(substring(u, len(split_part(u, '/', 1)) + 1),
-                              '?', 1),
-                   '/+$', ''
-               ) AS path,
-               CASE WHEN contains(u, '?')
-                    THEN array_to_string(
-                        list_sort(list_filter(
-                            string_split(split_part(u, '?', 2), '&'),
-                            p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\'
-                                      OR p LIKE 'fbclid=%'
-                                      OR p LIKE 'gclid=%')
-                        )), '&')
-                    ELSE '' END AS q
-        FROM noscheme
-    ),
-    keys AS (
-        SELECT doc_id,
-               host || path
-               || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
-        FROM parts
-    )
+    WITH {url_canon_ctes("documents")}
     SELECT canonical_url,
            count(*) AS n_docs,
            min(doc_id) AS keeper_doc_id,
@@ -1691,10 +1620,11 @@ _URL_SYNTH_SQL = f"""
     """,
 )
 def documents_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-URL groups after canonicalization (see note above):
-    canonical key → group → keep groups of >= 2 with the minimum
-    doc_id as the keeper — the metadata-level dedup stage that runs
-    before any content hashing in a CCNet/RefinedWeb-style pipeline.
+    """Duplicate-URL groups after canonicalization (see
+    functions/urls.py): canonical key -> group -> keep groups of >= 2
+    with the minimum doc_id as the keeper — the metadata-level dedup
+    stage that runs before any content hashing in a
+    CCNet/RefinedWeb-style pipeline.
 
     Scale shape: one narrow map stage (string functions, whole-stage
     codegen; the only array lambda filters a <= 2-element param list
@@ -1703,83 +1633,7 @@ def documents_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of duplicate groups. Linear, shuffle-light, and the
     canonical key is what a 100 TB crawl would bucket/partition by."""
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "source")
-    nib = lambda k: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), k, 1), 16, 10)
-        .cast("int")
-    )
-    scheme = F.when(nib(1) % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
-    www = F.when(nib(2) % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
-    port = F.when(
-        nib(3) % 2 == 0,
-        F.when(nib(1) % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
-    ).otherwise(F.lit(""))
-    slash = F.when(nib(4) % 2 == 0, F.lit("/")).otherwise(F.lit(""))
-    q_noise = (
-        F.when(nib(5) % 3 == 0, F.lit("?x=1&utm_source=feed"))
-        .when(nib(5) % 3 == 1, F.lit("?utm_campaign=z&x=1"))
-        .otherwise(F.lit("?x=1"))
-    )
-    frag = F.when(nib(6) % 2 == 0, F.lit("#Sec2")).otherwise(F.lit(""))
-    url = F.concat(
-        scheme,
-        F.lit("://"),
-        www,
-        F.col("source"),
-        F.lit(".Example.COM"),
-        port,
-        F.lit("/Docs/"),
-        F.expr("CAST(doc_id div 100 AS STRING)"),
-        slash,
-        q_noise,
-        frag,
-    )
-    raw = d.select("doc_id", url.alias("url"))
-    base = raw.select(
-        "doc_id",
-        F.lower(F.regexp_replace("url", r"#.*$", "")).alias("u"),
-    )
-    noscheme = base.select(
-        "doc_id", F.regexp_replace("u", r"^https?://", "").alias("u")
-    )
-    # separate selects per derived column — a single select list
-    # would lateral-resolve later expressions against earlier
-    # aliases (the quantize-int8 shadowing lesson)
-    hosted = noscheme.select(
-        "doc_id", "u", F.substring_index("u", "/", 1).alias("hostport")
-    )
-    split_q = hosted.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace("hostport", r"^www\.", ""), r":(80|443)$", ""
-        ).alias("host"),
-        F.expr("substring(u, length(hostport) + 1)").alias("tail"),
-    )
-    params = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(F.substring_index("tail", "?", -1), "&"),
-                lambda p: ~(
-                    p.startswith("utm_")
-                    | p.startswith("fbclid=")
-                    | p.startswith("gclid=")
-                ),
-            )
-        ),
-        "&",
-    )
-    keys = split_q.select(
-        "doc_id",
-        F.concat(
-            F.col("host"),
-            F.regexp_replace(
-                F.substring_index("tail", "?", 1), r"/+$", ""
-            ),
-            F.when(
-                F.col("tail").contains("?") & (params != ""),
-                F.concat(F.lit("?"), params),
-            ).otherwise(F.lit("")),
-        ).alias("canonical_url"),
-    )
+    keys = canonical_urls(d.select("doc_id", synth_url_col().alias("url")))
     return (
         keys.groupBy("canonical_url")
         .agg(

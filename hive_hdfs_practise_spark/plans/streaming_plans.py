@@ -315,3 +315,57 @@ def stream_pattern_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = browse_buy_matches(stream)
     return run_available_now(out, "stream_pattern_browse_buy", "append")
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a bounded file stream — the same
+    single-file staging dance as _events_stream (the source lists
+    FILES under a directory; a bare file needs a /tmp symlink dir)."""
+    import os
+
+    target = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(target):
+        src = target
+    else:
+        stage = (
+            "/tmp/spark_graft_stream/"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_documents"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = f"{stage}/documents.parquet"
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+        src = stage
+    schema = spark.read.parquet(target).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _stream_url_dedup_oracle() -> str:
+    from ..functions.urls import url_canon_ctes
+
+    return f"""
+    WITH {url_canon_ctes("documents")}
+    SELECT DISTINCT canonical_url FROM keys
+    """
+
+
+@register("stream_url_dedup", oracle=_stream_url_dedup_oracle())
+def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING URL dedup: the documents_url_dedup canonicalizer
+    applied per micro-batch, with state-backed dropDuplicates on the
+    canonical key — the ingestion-time form of the batch metadata
+    dedup (a crawler dedupes arriving URLs BEFORE storing/fetching;
+    state = one row per distinct canonical key). Output is the KEY
+    COLUMN ONLY (the stream_dedup_keys precedent: which physical doc
+    arrives first per key is not deterministic, the key set is), so
+    on bounded input the result is value-checked against the same
+    canonicalizer CTE chain the batch twin's oracle uses
+    (functions/urls.py — shared verbatim, the two cannot drift)."""
+    from ..functions.urls import canonical_urls, synth_url_col
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "source")
+    keys = canonical_urls(stream.select("doc_id", synth_url_col().alias("url")))
+    out = keys.select("canonical_url").dropDuplicates(["canonical_url"])
+    return run_available_now(out, "stream_url_dedup", "append")

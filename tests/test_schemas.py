@@ -107,6 +107,8 @@ BUILD_EXECUTES = {
     "split_decontamination_bloom",
     # r7: checkpoints the bigram count table at plan time
     "documents_kn_perplexity",
+    # r7: streaming query executes at build (availableNow sink)
+    "stream_url_dedup",
 }
 
 

@@ -419,3 +419,38 @@ class TestStreamPattern:
         assert len(got) == 1
         assert got[0].n_views == 2  # the null-valued view still counts
         assert got[0].views_value == 2.5  # but contributes no value
+
+
+class TestStreamUrlDedup:
+    def test_stream_keys_equal_batch_canonicalizer(self, spark):
+        """The streaming dedup's canonical-key set equals a batch
+        recompute through the SAME shared canonicalizer, and covers
+        exactly the batch twin's groups plus singletons."""
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.functions.urls import (
+            canonical_urls,
+            synth_url_col,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.canonical_url
+            for r in plans.QUERIES["stream_url_dedup"](spark, sf).collect()
+        }
+        d = wide_table(spark, sf, "documents").select("doc_id", "source")
+        batch = {
+            r.canonical_url
+            for r in canonical_urls(
+                d.select("doc_id", synth_url_col().alias("url"))
+            )
+            .select("canonical_url")
+            .distinct()
+            .collect()
+        }
+        assert got == batch and got
+        dup_groups = {
+            r.canonical_url
+            for r in plans.QUERIES["documents_url_dedup"](spark, sf).collect()
+        }
+        assert dup_groups <= got
