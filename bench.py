@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "documents_kn_perplexity",
     "documents_bm25_topk",
     "stream_url_dedup",
+    "documents_remove_duplicate_spans",
 ]
 
 

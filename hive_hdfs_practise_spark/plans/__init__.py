@@ -57,6 +57,7 @@ _FRONT = [
     "documents_kn_perplexity",
     "documents_bm25_topk",
     "stream_url_dedup",
+    "documents_remove_duplicate_spans",
 ]
 
 

@@ -1646,3 +1646,126 @@ def documents_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# The Lee et al. ACTION: documents_duplicate_spans detects the
+# corpus-duplicated regions; this operator REMOVES them and emits the
+# cleaned text (what the paper's pipeline trains on). Islands use the
+# gap=ESD_K char-union rule — non-overlapping char ranges by
+# construction, which is exactly what makes the kept-segment
+# stitching well-defined. Every doc is output: docs with no
+# duplicated span keep their full text; clean_text is the ordered
+# concatenation of the between-island segments (positions/lengths are
+# integers; substring lengths are clamped >= 0 because a length-0
+# head segment is legal but DuckDB raises on negative lengths).
+
+
+@register(
+    "documents_remove_duplicate_spans",
+    oracle=f"""
+    WITH {_span_ctes(ESD_K)},
+    spans AS MATERIALIZED (
+        SELECT doc_id, min(i) AS s, max(i) + {ESD_K - 1} AS e
+        FROM grp GROUP BY doc_id, gid
+    ),
+    mids AS (
+        SELECT doc_id,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                   AS a,
+               s - 1 AS b
+        FROM spans
+    ),
+    tails AS (
+        SELECT doc_id, max(e) + 1 AS a, NULL AS b
+        FROM spans GROUP BY doc_id
+    ),
+    pieces AS (
+        SELECT d.doc_id, m.a AS pos,
+               substring(d.text, m.a, greatest(m.b - m.a + 1, 0)) AS piece
+        FROM mids m JOIN documents d ON d.doc_id = m.doc_id
+        UNION ALL
+        SELECT d.doc_id, t.a,
+               substring(d.text, t.a, greatest(len(d.text) - t.a + 1, 0))
+        FROM tails t JOIN documents d ON d.doc_id = t.doc_id
+        UNION ALL
+        SELECT d.doc_id, 1, d.text
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               string_agg(piece, '' ORDER BY pos) AS clean_text
+        FROM pieces GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(d.text) AS BIGINT) AS orig_len,
+           CAST(len(c.clean_text) AS BIGINT) AS clean_len,
+           CAST(len(d.text) - len(c.clean_text) AS BIGINT) AS removed_chars,
+           c.clean_text
+    FROM cleaned c JOIN documents d ON d.doc_id = c.doc_id
+    """,
+)
+def documents_remove_duplicate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus with duplicated spans EXCISED (see note above) — the
+    deduplicating rewrite of Lee et al. ACL'22, one output row per
+    input doc.
+
+    Scale shape: shares the Θ(total chars) span pipeline; the
+    stitching adds one per-doc window (lag over that doc's few
+    islands), one anti-join branch for clean docs, and one ordered
+    per-doc string aggregation — all partitioned by doc, so
+    parallelism grows with the corpus and nothing exceeds the
+    answer's own size. Output is corpus-sized by design (it IS the
+    cleaned corpus — at 100 TB this is the write-back stage)."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = (
+        _duplicate_span_table(spark, sf_dir, gap=ESD_K)
+        .select("doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+    )
+    # spans feed mids, tails, and the anti-join — tiny table
+    spans = spans.localCheckpoint(eager=True)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    mids = spans.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("a"),
+        (F.col("s") - 1).alias("b"),
+    )
+    tails = spans.groupBy("doc_id").agg((F.max("e") + 1).alias("a"))
+    mid_pieces = mids.join(d, "doc_id").select(
+        "doc_id",
+        F.col("a").alias("pos"),
+        F.expr("substring(text, a, greatest(b - a + 1, 0))").alias("piece"),
+    )
+    tail_pieces = tails.join(d, "doc_id").select(
+        "doc_id",
+        F.col("a").alias("pos"),
+        F.expr("substring(text, a, greatest(length(text) - a + 1, 0))").alias(
+            "piece"
+        ),
+    )
+    clean_docs = d.join(spans.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit(1).alias("pos"), F.col("text").alias("piece")
+    )
+    pieces = mid_pieces.unionByName(tail_pieces).unionByName(clean_docs)
+    cleaned = pieces.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("piece")))
+                ),
+                lambda x: x.piece,
+            ),
+        ).alias("clean_text")
+    )
+    return cleaned.join(d, "doc_id").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("orig_len"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        (F.length("text") - F.length("clean_text")).cast("bigint").alias(
+            "removed_chars"
+        ),
+        "clean_text",
+    )

@@ -919,3 +919,66 @@ class TestUrlDedup:
                 noisy_group_seen = True
         # the md5 noise must be live: some group's RAW urls differ
         assert noisy_group_seen
+
+
+class TestRemoveDuplicateSpans:
+    def test_excision_matches_python_and_planted(self, spark, tmp_path):
+        """Planted shared passage: the cleaned texts must equal a
+        from-scratch Python excision of the char-union islands, and
+        the planted duplicate region must be gone from both docs."""
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+
+        shared = "".join(chr(97 + (i * 7) % 26) for i in range(60))  # 60 chars
+        a_text = "A-unique-prefix-0123456789 " + shared + " A-unique-tail-abcdef"
+        b_text = shared + " B-own-middle-zyxwvu " + shared
+        rows = [
+            (1, a_text, "en", "s", len(a_text)),
+            (2, b_text, "en", "s", len(b_text)),
+            (3, "no duplicated material whatsoever here", "en", "s", 38),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp_path, "documents.parquet"))
+
+        def clean(text, all_texts, K=20):
+            from collections import Counter
+
+            grams = Counter()
+            for t in all_texts:
+                for i in range(len(t) - K + 1):
+                    grams[t[i : i + K]] += 1
+            dup_pos = [
+                i
+                for i in range(len(text) - K + 1)
+                if grams[text[i : i + K]] >= 2
+            ]
+            # char-union islands (merge when gap <= K), then excise
+            islands = []
+            for i in dup_pos:
+                if islands and i - islands[-1][1] <= K:
+                    islands[-1][1] = i
+                else:
+                    islands.append([i, i])
+            kept, prev = [], 0
+            for s, e in islands:
+                kept.append(text[prev:s])
+                prev = e + K
+            kept.append(text[prev:])
+            return "".join(kept)
+
+        texts = [t for _, t, _, _, _ in rows]
+        got = {
+            r.doc_id: (r.clean_text, r.orig_len, r.clean_len, r.removed_chars)
+            for r in P.QUERIES["documents_remove_duplicate_spans"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        for did, text, *_ in rows:
+            want = clean(text, texts)
+            ct, ol, cl, rm = got[did]
+            assert ct == want
+            assert (ol, cl, rm) == (len(text), len(want), len(text) - len(want))
+        assert shared not in got[1][0] and shared not in got[2][0]
+        assert got[3][0] == rows[2][1]  # clean doc untouched

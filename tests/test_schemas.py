@@ -109,6 +109,8 @@ BUILD_EXECUTES = {
     "documents_kn_perplexity",
     # r7: streaming query executes at build (availableNow sink)
     "stream_url_dedup",
+    # r7: checkpoints the span table at plan time
+    "documents_remove_duplicate_spans",
 }
 
 
