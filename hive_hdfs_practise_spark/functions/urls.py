@@ -59,27 +59,34 @@ def url_canon_ctes(src: str) -> str:
     noscheme AS (
         SELECT doc_id, regexp_replace(u, '^https?://', '') AS u FROM base
     ),
+    tails AS (
+        SELECT doc_id,
+               split_part(u, '/', 1) AS hostport,
+               substring(u, len(split_part(u, '/', 1)) + 1) AS tail
+        FROM noscheme
+    ),
     parts AS (
         SELECT doc_id,
                regexp_replace(
-                   regexp_replace(split_part(u, '/', 1), '^www\\.', ''),
+                   regexp_replace(hostport, '^www\\.', ''),
                    ':(80|443)$', ''
                ) AS host,
-               regexp_replace(
-                   split_part(substring(u, len(split_part(u, '/', 1)) + 1),
-                              '?', 1),
-                   '/+$', ''
-               ) AS path,
-               CASE WHEN contains(u, '?')
+               regexp_replace(split_part(tail, '?', 1), '/+$', '') AS path,
+               -- params come from the segment between the TAIL's
+               -- first and second '?' on BOTH engines (a host-only
+               -- URL's '?…' sits in hostport and yields none;
+               -- multi-'?' tails keep only the first segment) —
+               -- round-7 review drift fix
+               CASE WHEN contains(tail, '?')
                     THEN array_to_string(
                         list_sort(list_filter(
-                            string_split(split_part(u, '?', 2), '&'),
+                            string_split(split_part(tail, '?', 2), '&'),
                             p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\'
                                       OR p LIKE 'fbclid=%'
                                       OR p LIKE 'gclid=%')
                         )), '&')
                     ELSE '' END AS q
-        FROM noscheme
+        FROM tails
     ),
     keys AS (
         SELECT doc_id,
@@ -145,10 +152,16 @@ def canonical_urls(df: DataFrame) -> DataFrame:
         ).alias("host"),
         F.expr("substring(u, length(hostport) + 1)").alias("tail"),
     )
+    # segment between the tail's first and second '?' — F.get is
+    # NULL-safe out of bounds (no '?': the when() below falls to '')
+    # and matches DuckDB's split_part(tail, '?', 2) exactly, where
+    # substring_index(…, -1) took everything after the LAST '?'
+    # (round-7 review drift fix)
+    q = F.get(F.split("tail", "[?]"), 1)
     params = F.array_join(
         F.array_sort(
             F.filter(
-                F.split(F.substring_index("tail", "?", -1), "&"),
+                F.split(q, "&"),
                 lambda p: ~(
                     p.startswith("utm_")
                     | p.startswith("fbclid=")

@@ -21,31 +21,39 @@ from . import event_oracles as EO
 from .registry import register
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file-stream source lists FILES under a directory (no
-    # recursion into subdirectories). Two layouts exist: a normal
-    # parquet output directory of part files (use it directly — the
-    # usual shape at scale), or the driver testdata's single bare
-    # events.parquet FILE, which must be staged behind a /tmp
-    # symlink directory first. A symlinked subdirectory would NOT
-    # work — the source silently sees zero input files (caught by
-    # the 10x scaling study, where streams read empty input and the
-    # upsert sink never materialized).
+def _stage_stream_dir(sf_dir: str, table_name: str, suffix: str = "") -> str:
+    """Directory a file-stream source can read ``table_name`` from.
+
+    The source lists FILES under a directory (no recursion into
+    subdirectories). Two layouts exist: a normal parquet output
+    directory of part files (use it directly — the usual shape at
+    scale), or the driver testdata's single bare ``<table>.parquet``
+    FILE, which must be staged behind a /tmp symlink directory
+    first. A symlinked subdirectory would NOT work — the source
+    silently sees zero input files (caught by the 10x scaling study,
+    where streams read empty input and the upsert sink never
+    materialized). Stale links from a previous run pointing at a
+    different path are replaced."""
     import os
 
-    target = f"{sf_dir}/events.parquet"
+    target = f"{sf_dir}/{table_name}.parquet"
     if os.path.isdir(target):
-        src = target
-    else:
-        stage = f"/tmp/spark_graft_stream/{os.path.basename(os.path.normpath(sf_dir))}"
-        os.makedirs(stage, exist_ok=True)
-        link = f"{stage}/events.parquet"
-        # replace a stale link if a previous run staged a different path
-        if os.path.islink(link) and os.readlink(link) != target:
-            os.remove(link)
-        if not os.path.exists(link):
-            os.symlink(target, link)
-        src = stage
+        return target
+    stage = (
+        "/tmp/spark_graft_stream/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}{suffix}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/{table_name}.parquet"
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.exists(link):
+        os.symlink(target, link)
+    return stage
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stage_stream_dir(sf_dir, "events")
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
     return raw.withColumn(
         "ts", F.timestamp_micros(events_ts_micros(events_ts_unit(sf_dir)))
@@ -318,27 +326,10 @@ def stream_pattern_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet as a bounded file stream — the same
-    single-file staging dance as _events_stream (the source lists
-    FILES under a directory; a bare file needs a /tmp symlink dir)."""
-    import os
-
-    target = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(target):
-        src = target
-    else:
-        stage = (
-            "/tmp/spark_graft_stream/"
-            f"{os.path.basename(os.path.normpath(sf_dir))}_documents"
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = f"{stage}/documents.parquet"
-        if os.path.islink(link) and os.readlink(link) != target:
-            os.remove(link)
-        if not os.path.exists(link):
-            os.symlink(target, link)
-        src = stage
-    schema = spark.read.parquet(target).schema
+    """documents.parquet as a bounded file stream (see
+    ``_stage_stream_dir`` for the single-file staging dance)."""
+    src = _stage_stream_dir(sf_dir, "documents", suffix="_documents")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return spark.readStream.schema(schema).parquet(src)
 
 

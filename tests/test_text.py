@@ -455,7 +455,7 @@ class TestKnPerplexity:
         for (v, w), c in bg.items():
             p = (max(4 * c - 3, 0) * B + 3 * n1p[v] * n1w[w]) / (4 * cv[v] * B)
             lp[(v, w)] = int(
-                Decimal(math.log(p) * 1_000_000).quantize(
+                Decimal(repr(math.log(p) * 1_000_000)).quantize(
                     Decimal("1"), rounding=ROUND_HALF_UP
                 )
             )
