@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "documents_bm25_topk",
     "stream_url_dedup",
     "documents_remove_duplicate_spans",
+    "documents_rrf_fusion",
 ]
 
 

@@ -58,6 +58,7 @@ _FRONT = [
     "documents_bm25_topk",
     "stream_url_dedup",
     "documents_remove_duplicate_spans",
+    "documents_rrf_fusion",
 ]
 
 

@@ -159,10 +159,12 @@ BM25_TOP = 10
 BM25_SCALE = 1_000_000
 
 
-def _bm25_oracle() -> str:
+def _bm25_sc_ctes() -> str:
+    """CTE chain ending at ``sc(qid, doc_id, score_micro)`` — shared
+    by the BM25 oracle and the RRF fusion oracle so the two scorers
+    cannot drift."""
     vals = ", ".join(f"({qid}, '{w}')" for qid, w in BM25_QUERIES)
-    return rf"""
-    WITH q AS (SELECT * FROM (VALUES {vals}) AS t(qid, word)),
+    return rf"""q AS (SELECT * FROM (VALUES {vals}) AS t(qid, word)),
     toks AS MATERIALIZED (
         SELECT doc_id, t.word AS word
         FROM documents,
@@ -171,14 +173,15 @@ def _bm25_oracle() -> str:
     tf AS MATERIALIZED (
         SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
     ),
-    df AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+    df AS MATERIALIZED (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (
         SELECT (SELECT count(*) FROM documents) AS n,
                (SELECT count(*) FROM toks) AS t
     ),
-    term AS (
-        SELECT q.qid, tf.doc_id,
+    term AS MATERIALIZED (
+        SELECT q.qid, tf.doc_id, tf.word, tf.tf, df.dfreq, s.n, s.t,
+               dl.dl,
                CAST(round(
                    ln((2 * s.n + 2) / CAST(2 * df.dfreq + 1 AS DOUBLE))
                    * (CAST(44 * tf.tf * s.t AS DOUBLE)
@@ -190,10 +193,15 @@ def _bm25_oracle() -> str:
         JOIN df USING (word)
         JOIN dl ON dl.doc_id = tf.doc_id, stats s
     ),
-    sc AS (
+    sc AS MATERIALIZED (
         SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
         FROM term GROUP BY qid, doc_id
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_sc_ctes()}
     SELECT qid, doc_id, CAST(rn AS INT) AS rank, score_micro,
            round(CAST(score_micro AS DOUBLE) / {BM25_SCALE}, 6) AS bm25
     FROM (
@@ -207,30 +215,28 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("documents_bm25_topk", oracle=_bm25_oracle())
-def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOP} documents per query by BM25 (see the exactness
-    note above) — the retrieval scorer next to ``text_tfidf_topk``,
-    integer-ranked.
+def _bm25_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(query, doc, term) table carrying the BM25 micro score
+    ``tm`` plus the raw statistics (tf, dfreq, n) — the Spark twin of
+    the oracle's ``term`` CTE, shared by documents_bm25_topk and
+    documents_rrf_fusion.
 
     Scale shape: the query table is a literal broadcast; tf/df/dl
     are the tfidf family's aggregates (map-side combining; the tf→q
     join keeps only query-term postings, so everything after the
-    first aggregate is query-sized, not corpus-sized); N and T ride
-    one broadcast scalar row; the per-query top-{BM25_TOP} is a
-    WindowGroupLimit rank, never a global sort."""
+    first aggregate is query-sized, not corpus-sized); dl and T
+    derive from tf — a direct toks aggregate would re-tokenize and
+    re-explode the full corpus twice more (round-7 review catch);
+    tf itself feeds four consumers, so persist() (compressed
+    columnar — the big-reused-intermediate rule) keeps the one
+    tokenize+explode+aggregate pass from replaying per consumer.
+    bench/check_oracle clearCache between runs/queries."""
     d = wide_table(spark, sf_dir, "documents")
     spark_q = spark.createDataFrame(BM25_QUERIES, "qid int, word string")
     toks = d.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # dl and T derive from tf — a direct toks aggregate would
-    # re-tokenize and re-explode the full corpus twice more (round-7
-    # review catch); tf itself feeds four consumers, so persist()
-    # (compressed columnar — the big-reused-intermediate rule) keeps
-    # the one tokenize+explode+aggregate pass from replaying per
-    # consumer. bench/check_oracle clearCache between queries.
     tf.persist()
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -243,7 +249,7 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quot = (44 * F.col("tf") * F.col("t")).cast("double") / (
         20 * F.col("tf") * F.col("t") + 6 * F.col("t") + 18 * F.col("dl") * F.col("n")
     )
-    term = (
+    return (
         tf.join(F.broadcast(spark_q), "word")
         .join(dfreq, "word")
         .join(dl, "doc_id")
@@ -251,11 +257,25 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "doc_id",
+            "word",
+            "tf",
+            "dfreq",
+            "n",
             F.round(idf * quot * F.lit(float(BM25_SCALE)))
             .cast("bigint")
             .alias("tm"),
         )
     )
+
+
+@register("documents_bm25_topk", oracle=_bm25_oracle())
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP} documents per query by BM25 (see the exactness
+    note above) — the retrieval scorer next to ``text_tfidf_topk``,
+    integer-ranked; plan shape in ``_bm25_term_df``. The per-query
+    top-{BM25_TOP} is a WindowGroupLimit rank, never a global
+    sort."""
+    term = _bm25_term_df(spark, sf_dir)
     sc = term.groupBy("qid", "doc_id").agg(F.sum("tm").alias("score_micro"))
     w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
     return (
@@ -271,6 +291,126 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("score_micro").cast("double") / BM25_SCALE, 6
             ).alias("bm25"),
+        )
+    )
+
+
+# Reciprocal-rank fusion (Cormack et al., SIGIR'09 — the standard
+# hybrid-search combiner): fuse the BM25 ranking with a TF-IDF
+# ranking of the same query-term match set. RRF(d) = Σ_r 1/(K + r_d)
+# with K = 60; with exactly two rankings the score is the RATIONAL
+#   (2K + ra + rb) / ((K + ra)(K + rb))
+# whose ordering is computed as an exact ×1e12 fixed-point integer
+# quotient (the LP_SCALE idiom — both engines truncate integer
+# division identically; residual fixed-point ties — e.g. the
+# symmetric (ra,rb)/(rb,ra) pairs, which tie in EXACT arithmetic
+# too — break on doc_id). Both input rankings are integer-exact
+# (micro scores, doc_id tiebreaks), so the fused rank is
+# engine-identical end to end.
+RRF_K = 60
+RRF_TOP = 10
+_RRF_FP = 1_000_000_000_000
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH {_bm25_sc_ctes()},
+    tsc AS MATERIALIZED (
+        SELECT qid, doc_id,
+               CAST(sum(CAST(round(tf * ln(CAST(n AS DOUBLE) / dfreq)
+                                   * {BM25_SCALE}) AS BIGINT)) AS BIGINT)
+                   AS tscore
+        FROM term GROUP BY qid, doc_id
+    ),
+    ra AS (
+        SELECT qid, doc_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score_micro DESC, doc_id
+               ) AS ra
+        FROM sc
+    ),
+    rb AS (
+        SELECT qid, doc_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY tscore DESC, doc_id
+               ) AS rb
+        FROM tsc
+    ),
+    fused AS (
+        SELECT ra.qid, ra.doc_id, ra.ra, rb.rb,
+               ({2 * RRF_K} + ra.ra + rb.rb) * {_RRF_FP}
+                   // (({RRF_K} + ra.ra) * ({RRF_K} + rb.rb)) AS fp
+        FROM ra JOIN rb ON rb.qid = ra.qid AND rb.doc_id = ra.doc_id
+    )
+    SELECT qid, doc_id, CAST(rn AS INT) AS rank,
+           CAST(ra AS INT) AS bm25_rank, CAST(rb AS INT) AS tfidf_rank,
+           round(CAST(1 AS DOUBLE) / ({RRF_K} + ra)
+                 + CAST(1 AS DOUBLE) / ({RRF_K} + rb), 9) AS rrf
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY fp DESC, doc_id
+               ) AS rn
+        FROM fused
+    )
+    WHERE rn <= {RRF_TOP}
+    """
+
+
+@register("documents_rrf_fusion", oracle=_rrf_oracle())
+def documents_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RRF_TOP} documents per query by reciprocal-rank fusion of
+    the BM25 and TF-IDF rankings (see the exact-rational note above).
+
+    Scale shape: both scorers ride the shared ``_bm25_term_df``
+    postings (query-sized after the tf→q join; the persisted tf
+    aggregate is the one corpus pass); the two rankings are per-query
+    WindowGroupLimit-style row_numbers over query-sized score
+    tables; fusion is an equi-join on (qid, doc_id) of two
+    doc-per-query tables and one more windowed rank — nothing here
+    grows with the corpus beyond the shared tf pass."""
+    term = _bm25_term_df(spark, sf_dir)
+    sc = term.groupBy("qid", "doc_id").agg(F.sum("tm").alias("score_micro"))
+    tmicro = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfreq"))
+        * F.lit(float(BM25_SCALE))
+    ).cast("bigint")
+    tsc = (
+        term.select("qid", "doc_id", tmicro.alias("ttm"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("ttm").alias("tscore"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
+    wb = Window.partitionBy("qid").orderBy(F.desc("tscore"), "doc_id")
+    ra = sc.select("qid", "doc_id", F.row_number().over(wa).alias("ra"))
+    rb = tsc.select("qid", "doc_id", F.row_number().over(wb).alias("rb"))
+    fused = ra.join(rb, ["qid", "doc_id"]).select(
+        "qid",
+        "doc_id",
+        "ra",
+        "rb",
+        F.expr(
+            f"({2 * RRF_K} + ra + rb) * {_RRF_FP} "
+            f"div (({RRF_K} + ra) * ({RRF_K} + rb))"
+        ).alias("fp"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fp"), "doc_id")
+    return (
+        fused.select(
+            "qid", "doc_id", F.row_number().over(wf).alias("rn"), "ra", "rb"
+        )
+        .where(F.col("rn") <= RRF_TOP)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("ra").cast("int").alias("bm25_rank"),
+            F.col("rb").cast("int").alias("tfidf_rank"),
+            F.round(
+                F.lit(1.0) / (RRF_K + F.col("ra"))
+                + F.lit(1.0) / (RRF_K + F.col("rb")),
+                9,
+            ).alias("rrf"),
         )
     )
 

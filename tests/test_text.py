@@ -545,3 +545,37 @@ class TestBm25TopK:
             grank, gs, gbm = got[k]
             assert (grank, gs) == (rank, s)
             assert abs(gbm - round(s / BM25_SCALE, 6)) < 1e-9
+
+
+class TestRrfFusion:
+    """r7: documents_rrf_fusion — RRF identity recompute from the
+    engine's own two rankings, plus the exact-rational rank check
+    (cross-multiplication, no floats)."""
+
+    def test_rrf_identity_and_exact_rank(self, spark):
+        from fractions import Fraction
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.advanced import RRF_K, RRF_TOP
+
+        got = P.QUERIES["documents_rrf_fusion"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert got
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert len(rows) <= RRF_TOP
+            prev = None
+            for r in rows:
+                s = Fraction(1, RRF_K + r.bm25_rank) + Fraction(
+                    1, RRF_K + r.tfidf_rank
+                )
+                assert abs(r.rrf - round(float(s), 9)) < 1e-12
+                if prev is not None:
+                    # exact-rational non-increasing order with doc_id
+                    # tiebreak — no float enters the comparison
+                    assert s < prev[0] or (s == prev[0] and r.doc_id > prev[1])
+                prev = (s, r.doc_id)
