@@ -33,32 +33,66 @@ from . import text  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
 
 # ORDER IS LOAD-BEARING: the driver's correctness gate samples the
-# FIRST ~50 registry entries each round (r04/r05/r06 sampled exactly
-# slots 0-49). _FRONT pins the queries that most need a driver-side
-# green row this round, re-derived from the UNION of r01-r06 driver
-# greens (the r6 verdict's fix: a per-round derivation missed the
-# r03 `no_oracle` case). After r06, exactly ONE registry name has
-# never produced a driver-side value-checked green:
-# pipeline_training_data_lsh (its only driver row is r03's
-# rows-only-era `no_oracle`; it gained a full sf-gated-family oracle
-# in r4 and is green in every local sweep since). It goes first.
-# Round-7 additions are appended as they land. Everything r06
-# sampled green drops out; the sample then re-covers tail greens.
+# FIRST ~50 registry entries each round (r04-r07 sampled exactly
+# slots 0-49). After r07 the UNION of driver greens covers all 216
+# names, so _FRONT's job flips to RE-VALIDATION coverage
+# (tools/derive_front.py, rotation mode): round-8 additions first
+# (never sampled by construction), then the greens whose most recent
+# driver evidence is OLDEST (r01/r02/r03-era), so every name's green
+# stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    # the single never-driver-green name (r03 no_oracle, pre-oracle era)
-    "pipeline_training_data_lsh",
-    # round-7 additions (never sampled by construction) appended here
-    "graph_link_prediction_minhash",
-    "documents_containment_minhash",
-    "documents_duplicate_spans_summary",
-    "documents_winnowing_top_pairs",
-    "documents_url_dedup",
-    "split_decontamination_bloom",
-    "documents_kn_perplexity",
-    "documents_bm25_topk",
-    "stream_url_dedup",
-    "documents_remove_duplicate_spans",
-    "documents_rrf_fusion",
+    # round-8 additions (never sampled by construction) go here
+    # stalest greens (rotation; evidence round in derive_front output)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "json_roundtrip",
+    "events_salted_agg",
+    "events_props_map",
+    "events_props_variant",
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "order_detail_nested",
+    "next_order_id",
+    "events_json_extract",
+    "customer_projection",
+    "scalar_functions",
+    "knn_brute_cosine",
+    "knn_brute_cosine_vectorized",
+    "knn_lsh_bucketed",
+    "knn_ivf",
+    "embedding_centroids",
+    "knn_lsh_multiprobe",
+    "dedup_embedding_lsh",
+    "distinct_counts",
+    "events_kmv_distinct_users",
+    "distinct_counts_approx",
+    "events_theta_setops",
+    "text_token_stats",
+    "text_token_counts_bpe",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "word_freq_topk",
+    "text_repetition_stats",
+    "text_char_bigram_logprob",
 ]
 
 

@@ -309,6 +309,19 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-identical end to end.
 RRF_K = 60
 RRF_TOP = 10
+# Fixed-point scale. RESOLUTION BOUND (advice r7): two DISTINCT
+# two-list RRF rationals a/b, c/d (b, d = (K+ra)(K+rb) products)
+# differ by ≥ 1/(b·d), so the ×FP integer quotient separates them
+# only while b·d ≤ FP, i.e. (K+n)^4 ≤ 1e12 → per-query match sets
+# n ≲ 940 docs. Beyond that, distinct true scores can tie in fp and
+# the order falls to the doc_id tiebreak — still ENGINE-IDENTICAL
+# (both sides compute the same fp), so the oracle stays green at any
+# n; only the "exact rational rank" claim is corpus-size-gated, as
+# is TestRrfFusion's Fraction-order assertion. Deliberately NOT
+# raised to 1e15: that buys exactness to n≈5.5k but the numerator
+# (2K+ra+rb)·FP then overflows int64 at ranks ≳4.5k, turning a
+# silent-but-consistent tie into an ANSI-mode crash — the wrong
+# trade at scale.
 _RRF_FP = 1_000_000_000_000
 
 

@@ -550,7 +550,15 @@ class TestBm25TopK:
 class TestRrfFusion:
     """r7: documents_rrf_fusion — RRF identity recompute from the
     engine's own two rankings, plus the exact-rational rank check
-    (cross-multiplication, no floats)."""
+    (cross-multiplication, no floats).
+
+    CORPUS-SIZE-GATED (advice r7): the exact-order assertion holds
+    only while per-query match sets stay under the ~940-doc
+    _RRF_FP resolution bound (see plans/advanced.py) — above it,
+    distinct true rationals may tie in fixed point and order falls
+    to doc_id, which this Fraction recompute would flag even though
+    both engines agree. Fine at sf0.001; don't point this test at a
+    replica corpus without also checking the bound."""
 
     def test_rrf_identity_and_exact_rank(self, spark):
         from fractions import Fraction

@@ -105,15 +105,16 @@ def canon(df) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
-def nested_cols(df, sample: int = 100_000) -> list[str]:
-    """Columns holding nested (list/dict/ndarray) CELLS. Scans every
-    cell up to ``sample`` — an early unconditional break after the
-    first non-null value would pass a column whose first row is
-    scalar but later rows hold lists (advice r6), which the driver
-    canon would die on."""
+def nested_cols(df) -> list[str]:
+    """Columns holding nested (list/dict/ndarray) CELLS. Scans EVERY
+    cell — an early unconditional break after the first non-null
+    value would pass a column whose first row is scalar but later
+    rows hold lists (advice r6), and a sample cap would pass a cell
+    first appearing beyond the cap (advice r7). Oracle outputs are
+    small, so the full scan is cheap."""
     bad = []
     for c in df.columns:
-        for v in df[c].head(sample):
+        for v in df[c]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":

@@ -7,7 +7,10 @@ The driver samples the FIRST ~50 registry entries each round
      a per-round derivation missed a name whose only row was an
      r03-era `no_oracle`);
   2. the current round's new additions (never sampled by
-     construction) — this tool lists them as "never sampled".
+     construction) — this tool lists them as "never sampled";
+  3. once the union is fully green (r7+), the front's job becomes
+     RE-VALIDATION coverage: rotate in the greens whose most recent
+     driver evidence is OLDEST, so every name's green stays fresh.
 
     python tools/derive_front.py        # prints the derived front
 
@@ -18,9 +21,13 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+FRONT_BUDGET = 50
 
 
 def main() -> None:
@@ -28,7 +35,7 @@ def main() -> None:
 
     greens: dict[str, list[str]] = {}
     sampled: dict[str, list[str]] = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = f.rsplit("CORRECTNESS_", 1)[-1].removesuffix(".json")
         d = json.load(open(f))
         for name, row in d.items():
@@ -45,23 +52,32 @@ def main() -> None:
     names = list(QUERIES)
     never_green = [n for n in names if n not in greens]
     never_sampled = [n for n in names if n not in sampled]
+    last_round = max(
+        (r for rs in sampled.values() for r in rs), default="r00"
+    )
     print(f"registry: {len(names)}  union-green: {len(greens)}")
     print(f"\nnever driver-green ({len(never_green)}):")
     for n in never_green:
         why = f"sampled {sampled[n]}" if n in sampled else "never sampled"
         print(f"  {n}  ({why})")
-    print("\n_FRONT = [")
-    for n in never_green:
-        print(f'    "{n}",')
+
+    # Rotation: greens whose latest evidence is oldest, skipping anything
+    # the most recent round already covered.
+    rotate = sorted(
+        (n for n in names if n in greens and last_round not in greens[n]),
+        key=lambda n: (max(greens[n]), names.index(n)),
+    )
+    front = list(dict.fromkeys(never_green + never_sampled))
+    budget = FRONT_BUDGET - len(front)
+    front += rotate[: max(budget, 0)]
+
+    print(f"\n_FRONT ({len(front)} = never-green/new + stalest greens, "
+          f"budget {FRONT_BUDGET}; last round = {last_round}):")
+    print("_FRONT = [")
+    for n in front:
+        ev = f"green {greens[n]}" if n in greens else "never sampled"
+        print(f'    "{n}",  # {ev}')
     print("]")
-    stale = [n for n in names[:50] if n in greens and n not in never_green]
-    if stale:
-        print(
-            f"\nnote: {len(stale)} of the current first-50 slots are already "
-            "union-green and can drop out of _FRONT:"
-        )
-        for n in stale[:60]:
-            print(f"  {n}  (green in {greens[n]})")
 
 
 if __name__ == "__main__":
