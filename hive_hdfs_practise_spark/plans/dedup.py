@@ -1224,15 +1224,26 @@ def _duplicate_span_table(
             F.expr(f"substring(text, i, {ESD_K})").alias("gram"),
         )
     )
-    # feeds the corpus-wide count AND the position join
-    g.persist()
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # FUSED dup-position detection (r8, the verdict's span lever):
+    # count(*) OVER (PARTITION BY gh, gram) — ONE shuffle of the gram
+    # table replaces the r7 groupBy-count + join-back pair (two
+    # gram-keyed passes over a persisted Θ(chars) table). gram
+    # determines gh (md5-u60 prefix), so the count is EXACTLY
+    # count-by-gram and the oracle's `HAVING count(*) >= 2` CTE is
+    # unchanged; gh exists purely to make the window sort radix-fast
+    # (numeric first key; the trailing gram comparison fires almost
+    # only on true equals). Measured best-of-2 at 40×: 78.3 s (r7
+    # join form) → 14.0 s; the all-string-key fused form sat at
+    # 25.2 s — the sort key, not the pass count alone, is the lever
+    # (tools/probe_spans.py).
+    gh = F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)")
+    wg = Window.partitionBy("gh", "gram")
+    pos = (
+        g.select("doc_id", "i", "gram", gh.alias("gh"))
+        .select("doc_id", "i", F.count(F.lit(1)).over(wg).alias("c"))
         .where(F.col("c") >= 2)
-        .select("gram")
+        .select("doc_id", "i")
     )
-    pos = g.join(dup, "gram").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     flg = pos.select(
         "doc_id",
