@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "stream_url_dedup",
     "documents_remove_duplicate_spans",
     "documents_rrf_fusion",
+    "documents_hybrid_rrf",
 ]
 
 

@@ -42,6 +42,7 @@ from . import tpch  # noqa: F401,E402
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
     # round-8 additions (never sampled by construction) go here
+    "documents_hybrid_rrf",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

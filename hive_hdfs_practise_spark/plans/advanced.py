@@ -428,6 +428,182 @@ def documents_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dense+sparse HYBRID retrieval (r8, verdict item 3 — the production
+# hybrid-search shape): fuse the BM25 (sparse/lexical) ranking with a
+# DENSE ranking — cosine of each doc's embedding against a per-query
+# vector — via the same exact-rational RRF rank. Query vectors are
+# stand-ins drawn from the embeddings table itself (HYB_QVEC, one
+# fixed vec_id per qid, excluded from its own candidate list — the
+# knn_brute idiom); doc_id == vec_id is the corpus convention (full
+# at the sf0.01 gate; docs without vectors simply never enter the
+# dense list, which the fusion handles as single-list docs). Unlike
+# documents_rrf_fusion's same-match-set lists, the two lists here
+# genuinely DIFFER, so the fusion is a FULL OUTER join of the two
+# top-HYB_LIST lists with single-list scores FP div (K + r) — still
+# one exact integer per doc, engine-identical (same _RRF_FP
+# resolution bound as above). Dense ranks order by the raw cosine
+# double: both engines fold the same casted doubles sequentially in
+# element order (the knn_brute_cosine parity, green since r02).
+# Missing ranks surface as 0 sentinels (a NULL int column would
+# materialize as float64 in the driver's pandas canon).
+HYB_QVEC = [(1, 11), (2, 22), (3, 33)]
+HYB_LIST = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    vals = ", ".join(f"({qid}, {v})" for qid, v in HYB_QVEC)
+    return f"""
+    WITH {_bm25_sc_ctes()},
+    ra0 AS (
+        SELECT qid, doc_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score_micro DESC, doc_id
+               ) AS ra
+        FROM sc
+    ),
+    ral AS (SELECT * FROM ra0 WHERE ra <= {HYB_LIST}),
+    qv AS (
+        SELECT v.qid, v.qvec, CAST(e.embedding AS DOUBLE[]) AS qv
+        FROM (VALUES {vals}) AS v(qid, qvec)
+        JOIN embeddings e ON e.vec_id = v.qvec
+    ),
+    rb0 AS (
+        SELECT q.qid, e.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+               ) AS rb
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> q.qvec
+    ),
+    rbl AS (SELECT * FROM rb0 WHERE rb <= {HYB_LIST}),
+    fused AS (
+        SELECT coalesce(a.qid, b.qid) AS qid,
+               coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(a.ra, 0) AS ra, coalesce(b.rb, 0) AS rb,
+               CASE
+                 WHEN a.ra IS NOT NULL AND b.rb IS NOT NULL THEN
+                   ({2 * RRF_K} + a.ra + b.rb) * {_RRF_FP}
+                       // (({RRF_K} + a.ra) * ({RRF_K} + b.rb))
+                 WHEN a.ra IS NOT NULL THEN {_RRF_FP} // ({RRF_K} + a.ra)
+                 ELSE {_RRF_FP} // ({RRF_K} + b.rb)
+               END AS fp
+        FROM ral a FULL JOIN rbl b
+          ON b.qid = a.qid AND b.doc_id = a.doc_id
+    )
+    SELECT qid, doc_id, CAST(rn AS INT) AS rank,
+           CAST(ra AS INT) AS bm25_rank, CAST(rb AS INT) AS dense_rank,
+           round(CASE WHEN ra > 0
+                      THEN CAST(1 AS DOUBLE) / ({RRF_K} + ra) ELSE 0 END
+                 + CASE WHEN rb > 0
+                        THEN CAST(1 AS DOUBLE) / ({RRF_K} + rb) ELSE 0 END,
+                 9) AS rrf
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY fp DESC, doc_id
+               ) AS rn
+        FROM fused
+    )
+    WHERE rn <= {RRF_TOP}
+    """
+
+
+@register("documents_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RRF_TOP} documents per query fusing the BM25 lexical
+    ranking with a dense embedding-cosine ranking via RRF (see the
+    hybrid note above).
+
+    Scale shape: the sparse side rides the shared persisted-tf
+    postings (query-sized after the tf→q join); the dense side is a
+    broadcast of |HYB_QVEC| query vectors against one embeddings
+    scan (the scoped-ANN verify shape — at 100 TB the shortlist
+    would come from the IVF/PQ probes in plans/similarity.py, and
+    this exact scan is their re-rank stage); both rankings are
+    per-query WindowGroupLimit row_numbers; the fusion joins two
+    ≤HYB_LIST-per-query lists — metadata-sized."""
+    from ..functions import vectors as vec
+
+    term = _bm25_term_df(spark, sf_dir)
+    sc = term.groupBy("qid", "doc_id").agg(F.sum("tm").alias("score_micro"))
+    wa = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
+    ral = (
+        sc.select("qid", "doc_id", F.row_number().over(wa).alias("ra"))
+        .where(F.col("ra") <= HYB_LIST)
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    qvec = spark.createDataFrame(HYB_QVEC, "qid int, qvec bigint")
+    qv = (
+        qvec.join(e, qvec.qvec == e.vec_id)
+        .select("qid", "qvec", vec.as_double(F.col("embedding")).alias("qv"))
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+    rbl = (
+        e.join(F.broadcast(qv), e.vec_id != qv.qvec)
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")).alias(
+                "cos"
+            ),
+        )
+        .select("qid", "doc_id", F.row_number().over(wb).alias("rb"))
+        .where(F.col("rb") <= HYB_LIST)
+    )
+
+    fused = (
+        ral.withColumnsRenamed({"qid": "aqid", "doc_id": "adoc"})
+        .join(
+            rbl.withColumnsRenamed({"qid": "bqid", "doc_id": "bdoc"}),
+            (F.col("bqid") == F.col("aqid")) & (F.col("bdoc") == F.col("adoc")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("aqid", "bqid").alias("qid"),
+            F.coalesce("adoc", "bdoc").alias("doc_id"),
+            # fp computed FIRST from the raw nullable ranks — aliasing
+            # the coalesced ranks to "ra"/"rb" before this expression
+            # would lateral-shadow the NULL test (the
+            # embeddings_quantize_int8 class of bug)
+            F.expr(
+                f"CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN"
+                f" ({2 * RRF_K} + ra + rb) * {_RRF_FP}"
+                f" div (({RRF_K} + ra) * ({RRF_K} + rb))"
+                f" WHEN ra IS NOT NULL THEN {_RRF_FP} div ({RRF_K} + ra)"
+                f" ELSE {_RRF_FP} div ({RRF_K} + rb) END"
+            ).alias("fp"),
+            F.coalesce("ra", F.lit(0)).alias("ra"),
+            F.coalesce("rb", F.lit(0)).alias("rb"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fp"), "doc_id")
+    return (
+        fused.select(
+            "qid", "doc_id", F.row_number().over(wf).alias("rn"), "ra", "rb"
+        )
+        .where(F.col("rn") <= RRF_TOP)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("ra").cast("int").alias("bm25_rank"),
+            F.col("rb").cast("int").alias("dense_rank"),
+            F.round(
+                F.when(
+                    F.col("ra") > 0, F.lit(1.0) / (RRF_K + F.col("ra"))
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("rb") > 0, F.lit(1.0) / (RRF_K + F.col("rb"))
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+
+
 @register(
     "sales_cube",
     oracle="""

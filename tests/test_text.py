@@ -587,3 +587,49 @@ class TestRrfFusion:
                     # tiebreak — no float enters the comparison
                     assert s < prev[0] or (s == prev[0] and r.doc_id > prev[1])
                 prev = (s, r.doc_id)
+
+
+class TestHybridRrf:
+    """r8: documents_hybrid_rrf — RRF identity recompute over the
+    0-sentinel ranks, exact-rational order check (same corpus-size
+    gate as TestRrfFusion), and the hybrid-specific pin: any doc
+    appearing in BOTH top-HYB_LIST lists must outrank every
+    single-list doc (with ranks ≤ HYB_LIST = 20 the worst two-list
+    score 2/(K+20) = 0.025 beats the best one-list score
+    1/(K+1) ≈ 0.0164)."""
+
+    def test_hybrid_identity_order_and_dominance(self, spark):
+        from fractions import Fraction
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.advanced import RRF_K, RRF_TOP
+
+        got = P.QUERIES["documents_hybrid_rrf"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert got
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.qid, []).append(r)
+        assert len(by_q) == 3
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert len(rows) <= RRF_TOP
+            prev = None
+            seen_single = False
+            for r in rows:
+                assert r.bm25_rank > 0 or r.dense_rank > 0
+                s = Fraction(0)
+                if r.bm25_rank > 0:
+                    s += Fraction(1, RRF_K + r.bm25_rank)
+                if r.dense_rank > 0:
+                    s += Fraction(1, RRF_K + r.dense_rank)
+                assert abs(r.rrf - round(float(s), 9)) < 1e-12
+                if prev is not None:
+                    assert s < prev[0] or (s == prev[0] and r.doc_id > prev[1])
+                if r.bm25_rank > 0 and r.dense_rank > 0:
+                    # both-list docs may not appear after a single-list doc
+                    assert not seen_single
+                else:
+                    seen_single = True
+                prev = (s, r.doc_id)
