@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "documents_remove_duplicate_spans",
     "documents_rrf_fusion",
     "documents_hybrid_rrf",
+    "documents_kn_trigram_perplexity",
 ]
 
 

@@ -43,6 +43,7 @@ from . import tpch  # noqa: F401,E402
 _FRONT = [
     # round-8 additions (never sampled by construction) go here
     "documents_hybrid_rrf",
+    "documents_kn_trigram_perplexity",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

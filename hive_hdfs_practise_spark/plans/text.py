@@ -1655,3 +1655,168 @@ def documents_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# Trigram Kneser-Ney with the RECURSIVE backoff (r8, verdict item 4
+# — the LM depth a CCNet-style filter actually runs; KenLM is a
+# 5-gram of this exact structure). Interpolated KN, D = 3/4 at both
+# levels:
+#   p(w|u,v) = (max(c(uvw)−D, 0) + D·N1+(uv·)·p_kn(w|v)) / c(uv·)
+#   p_kn(w|v) = (max(N1+(·vw)−D, 0) + D·N1+(v·)·p_cont(w)) / N1+(·v·)
+#   p_cont(w) = N1+(·w) / |distinct (v,w) types|
+# where the MIDDLE layer uses CONTINUATION counts (distinct-u counts
+# of trigram types), which is what makes it Kneser-Ney rather than
+# Katz. Exactness: the middle layer collapses to ONE exact-int64
+# ratio — (max(4·N1vw−3,0)·B + 3·N1vdot·n1w) / (4·Nmid·B) — and the
+# top level is then the FIXED IEEE sequence d1 + d2·d3 with
+# d1 = max(4c3−3,0)/(4·cuv), d2 = 3·N1puv/(4·cuv), d3 = the middle
+# ratio: identical parenthesization on identical exact-int inputs in
+# both engines (nesting everything into one integer quotient would
+# need the triple product 16·cuv·Nmid·B — int64-overflow-prone where
+# the staged form is not). ln() rounds ONCE per DISTINCT trigram to
+# a 1e-6 BIGINT; doc scores are exact integer sums. Trained on the
+# corpus it scores, so every scored trigram has c3 >= 1 — the
+# greatest() guards are formula fidelity, not live branches.
+
+
+def _kn_trigram_oracle() -> str:
+    return rf"""
+    WITH tk AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        FROM documents
+    ),
+    strm AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN i <= 2 THEN '<s>' ELSE toks[i - 2] END AS u,
+               CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS v,
+               toks[i] AS w
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM tk)
+    ),
+    tg AS MATERIALIZED (
+        SELECT u, v, w, count(*) AS c3 FROM strm GROUP BY u, v, w
+    ),
+    cuv AS MATERIALIZED (
+        SELECT u, v, CAST(sum(c3) AS BIGINT) AS cuv, count(*) AS n1puv
+        FROM tg GROUP BY u, v
+    ),
+    mvw AS MATERIALIZED (SELECT v, w, count(*) AS n1vw FROM tg GROUP BY v, w),
+    mv AS MATERIALIZED (
+        SELECT v, CAST(sum(n1vw) AS BIGINT) AS nmid, count(*) AS n1vdot
+        FROM mvw GROUP BY v
+    ),
+    nw AS MATERIALIZED (SELECT w, count(*) AS n1w FROM mvw GROUP BY w),
+    bt AS (SELECT count(*) AS btot FROM mvw),
+    stg AS MATERIALIZED (
+        SELECT tg.u, tg.v, tg.w,
+               CAST(round(ln(
+                   CAST(greatest(4 * tg.c3 - 3, 0) AS DOUBLE)
+                       / (4 * cuv.cuv)
+                   + (CAST(3 * cuv.n1puv AS DOUBLE) / (4 * cuv.cuv))
+                     * (CAST(greatest(4 * mvw.n1vw - 3, 0) * bt.btot
+                             + 3 * mv.n1vdot * nw.n1w AS DOUBLE)
+                        / (4 * mv.nmid * bt.btot))
+               ) * {KN_SCALE}) AS BIGINT) AS lp_micro
+        FROM tg
+        JOIN cuv ON cuv.u = tg.u AND cuv.v = tg.v
+        JOIN mvw ON mvw.v = tg.v AND mvw.w = tg.w
+        JOIN mv ON mv.v = tg.v
+        JOIN nw ON nw.w = tg.w, bt
+    )
+    SELECT s.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(stg.lp_micro) AS BIGINT) AS logprob_micro,
+           round(CAST(-CAST(sum(stg.lp_micro) AS BIGINT) AS DOUBLE)
+                 / (count(*) * {KN_SCALE}), 6) AS avg_neg_logprob
+    FROM strm s
+    JOIN stg ON stg.u = s.u AND stg.v = s.v AND stg.w = s.w
+    GROUP BY s.doc_id
+    """
+
+
+@register("documents_kn_trigram_perplexity", oracle=_kn_trigram_oracle())
+def documents_kn_trigram_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document trigram Kneser-Ney negative log-likelihood with
+    the recursive continuation-count backoff (see note above) — the
+    bigram filter's LM-depth extension, exact-integer inputs and a
+    fixed IEEE op sequence end to end.
+
+    Scale shape: same as the bigram twin — one token-stream explode,
+    map-side-combining n-gram aggregates, model tables sized by the
+    TRIGRAM type vocabulary (ln() once per distinct trigram, never
+    per token), one scoring join + per-doc integer sum. tg is
+    checkpointed (feeds five consumers); mvw persists (feeds three).
+    Builder runs jobs at plan time: BUILD_EXECUTES."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = d.select(
+        "doc_id", F.explode(F.array(tx.tokens(F.col("text")))).alias("toks")
+    )
+    tok = arr.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+    strm = tok.select(
+        "doc_id",
+        F.when(F.col("i") <= 1, F.lit("<s>"))
+        .otherwise(F.element_at("toks", F.col("i") - 1))
+        .alias("u"),
+        F.when(F.col("i") == 0, F.lit("<s>"))
+        .otherwise(F.element_at("toks", F.col("i")))
+        .alias("v"),
+        "w",
+    )
+    tg = (
+        strm.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+    cuv = tg.groupBy("u", "v").agg(
+        F.sum("c3").alias("cuv"), F.count(F.lit(1)).alias("n1puv")
+    )
+    mvw = tg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1vw"))
+    mvw.persist()
+    mv = mvw.groupBy("v").agg(
+        F.sum("n1vw").alias("nmid"), F.count(F.lit(1)).alias("n1vdot")
+    )
+    nw = mvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    bt = mvw.agg(F.count(F.lit(1)).alias("btot"))
+    d3 = (
+        F.greatest(4 * F.col("n1vw") - 3, F.lit(0)) * F.col("btot")
+        + 3 * F.col("n1vdot") * F.col("n1w")
+    ).cast("double") / (4 * F.col("nmid") * F.col("btot"))
+    ptri = (
+        F.greatest(4 * F.col("c3") - 3, F.lit(0)).cast("double")
+        / (4 * F.col("cuv"))
+        + ((3 * F.col("n1puv")).cast("double") / (4 * F.col("cuv"))) * d3
+    )
+    stg = (
+        tg.join(cuv, ["u", "v"])
+        .join(mvw, ["v", "w"])
+        .join(mv, "v")
+        .join(nw, "w")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "u",
+            "v",
+            "w",
+            F.round(F.log(ptri) * KN_SCALE).cast("bigint").alias("lp_micro"),
+        )
+    )
+    return (
+        strm.join(stg, ["u", "v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_micro",
+            F.round(
+                (-F.col("logprob_micro")).cast("double")
+                / (F.col("n_tokens") * F.lit(KN_SCALE)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

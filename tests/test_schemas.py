@@ -111,6 +111,8 @@ BUILD_EXECUTES = {
     "stream_url_dedup",
     # r7: checkpoints the span table at plan time
     "documents_remove_duplicate_spans",
+    # r8: checkpoints the trigram count table at plan time
+    "documents_kn_trigram_perplexity",
 }
 
 

@@ -484,6 +484,117 @@ class TestKnPerplexity:
             assert abs(gavg - avg) < 1e-9
 
 
+class TestKnTrigramPerplexity:
+    """r8: documents_kn_trigram_perplexity — from-scratch Python
+    recompute of the interpolated trigram KN with the recursive
+    continuation-count backoff: Python's int/int true division and
+    `a/b + (c/d) * (num/den)` reproduce the engines' fixed IEEE op
+    sequence exactly (same parenthesization, same exact-int
+    inputs)."""
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {
+            r.doc_id: r.text
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        streams = {}
+        tg = Counter()
+        for did, text in docs.items():
+            toks = text.split()
+            tris = [
+                (
+                    "<s>" if i <= 1 else toks[i - 2],
+                    "<s>" if i == 0 else toks[i - 1],
+                    toks[i],
+                )
+                for i in range(len(toks))
+            ]
+            streams[did] = tris
+            tg.update(tris)
+        cuv = Counter()
+        n1puv = Counter()
+        mvw = Counter()
+        for (u, v, w), c in tg.items():
+            cuv[(u, v)] += c
+            n1puv[(u, v)] += 1
+            mvw[(v, w)] += 1
+        mv_sum = Counter()
+        mv_cnt = Counter()
+        n1w = Counter()
+        for (v, w), c in mvw.items():
+            mv_sum[v] += c
+            mv_cnt[v] += 1
+            n1w[w] += 1
+        B = len(mvw)
+        lp = {}
+        for (u, v, w), c3 in tg.items():
+            d3 = (max(4 * mvw[(v, w)] - 3, 0) * B + 3 * mv_cnt[v] * n1w[w]) / (
+                4 * mv_sum[v] * B
+            )
+            p = max(4 * c3 - 3, 0) / (4 * cuv[(u, v)]) + (
+                (3 * n1puv[(u, v)]) / (4 * cuv[(u, v)])
+            ) * d3
+            lp[(u, v, w)] = int(
+                Decimal(repr(math.log(p) * 1_000_000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_micro, r.avg_neg_logprob)
+            for r in P.QUERIES["documents_kn_trigram_perplexity"](
+                spark, sf
+            ).collect()
+        }
+        want_ids = {d for d, s in streams.items() if s}
+        assert set(got) == want_ids
+        for did in want_ids:
+            n = len(streams[did])
+            total = sum(lp[t] for t in streams[did])
+            avg = float(
+                Decimal(repr(-total / (n * 1_000_000))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            gn, gtotal, gavg = got[did]
+            assert gn == n
+            assert gtotal == total
+            assert abs(gavg - avg) < 1e-9
+
+    def test_trigram_sharper_than_bigram_on_average(self, spark):
+        """LM-depth sanity: a higher-order model trained on the
+        scoring corpus assigns it a lower (or equal) mean NLL than
+        the bigram — corpus-level, not per-doc."""
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        bi = {
+            r.doc_id: (r.logprob_micro, r.n_tokens)
+            for r in P.QUERIES["documents_kn_perplexity"](spark, sf).collect()
+        }
+        tri = {
+            r.doc_id: (r.logprob_micro, r.n_tokens)
+            for r in P.QUERIES["documents_kn_trigram_perplexity"](
+                spark, sf
+            ).collect()
+        }
+        assert set(bi) == set(tri)
+        bi_nll = -sum(t[0] for t in bi.values()) / sum(t[1] for t in bi.values())
+        tri_nll = -sum(t[0] for t in tri.values()) / sum(
+            t[1] for t in tri.values()
+        )
+        assert tri_nll <= bi_nll
+
+
 class TestBm25TopK:
     """r7: documents_bm25_topk — full Python recompute of the Lucene
     BM25 (k1=6/5, b=3/4 exact-integer form) incl. the micro rounding
