@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "documents_rrf_fusion",
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
+    "stream_dedup_minhash",
 ]
 
 

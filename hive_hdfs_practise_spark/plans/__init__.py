@@ -44,6 +44,7 @@ _FRONT = [
     # round-8 additions (never sampled by construction) go here
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
+    "stream_dedup_minhash",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -281,6 +281,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (expensive) shingle arrays are built only for rows that
     # survived the prefilter — a tiny set, and AQE broadcasts it.
     docs = wide_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(cand, docs)
+
+
+def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (doc_a, doc_b)
+    pairs against ``docs(doc_id, text)``, keeping pairs >=
+    JACCARD_THRESHOLD — the shared verify stage of dedup_minhash_lsh
+    and its streaming twin (stream_dedup_minhash), factored out so
+    the two cannot drift. Shingle arrays are built only AFTER both
+    text joins, i.e. only for candidate rows."""
     txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     sh_a = tx.char_shingles(F.col("text_a"), SHINGLE_K)

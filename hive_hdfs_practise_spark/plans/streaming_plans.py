@@ -360,3 +360,36 @@ def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = canonical_urls(stream.select("doc_id", synth_url_col().alias("url")))
     out = keys.select("canonical_url").dropDuplicates(["canonical_url"])
     return run_available_now(out, "stream_url_dedup", "append")
+
+
+def _stream_minhash_oracle() -> str:
+    from .dedup import _minhash_lsh_oracle
+
+    return _minhash_lsh_oracle()
+
+
+@register("stream_dedup_minhash", oracle=_stream_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup screen — the 11th value-checked
+    stream twin: per-band bucket state held across micro-batches
+    (see ``streaming/minhash_stream.py`` for the full shape: numpy
+    md5-family signatures per batch, applyInPandasWithState bucket
+    collisions with the batch agreement prefilter). The sink stream
+    is the CANDIDATE alert stream (duplicates across bands possible,
+    exactly like the batch pipeline pre-distinct); downstream the
+    candidates dedupe and exact-Jaccard-verify against the static
+    corpus through the SAME ``exact_jaccard_pairs`` the batch twin
+    uses, so on bounded input the result EQUALS dedup_minhash_lsh
+    (asserted in tests incl. a forced multi-trigger split) and
+    carries the same full-restatement oracle (the stream pins the
+    md5 verification family at every scale)."""
+    from ..sources.catalog import table
+    from ..streaming.minhash_stream import minhash_candidates
+    from .dedup import exact_jaccard_pairs
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    pairs = minhash_candidates(stream)
+    sunk = run_available_now(pairs, "stream_dedup_minhash", "append")
+    cand = sunk.select("doc_a", "doc_b").distinct()
+    docs = table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(cand, docs)

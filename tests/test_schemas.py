@@ -113,6 +113,8 @@ BUILD_EXECUTES = {
     "documents_remove_duplicate_spans",
     # r8: checkpoints the trigram count table at plan time
     "documents_kn_trigram_perplexity",
+    # r8: streaming query executes at build (availableNow sink)
+    "stream_dedup_minhash",
 }
 
 

@@ -454,3 +454,120 @@ class TestStreamUrlDedup:
             for r in plans.QUERIES["documents_url_dedup"](spark, sf).collect()
         }
         assert dup_groups <= got
+
+
+class TestStreamMinhashDedup:
+    """r8: stream_dedup_minhash — the streaming MinHash-LSH screen
+    must equal the batch dedup_minhash_lsh pair set on bounded input
+    (both run the md5 verification family at sf0.001), including
+    when the corpus is force-split across micro-batches so bucket
+    state provably carries between triggers."""
+
+    @staticmethod
+    def _batch_pairs(spark, sf):
+        return {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in plans.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+        }
+
+    def test_python_signatures_match_jvm(self, spark):
+        """The stream's numpy md5-family signature builder is
+        bit-identical to the batch JVM aggregate (incl. the sentinel
+        and the vanishing-doc downsample cases)."""
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+        from hive_hdfs_practise_spark.streaming.minhash_stream import (
+            _signature,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        jvm = {
+            r.doc_id: list(r.sig)
+            for r in mh.minhash_signature_from_text(
+                d, ["doc_id"], "text", 5, 128, downsample=4, family="md5"
+            ).collect()
+        }
+        texts = {r.doc_id: r.text for r in d.collect()}
+        py = {}
+        for did, text in texts.items():
+            sig = _signature(text)
+            if sig is not None:
+                py[did] = [int(v) for v in sig]
+        assert py == jvm
+
+    def test_single_batch_equals_batch_twin(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in plans.QUERIES["stream_dedup_minhash"](
+                spark, sf
+            ).collect()
+        }
+        assert got == self._batch_pairs(spark, sf) and got
+
+    def test_multi_trigger_split_carries_state(self, spark, tmp_path):
+        """Split the corpus into two files so a known near-dup pair's
+        two docs arrive in DIFFERENT triggers (maxFilesPerTrigger=1):
+        the pair can only emerge from bucket state carried across the
+        trigger boundary."""
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.dedup import (
+            exact_jaccard_pairs,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+        from hive_hdfs_practise_spark.streaming.minhash_stream import (
+            minhash_candidates,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        batch = self._batch_pairs(spark, sf)
+        assert batch
+        split_at = min(p[0] for p in batch)  # doc_a of some known pair
+        docs = table(spark, sf, "documents").select("doc_id", "text")
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        for idx, half in enumerate(
+            [
+                docs.filter(F.col("doc_id") <= split_at),
+                docs.filter(F.col("doc_id") > split_at),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)  # file-source orders triggers by mtime
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            minhash_candidates(stream)
+            .writeStream.format("memory")
+            .queryName("minhash_split_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cand = spark.table("minhash_split_test").select(
+            "doc_a", "doc_b"
+        ).distinct()
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in exact_jaccard_pairs(cand, docs).collect()
+        }
+        assert got == batch
+        # the split is only meaningful if some verified pair straddles
+        # the trigger boundary
+        assert any(a <= split_at < b for a, b, _ in got)
