@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
     "stream_dedup_minhash",
+    "documents_tokenizer_fertility",
+    "split_contamination_by_source",
 ]
 
 

@@ -45,6 +45,8 @@ _FRONT = [
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
     "stream_dedup_minhash",
+    "documents_tokenizer_fertility",
+    "split_contamination_by_source",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

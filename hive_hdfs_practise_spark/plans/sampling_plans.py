@@ -188,6 +188,98 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_contamination_by_source",
+    oracle=rf"""
+    WITH sh AS (
+        SELECT doc_id, {_BUCKET} % 256 AS bucket,
+               list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
+                              for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})]) AS grams
+        FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+              FROM documents)
+    ),
+    tr AS (SELECT doc_id AS train_doc, unnest(grams) AS g FROM sh WHERE bucket < 205),
+    te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231),
+    cont AS (SELECT DISTINCT train_doc FROM tr JOIN te USING (g)),
+    trd AS (
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE ({_BUCKET.replace('doc_id', 'd.doc_id')}) % 256 < 205
+    )
+    SELECT trd.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(sum(CASE WHEN cont.train_doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(CAST(CAST(sum(CASE WHEN cont.train_doc IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / count(*), 6) AS contamination_rate
+    FROM trd LEFT JOIN cont ON cont.train_doc = trd.doc_id
+    GROUP BY trd.source
+    """,
+)
+def split_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE contamination-rate rollup — split_decontamination
+    composed into the report a curation pipeline actually acts on:
+    for each source, how many of its TRAIN-split docs share at least
+    one exact {DECON_NGRAM}-token sequence with ANY test-split doc,
+    and the rate. A source with an outlier rate is re-crawled or
+    quarantined wholesale (benchmark mirrors, paste sites), which is
+    a source-level decision, not a pair-level one.
+
+    Scale shape: the gram join is split_decontamination's (one
+    shuffle on the gram key; the test side is small → broadcast at
+    scale); the contaminated-doc set distincts AFTER the selective
+    join; the rollup is one tiny per-source aggregate over the
+    train-doc table with a left join against that set. All counts
+    exact integers; the rate divides two of them."""
+    from ..operators.sampling import dataset_split
+
+    d = wide_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= DECON_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
+                lambda x: F.array_join(F.slice(toks, x, DECON_NGRAM), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = dataset_split(d, "doc_id", 80, 10)
+    sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    te = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    cont = tr.join(te, "g").select("train_doc").distinct()
+    trd = sp.filter(F.col("split") == "train").select("doc_id", "source")
+    flagged = trd.join(
+        cont.withColumnRenamed("train_doc", "doc_id").withColumn(
+            "_hit", F.lit(1)
+        ),
+        "doc_id",
+        "left",
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_train_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 # Bloom-filter decontamination — the scale twin of
 # split_decontamination (the GPT-3/PaLM-style screen: the benchmark
 # side is SMALL and fixed, so its n-grams compress into an m-bit

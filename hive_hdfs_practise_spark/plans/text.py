@@ -1050,6 +1050,96 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fertility_oracle() -> str:
+    parts, last = _bpe_ctes()
+    parts.append(
+        r"""dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS word
+        FROM documents
+    ),
+    perdoc AS (
+        SELECT dw.doc_id,
+               count(*) AS n_words,
+               CAST(sum(length(s.word)) AS BIGINT) AS n_chars,
+               CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens
+        FROM dw JOIN """
+        + last
+        + """ s USING (word)
+        GROUP BY dw.doc_id
+    )"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(CAST(sum(p.n_tokens) AS BIGINT) AS DOUBLE)
+                 / CAST(sum(p.n_words) AS BIGINT), 6) AS tokens_per_word,
+           round(CAST(CAST(sum(p.n_tokens) AS BIGINT) AS DOUBLE)
+                 / CAST(sum(p.n_chars) AS BIGINT), 6) AS tokens_per_char
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+    )
+
+
+@register("documents_tokenizer_fertility", oracle=_fertility_oracle())
+def documents_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per source: tokens/word and
+    tokens/char under the learned BPE_ROUNDS-merge vocabulary — the
+    standard multi-source tokenizer health check (a source whose
+    fertility is far above the corpus mean is being shredded into
+    char-level pieces; its effective context shrinks and its training
+    cost per character balloons). Rides text_bpe_apply's join-back
+    idiom: per-word segmentation lengths come from the ≤|vocab|-row
+    table, per-doc integer partials aggregate first (Expand-free
+    n_docs: the second-level count(*) over the per-doc grid replaces
+    a combined count(DISTINCT) that would double the exploded scan),
+    then one tiny per-source rollup. Ratios divide two exact int64
+    sums — bit-identical cross-engine before the 6dp round."""
+    syms, _ = _bpe_learn(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    seg = syms.select(
+        "word", F.length("word").alias("wlen"), F.size("syms").alias("ntok")
+    )
+    perdoc = (
+        dw.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wlen").alias("n_chars"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )
+    return (
+        perdoc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_chars"), 6
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
 # Boilerplate detection: word n-grams shared by many DISTINCT
 # documents (headers, footers, license blurbs, navigation chrome) —
 # the cross-document counterpart of text_repetition_score's

@@ -115,6 +115,8 @@ BUILD_EXECUTES = {
     "documents_kn_trigram_perplexity",
     # r8: streaming query executes at build (availableNow sink)
     "stream_dedup_minhash",
+    # r8: rides _bpe_learn's per-round symbol-table checkpoints
+    "documents_tokenizer_fertility",
 }
 
 
