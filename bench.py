@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "stream_dedup_minhash",
     "documents_tokenizer_fertility",
     "split_contamination_by_source",
+    "dedup_survivors_quality",
 ]
 
 

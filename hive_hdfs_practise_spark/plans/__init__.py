@@ -47,6 +47,7 @@ _FRONT = [
     "stream_dedup_minhash",
     "documents_tokenizer_fertility",
     "split_contamination_by_source",
+    "dedup_survivors_quality",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

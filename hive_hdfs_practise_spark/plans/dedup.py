@@ -591,12 +591,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(connected_components(pairs))
 
 
-def _clusters_lsh_oracle() -> str:
-    """SQL restatement of dedup_clusters_lsh (md5 family): lang-
-    blocked LSH candidates → exact-Jaccard verify → the same
-    recursive-CTE transitive closure dedup_clusters uses."""
-    return f"""
-    WITH RECURSIVE {_minhash_cand_ctes("documents", downsample=1, lang=True)},
+def _clusters_walk_body() -> str:
+    """WITH-body (first CTE through ``walk``) of the LSH-cluster
+    transitive closure — shared by dedup_clusters_lsh and
+    dedup_survivors_quality (plans/text.py) so the cluster semantics
+    cannot drift. Callers prepend WITH RECURSIVE and select from
+    ``walk``."""
+    return f"""{_minhash_cand_ctes("documents", downsample=1, lang=True)},
     fsh AS (
         SELECT doc_id,
                list_distinct([substring(text, x, {SHINGLE_K})
@@ -624,7 +625,15 @@ def _clusters_lsh_oracle() -> str:
         SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
-    )
+    )"""
+
+
+def _clusters_lsh_oracle() -> str:
+    """SQL restatement of dedup_clusters_lsh (md5 family): lang-
+    blocked LSH candidates → exact-Jaccard verify → the same
+    recursive-CTE transitive closure dedup_clusters uses."""
+    return f"""
+    WITH RECURSIVE {_clusters_walk_body()}
     SELECT u AS doc_id,
            min(m) AS cluster_id,
            (u = min(m)) AS is_survivor
@@ -648,6 +657,15 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't)."""
     from ..dedup.clusters import connected_components, dedup_survivors
 
+    return dedup_survivors(
+        connected_components(_lsh_verified_pairs(spark, sf_dir))
+    )
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lang-blocked LSH candidate pairs, exact-Jaccard-verified —
+    the pair front end of dedup_clusters_lsh, shared with
+    dedup_survivors_quality (plans/text.py)."""
     family = mh.minhash_family(sf_dir)
     d = wide_table(spark, sf_dir, "documents")
     sigs = mh.minhash_signature_from_text(
@@ -668,7 +686,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    pairs = (
+    return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .filter(
@@ -677,7 +695,6 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    return dedup_survivors(connected_components(pairs))
 
 
 # Banded hyperplane LSH for the UNBLOCKED embedding near-dup path:

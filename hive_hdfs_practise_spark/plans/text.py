@@ -172,6 +172,60 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("doc_id", quality.alias("quality"))
 
 
+def _survivors_quality_oracle() -> str:
+    # module-order note: dedup is already imported by plans/__init__
+    # BEFORE text (alphabetical), so this import cannot reorder the
+    # registry
+    from .dedup import _clusters_walk_body
+
+    return f"""
+    WITH RECURSIVE {_clusters_walk_body()},
+    cl AS (SELECT u AS doc_id, min(m) AS cluster_id FROM walk GROUP BY u),
+    q AS (SELECT * FROM ({_quality_oracle()}))
+    SELECT cl.doc_id, cl.cluster_id, q.quality,
+           (row_number() OVER (
+                PARTITION BY cl.cluster_id
+                ORDER BY q.quality DESC, cl.doc_id
+            ) = 1) AS is_survivor
+    FROM cl JOIN q USING (doc_id)
+    """
+
+
+@register("dedup_survivors_quality", oracle=_survivors_quality_oracle())
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization by QUALITY: the same
+    LSH-verified connected components as ``dedup_clusters_lsh``, but
+    the survivor of each cluster is its highest-quality member
+    (text_quality_score, doc_id tiebreak) instead of the min-id —
+    the decision a curation pipeline actually makes ("among these
+    near-copies, keep the cleanest one", à la the RefinedWeb/FineWeb
+    dedup stage). Both halves are existing oracled machinery: the
+    recursive-CTE closure and the quality CTE compose, and the
+    argmax is one per-cluster window on the already-rounded 4dp
+    quality (engine-identical values, unique tiebreak).
+
+    Scale shape: pair generation + closure are dedup_clusters_lsh's
+    (banded, never all-pairs; per-round checkpointed CC); quality is
+    one corpus scan; the argmax window partitions by cluster —
+    cluster-count parallelism. Builder runs jobs at plan time
+    (signature/shingle/CC checkpoints): BUILD_EXECUTES."""
+    from ..dedup.clusters import connected_components
+    from .dedup import _lsh_verified_pairs
+
+    cl = connected_components(_lsh_verified_pairs(spark, sf_dir))
+    q = text_quality_score(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        cl.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("is_survivor"),
+        )
+    )
+
+
 def _lang_oracle() -> str:
     score_sql = {}
     for lang, markers in tx.LANG_MARKERS.items():

@@ -982,3 +982,30 @@ class TestRemoveDuplicateSpans:
             assert (ol, cl, rm) == (len(text), len(want), len(text) - len(want))
         assert shared not in got[1][0] and shared not in got[2][0]
         assert got[3][0] == rows[2][1]  # clean doc untouched
+
+
+class TestSurvivorsQuality:
+    """r8: dedup_survivors_quality — same clusters as
+    dedup_clusters_lsh, survivor = python argmax of the engine's own
+    quality scores (unique doc_id tiebreak), exactly one per
+    cluster."""
+
+    def test_survivor_is_quality_argmax(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        got = P.QUERIES["dedup_survivors_quality"](spark, sf).collect()
+        assert got
+        base = {
+            r.doc_id: r.cluster_id
+            for r in P.QUERIES["dedup_clusters_lsh"](spark, sf).collect()
+        }
+        assert {r.doc_id: r.cluster_id for r in got} == base
+        by_cluster: dict = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, rows in by_cluster.items():
+            best = max(rows, key=lambda r: (r.quality, -r.doc_id))
+            for r in rows:
+                assert r.is_survivor == (r.doc_id == best.doc_id)
+            assert sum(r.is_survivor for r in rows) == 1

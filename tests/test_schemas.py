@@ -117,6 +117,8 @@ BUILD_EXECUTES = {
     "stream_dedup_minhash",
     # r8: rides _bpe_learn's per-round symbol-table checkpoints
     "documents_tokenizer_fertility",
+    # r8: signature/shingle/CC checkpoints at plan time
+    "dedup_survivors_quality",
 }
 
 
