@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "documents_tokenizer_fertility",
     "split_contamination_by_source",
     "dedup_survivors_quality",
+    "documents_filter_cascade",
 ]
 
 

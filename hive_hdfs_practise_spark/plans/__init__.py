@@ -48,6 +48,7 @@ _FRONT = [
     "documents_tokenizer_fertility",
     "split_contamination_by_source",
     "dedup_survivors_quality",
+    "documents_filter_cascade",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -324,9 +324,11 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_repetition_stats",
-    oracle=r"""
+def _repetition_oracle() -> str:
+    """DuckDB restatement of the per-doc repetition signals — a
+    function so documents_filter_cascade can embed it as a subquery
+    (the _quality_oracle precedent)."""
+    return r"""
     WITH ln AS (
         SELECT doc_id,
                [l for l in string_split(text, chr(10)) if l <> ''] AS ls
@@ -360,8 +362,10 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN lagg ON lagg.doc_id = d.doc_id
     LEFT JOIN bga ON bga.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("text_repetition_stats", oracle=_repetition_oracle())
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals (the Gopher-rule shapes): fraction
     of duplicate non-empty lines and the share of the most frequent
@@ -890,6 +894,122 @@ def documents_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gate, (n1 + n2 + n3).cast("int"))
         .otherwise(F.lit(0))
         .alias("n_redactions"),
+    )
+
+
+# Quality-filter CASCADE (C4/Gopher/RefinedWeb shape): the rules run
+# in a fixed order and each doc is attributed to the FIRST rule that
+# drops it, giving the per-stage funnel a pipeline owner actually
+# reads (which rule costs how much corpus). Thresholds are
+# corpus-calibrated (sf0.01: quality p10 ≈ 0.975, top_bigram_share
+# p97 ≈ 0.1, 118/500 docs lang-'und') and compare the 4dp/6dp
+# ROUNDED scores, so the predicates are engine-exact.
+CASCADE_MIN_QUALITY = 0.98
+CASCADE_MAX_TOP_BIGRAM = 0.07
+CASCADE_MAX_DUP_LINE = 0.3
+
+
+def _filter_cascade_oracle() -> str:
+    return f"""
+    WITH l AS (SELECT * FROM ({_lang_oracle()})),
+    q AS (SELECT * FROM ({_quality_oracle()})),
+    r AS (SELECT * FROM ({_repetition_oracle()})),
+    f AS (
+        SELECT l.doc_id,
+               CASE WHEN l.lang_pred = 'und' THEN 1 ELSE 0 END AS d1,
+               CASE WHEN l.lang_pred <> 'und'
+                         AND q.quality < {CASCADE_MIN_QUALITY}
+                    THEN 1 ELSE 0 END AS d2,
+               CASE WHEN l.lang_pred <> 'und'
+                         AND q.quality >= {CASCADE_MIN_QUALITY}
+                         AND (r.top_bigram_share > {CASCADE_MAX_TOP_BIGRAM}
+                              OR r.dup_line_frac > {CASCADE_MAX_DUP_LINE})
+                    THEN 1 ELSE 0 END AS d3
+        FROM l JOIN q ON q.doc_id = l.doc_id JOIN r ON r.doc_id = l.doc_id
+    ),
+    a AS (
+        SELECT count(*) AS n,
+               CAST(sum(d1) AS BIGINT) AS n1,
+               CAST(sum(d2) AS BIGINT) AS n2,
+               CAST(sum(d3) AS BIGINT) AS n3
+        FROM f
+    )
+    SELECT CAST(s.stage AS INT) AS stage, s.rule,
+           CAST(CASE s.stage WHEN 1 THEN a.n
+                             WHEN 2 THEN a.n - a.n1
+                             ELSE a.n - a.n1 - a.n2 END AS BIGINT) AS n_in,
+           CAST(CASE s.stage WHEN 1 THEN a.n1
+                             WHEN 2 THEN a.n2
+                             ELSE a.n3 END AS BIGINT) AS n_dropped,
+           CAST(CASE s.stage WHEN 1 THEN a.n - a.n1
+                             WHEN 2 THEN a.n - a.n1 - a.n2
+                             ELSE a.n - a.n1 - a.n2 - a.n3
+                END AS BIGINT) AS n_out
+    FROM (VALUES (1, 'langid'), (2, 'quality'), (3, 'repetition'))
+         AS s(stage, rule), a
+    """
+
+
+@register("documents_filter_cascade", oracle=_filter_cascade_oracle())
+def documents_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter FUNNEL with first-fail attribution
+    (see note above): one row per stage — langid → quality →
+    repetition — with docs entering, dropped by this rule, and
+    surviving. Composes the three oracled per-doc scorers; every
+    count is an exact integer.
+
+    Scale shape: the three scorers are independent corpus scans
+    (each already map-side-combining); the funnel itself is one
+    3-way doc-keyed join + a single global aggregate + a 3-row
+    literal cross join — nothing beyond the scorers grows with the
+    corpus."""
+    li = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    q = text_quality_score(spark, sf_dir)
+    rep = text_repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_line_frac", "top_bigram_share"
+    )
+    j = li.join(q, "doc_id").join(rep, "doc_id")
+    d1 = F.when(F.col("lang_pred") == "und", 1).otherwise(0)
+    d2 = F.when(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") < CASCADE_MIN_QUALITY),
+        1,
+    ).otherwise(0)
+    d3 = F.when(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") >= CASCADE_MIN_QUALITY)
+        & (
+            (F.col("top_bigram_share") > CASCADE_MAX_TOP_BIGRAM)
+            | (F.col("dup_line_frac") > CASCADE_MAX_DUP_LINE)
+        ),
+        1,
+    ).otherwise(0)
+    a = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d1).alias("n1"),
+        F.sum(d2).alias("n2"),
+        F.sum(d3).alias("n3"),
+    )
+    stages = spark.createDataFrame(
+        [(1, "langid"), (2, "quality"), (3, "repetition")],
+        "stage int, rule string",
+    )
+    n_in = (
+        F.when(F.col("stage") == 1, F.col("n"))
+        .when(F.col("stage") == 2, F.col("n") - F.col("n1"))
+        .otherwise(F.col("n") - F.col("n1") - F.col("n2"))
+    )
+    n_drop = (
+        F.when(F.col("stage") == 1, F.col("n1"))
+        .when(F.col("stage") == 2, F.col("n2"))
+        .otherwise(F.col("n3"))
+    )
+    return stages.crossJoin(F.broadcast(a)).select(
+        "stage",
+        "rule",
+        n_in.cast("bigint").alias("n_in"),
+        n_drop.cast("bigint").alias("n_dropped"),
+        (n_in - n_drop).cast("bigint").alias("n_out"),
     )
 
 

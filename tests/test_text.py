@@ -744,3 +744,55 @@ class TestHybridRrf:
                 else:
                     seen_single = True
                 prev = (s, r.doc_id)
+
+
+class TestFilterCascade:
+    """r8: documents_filter_cascade — funnel identities plus a python
+    recompute of each stage's drop count from the engine's own three
+    per-doc score tables."""
+
+    def test_funnel_matches_scores(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.text import (
+            CASCADE_MAX_DUP_LINE,
+            CASCADE_MAX_TOP_BIGRAM,
+            CASCADE_MIN_QUALITY,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.stage: (r.rule, r.n_in, r.n_dropped, r.n_out)
+            for r in P.QUERIES["documents_filter_cascade"](spark, sf).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        # chain identity: each stage's survivors feed the next
+        assert got[1][3] == got[2][1] and got[2][3] == got[3][1]
+        for s in (1, 2, 3):
+            assert got[s][1] - got[s][2] == got[s][3]
+        # recompute from the engine's own scorers
+        li = {
+            r.doc_id: r.lang_pred
+            for r in P.QUERIES["text_lang_id"](spark, sf).collect()
+        }
+        q = {
+            r.doc_id: r.quality
+            for r in P.QUERIES["text_quality_score"](spark, sf).collect()
+        }
+        rep = {
+            r.doc_id: (r.dup_line_frac, r.top_bigram_share)
+            for r in P.QUERIES["text_repetition_stats"](spark, sf).collect()
+        }
+        d1 = {d for d in li if li[d] == "und"}
+        d2 = {d for d in li if d not in d1 and q[d] < CASCADE_MIN_QUALITY}
+        d3 = {
+            d
+            for d in li
+            if d not in d1
+            and d not in d2
+            and (
+                rep[d][1] > CASCADE_MAX_TOP_BIGRAM
+                or rep[d][0] > CASCADE_MAX_DUP_LINE
+            )
+        }
+        assert got[1] == ("langid", len(li), len(d1), len(li) - len(d1))
+        assert got[2][2] == len(d2) and got[3][2] == len(d3)
