@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "split_contamination_by_source",
     "dedup_survivors_quality",
     "documents_filter_cascade",
+    "knn_recall_audit",
 ]
 
 

@@ -49,6 +49,7 @@ _FRONT = [
     "split_contamination_by_source",
     "dedup_survivors_quality",
     "documents_filter_cascade",
+    "knn_recall_audit",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

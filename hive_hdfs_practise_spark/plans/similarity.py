@@ -408,6 +408,143 @@ def knn_ivf_indexed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN quality EVALUATION (r8): recall@K of the IVF probe against the
+# exact scan, per query — the audit every vector-search deployment
+# runs before trusting an index (FAISS's standard metric). A fixed
+# panel of stored vectors stands in for the query set; both rankings
+# use the 6dp-rounded cosine with the vec_id tiebreak (the knn_ivf
+# ordering), so the two top-K SETS are engine-exact and the recall
+# is an integer ratio.
+AUDIT_QVECS = [0, 7, 23, 48, 77, 111, 222, 333]
+
+
+def _recall_audit_oracle() -> str:
+    from ..similarity.knn import kmeans_unrolled_cte
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    ids = ", ".join(str(v) for v in AUDIT_QVECS)
+    cfinal = f"c{IVF_ITERS}"
+    return f"""
+    {kmeans_unrolled_cte(IVF_NLIST, IVF_ITERS)},
+    q AS (SELECT vec_id AS qvec, v AS qv FROM e WHERE vec_id IN ({ids})),
+    probe AS (
+        SELECT qvec, cid FROM (
+            SELECT q.qvec, c.cid,
+                   row_number() OVER (PARTITION BY q.qvec
+                                      ORDER BY {dist('q.qv', 'c.c')}, c.cid)
+                       AS rn
+            FROM q, {cfinal} AS c
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    ivf AS (
+        SELECT qvec, vec_id FROM (
+            SELECT q.qvec, f.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qvec
+                       ORDER BY round(list_cosine_similarity(f.v, q.qv), 6)
+                                DESC, f.vec_id) AS rn
+            FROM probe p
+            JOIN af f ON f.cid = p.cid
+            JOIN q ON q.qvec = p.qvec
+            WHERE f.vec_id <> q.qvec
+        ) WHERE rn <= {TOP_K}
+    ),
+    brute AS (
+        SELECT qvec, vec_id FROM (
+            SELECT q.qvec, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qvec
+                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM e, q WHERE e.vec_id <> q.qvec
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT b.qvec,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(i.vec_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+    FROM brute b
+    LEFT JOIN ivf i ON i.qvec = b.qvec AND i.vec_id = b.vec_id
+    GROUP BY b.qvec
+    """
+
+
+@register("knn_recall_audit", oracle=_recall_audit_oracle())
+def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF probe vs the exact scan over the
+    AUDIT_QVECS panel (see note above) — one row per query vector
+    with the hit count and recall.
+
+    Scale shape: ONE quantizer build is shared by all queries (the
+    per-query knn_ivf would retrain k-means per panel member); the
+    probe ranking is |panel| × nlist rows; IVF candidates scan only
+    the probed lists; the brute side is the scoped-ANN verify scan
+    (|panel| broadcast queries against one embeddings pass). The
+    set-compare is a (qvec, vec_id) left join of two ≤K-per-query
+    lists. Builder runs jobs at plan time (kmeans checkpoints):
+    BUILD_EXECUTES."""
+    from ..functions import vectors as vec
+    from ..similarity.knn import assign_clusters, kmeans_centroids
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, IVF_NLIST, IVF_ITERS)
+    assigned = assign_clusters(e, centroids)
+    q = (
+        e.filter(F.col("vec_id").isin(AUDIT_QVECS))
+        .select(
+            F.col("vec_id").alias("qvec"),
+            vec.as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    wp = Window.partitionBy("qvec").orderBy("_d", "cluster_id")
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("_d", vec.l2_distance(F.col("centroid"), F.col("qv")))
+        .select("qvec", "cluster_id", F.row_number().over(wp).alias("rn"))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("qvec", "cluster_id")
+    )
+    score = F.round(
+        vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+    )
+    wr = Window.partitionBy("qvec").orderBy(F.desc("_s"), "vec_id")
+    ivf = (
+        assigned.join(F.broadcast(probe), "cluster_id")
+        .join(F.broadcast(q), "qvec")
+        .where(F.col("vec_id") != F.col("qvec"))
+        .select("qvec", "vec_id", score.alias("_s"))
+        .select("qvec", "vec_id", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qvec", "vec_id")
+    )
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qvec"))
+        .select("qvec", "vec_id", score.alias("_s"))
+        .select("qvec", "vec_id", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qvec", F.col("vec_id").alias("bvec"))
+    )
+    hits = brute.join(
+        ivf.withColumnRenamed("vec_id", "bvec").withColumn("_hit", F.lit(1)),
+        ["qvec", "bvec"],
+        "left",
+    )
+    return hits.groupBy("qvec").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / TOP_K,
+            6,
+        ).alias("recall"),
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

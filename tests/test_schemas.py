@@ -119,6 +119,8 @@ BUILD_EXECUTES = {
     "documents_tokenizer_fertility",
     # r8: signature/shingle/CC checkpoints at plan time
     "dedup_survivors_quality",
+    # r8: kmeans Lloyd checkpoints at plan time
+    "knn_recall_audit",
 }
 
 

@@ -646,3 +646,33 @@ class TestClusterBalancedSample:
         }
         for r in got:
             assert want[r.vec_id] == r.cluster_id
+
+
+class TestRecallAudit:
+    """r8: knn_recall_audit — panel coverage and identities, plus
+    cross-query consistency: the audit's qvec-0 hit count equals the
+    intersection of the registered single-query IVF and brute
+    top-10s (same quantizer, same rounded-cosine rank)."""
+
+    def test_identities_and_cross_query_consistency(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.similarity import (
+            AUDIT_QVECS,
+            TOP_K,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.qvec: (r.n_hits, r.recall)
+            for r in P.QUERIES["knn_recall_audit"](spark, sf).collect()
+        }
+        assert set(got) == set(AUDIT_QVECS)
+        for n, rec in got.values():
+            assert 0 <= n <= TOP_K
+            assert abs(rec - round(n / TOP_K, 6)) < 1e-12
+        ivf = {r.vec_id for r in P.QUERIES["knn_ivf"](spark, sf).collect()}
+        brute = {
+            r.vec_id
+            for r in P.QUERIES["knn_brute_cosine"](spark, sf).collect()
+        }
+        assert got[0][0] == len(ivf & brute)
