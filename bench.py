@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "dedup_survivors_quality",
     "documents_filter_cascade",
     "knn_recall_audit",
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -50,6 +50,7 @@ _FRONT = [
     "dedup_survivors_quality",
     "documents_filter_cascade",
     "knn_recall_audit",
+    "dedup_cross_source_matrix",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

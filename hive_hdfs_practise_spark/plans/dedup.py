@@ -311,6 +311,48 @@ def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS (SELECT * FROM ({_minhash_lsh_oracle()}))
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE near-duplication matrix: the dedup_minhash_lsh
+    pair set rolled up by the (unordered) source pair — the report
+    that tells a curation team WHICH dumps/crawls duplicate each
+    other (same-source mass = internal duplication, cross-source
+    mass = mirror/re-crawl overlap), which drives source-level
+    dedup-ordering decisions. least/greatest canonicalize the pair,
+    so the matrix is triangular and deterministic; counts are exact
+    integers over the same verified pairs the base query emits.
+
+    Scale shape: everything is the banded LSH pipeline; the rollup
+    adds two broadcast-sized doc→source joins and one tiny
+    aggregate."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 HAMMING_THRESHOLD = 6
 
 

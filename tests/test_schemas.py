@@ -121,6 +121,8 @@ BUILD_EXECUTES = {
     "dedup_survivors_quality",
     # r8: kmeans Lloyd checkpoints at plan time
     "knn_recall_audit",
+    # r8: rides dedup_minhash_lsh's signature checkpoint
+    "dedup_cross_source_matrix",
 }
 
 
