@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "documents_filter_cascade",
     "knn_recall_audit",
     "dedup_cross_source_matrix",
+    "embeddings_drift_by_label",
 ]
 
 

@@ -51,6 +51,7 @@ _FRONT = [
     "documents_filter_cascade",
     "knn_recall_audit",
     "dedup_cross_source_matrix",
+    "embeddings_drift_by_label",
     # stalest greens (rotation; evidence round in derive_front output)
     "q1_pricing_summary",
     "q3_shipping_priority",

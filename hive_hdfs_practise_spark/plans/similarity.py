@@ -2263,3 +2263,132 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2sq_fp", "vec_id")
         .limit(TOP_K)
     )
+
+
+# Embedding DRIFT monitor (r8): per-label centroid shift between the
+# two halves of a deterministic md5 split — the training/serving-skew
+# check an embedding pipeline runs when a new batch of vectors lands
+# (same encoder? same preprocessing?). Cross-engine exactness is the
+# hard part: a per-label MEAN of doubles sums in engine-specific
+# order, so the drift is computed entirely in integers — components
+# quantize to 1e6 micros (the established micro idiom), per-(label,
+# half, component) sums are exact int64, and the squared-difference
+# mass Σ_i (sa_i·nb − sb_i·na)² accumulates as DECIMAL(38,0)
+# (~1e29 per term — int64 overflows, decimal is exact in any order).
+# The final sqrt + division is a fixed IEEE sequence on identical
+# inputs. Halves with no rows would divide by zero under ANSI — the
+# drift is CASE-guarded (not post-filtered: predicates reorder) and
+# one-sided labels are dropped on both engines identically.
+DRIFT_SCALE = 1_000_000
+
+
+def _drift_oracle() -> str:
+    bucket = (
+        "((instr('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1))"
+    )
+    return f"""
+    WITH eb AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN {bucket} < 128 THEN 1 ELSE 0 END AS in_a
+        FROM embeddings
+    ),
+    n AS (
+        SELECT label,
+               CAST(sum(in_a) AS BIGINT) AS na,
+               CAST(sum(1 - in_a) AS BIGINT) AS nb
+        FROM eb GROUP BY label
+    ),
+    ex AS (
+        SELECT label, in_a, t.i,
+               CAST(round(v[t.i] * {DRIFT_SCALE}) AS BIGINT) AS q
+        FROM eb, generate_series(1, 64) AS t(i)
+    ),
+    comp AS (
+        SELECT label, i,
+               CAST(coalesce(sum(CASE WHEN in_a = 1 THEN q END), 0)
+                    AS BIGINT) AS sa,
+               CAST(coalesce(sum(CASE WHEN in_a = 0 THEN q END), 0)
+                    AS BIGINT) AS sb
+        FROM ex GROUP BY label, i
+    ),
+    agg AS (
+        SELECT c.label, n.na, n.nb,
+               sum(CAST(c.sa * n.nb - c.sb * n.na AS DECIMAL(38,0))
+                   * CAST(c.sa * n.nb - c.sb * n.na AS DECIMAL(38,0))) AS s2
+        FROM comp c JOIN n ON n.label = c.label
+        GROUP BY c.label, n.na, n.nb
+    )
+    SELECT label, na, nb,
+           round(CASE WHEN na > 0 AND nb > 0
+                      THEN sqrt(CAST(CAST(s2 AS DECIMAL(38,0)) AS DOUBLE))
+                           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                              * {DRIFT_SCALE})
+                      ELSE NULL END, 6) AS centroid_drift
+    FROM agg
+    WHERE na > 0 AND nb > 0
+    """
+
+
+@register("embeddings_drift_by_label", oracle=_drift_oracle())
+def embeddings_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2 centroid drift between the two md5-split halves
+    of the embeddings table (see the exactness note above) — one row
+    per label with both half sizes and the drift.
+
+    Scale shape: one posexplode pass (64 rows per vector) into a
+    map-side-combining (label, half, component) integer-sum
+    aggregate — model-table-sized output (labels × 64); the decimal
+    squared-difference mass and the final scalar math are
+    metadata-scale. No vector ever crosses the exchange unquantized
+    and no float is ever summed."""
+    from ..operators.sampling import md5_bucket
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    eb = e.select(
+        "label",
+        "vec_id",
+        vec.as_double(F.col("embedding")).alias("v"),
+        F.when(md5_bucket(F.col("vec_id")) < 128, 1).otherwise(0).alias("in_a"),
+    )
+    n = eb.groupBy("label").agg(
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("nb"),
+    )
+    ex = eb.select(
+        "label", "in_a", F.posexplode("v").alias("i0", "comp")
+    ).select(
+        "label",
+        "in_a",
+        F.col("i0").alias("i"),
+        F.round(F.col("comp") * DRIFT_SCALE).cast("bigint").alias("q"),
+    )
+    comp = ex.groupBy("label", "i").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("in_a") == 1, F.col("q"))), F.lit(0)
+        ).cast("bigint").alias("sa"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_a") == 0, F.col("q"))), F.lit(0)
+        ).cast("bigint").alias("sb"),
+    )
+    diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+        "decimal(38,0)"
+    )
+    agg = (
+        comp.join(F.broadcast(n), "label")
+        .groupBy("label", "na", "nb")
+        .agg(F.sum(diff * diff).alias("s2"))
+    )
+    drift = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.sqrt(F.col("s2").cast("decimal(38,0)").cast("double"))
+        / (
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            * F.lit(float(DRIFT_SCALE))
+        ),
+    )
+    return (
+        agg.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("label", "na", "nb", F.round(drift, 6).alias("centroid_drift"))
+    )

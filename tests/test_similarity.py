@@ -676,3 +676,61 @@ class TestRecallAudit:
             for r in P.QUERIES["knn_brute_cosine"](spark, sf).collect()
         }
         assert got[0][0] == len(ivf & brute)
+
+
+class TestDriftByLabel:
+    """r8: embeddings_drift_by_label — full python integer recompute
+    (md5 split, 1e6 HALF_UP micros, int sums, exact squared-diff
+    mass, the same fixed IEEE tail)."""
+
+    def test_matches_python_recompute(self, spark):
+        import hashlib
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            wide_table(spark, sf, "embeddings")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        sums: dict = {}
+        cnts: dict = {}
+        for r in rows:
+            in_a = int(hashlib.md5(str(r.vec_id).encode()).hexdigest()[:2], 16) < 128
+            key = (r.label, in_a)
+            cnts[key] = cnts.get(key, 0) + 1
+            vec = sums.setdefault(key, [0] * 64)
+            for i, x in enumerate(r.embedding):
+                q = int(
+                    Decimal(repr(float(x) * 1_000_000)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                vec[i] += q
+        got = {
+            r.label: (r.na, r.nb, r.centroid_drift)
+            for r in P.QUERIES["embeddings_drift_by_label"](spark, sf).collect()
+        }
+        labels = {lab for lab, _ in sums}
+        for lab in labels:
+            na = cnts.get((lab, True), 0)
+            nb = cnts.get((lab, False), 0)
+            if na == 0 or nb == 0:
+                assert lab not in got
+                continue
+            sa = sums.get((lab, True), [0] * 64)
+            sb = sums.get((lab, False), [0] * 64)
+            s2 = sum((sa[i] * nb - sb[i] * na) ** 2 for i in range(64))
+            drift = math.sqrt(float(s2)) / (float(na) * float(nb) * 1_000_000)
+            want = float(
+                Decimal(repr(drift)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            gna, gnb, gd = got[lab]
+            assert (gna, gnb) == (na, nb)
+            assert abs(gd - want) < 1e-9
