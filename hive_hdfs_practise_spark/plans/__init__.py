@@ -41,7 +41,7 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    # round-8 additions (never sampled by construction) go here
+    # round-8 additions (never sampled by construction)
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
     "stream_dedup_minhash",
@@ -52,7 +52,8 @@ _FRONT = [
     "knn_recall_audit",
     "dedup_cross_source_matrix",
     "embeddings_drift_by_label",
-    # stalest greens (rotation; evidence round in derive_front output)
+    # stalest greens (rotation, trimmed to the 50-slot budget —
+    # the driver samples exactly slots 0-49; tools/derive_front.py)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -93,16 +94,6 @@ _FRONT = [
     "dedup_embedding_lsh",
     "distinct_counts",
     "events_kmv_distinct_users",
-    "distinct_counts_approx",
-    "events_theta_setops",
-    "text_token_stats",
-    "text_token_counts_bpe",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "word_freq_topk",
-    "text_repetition_stats",
-    "text_char_bigram_logprob",
 ]
 
 

@@ -441,9 +441,9 @@ def documents_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely DIFFER, so the fusion is a FULL OUTER join of the two
 # top-HYB_LIST lists with single-list scores FP div (K + r) — still
 # one exact integer per doc, engine-identical (same _RRF_FP
-# resolution bound as above). Dense ranks order by the raw cosine
-# double: both engines fold the same casted doubles sequentially in
-# element order (the knn_brute_cosine parity, green since r02).
+# resolution bound as above). Dense ranks order by the 6dp-ROUNDED
+# zero-norm-guarded cosine (the knn_ivf ordering idiom; the guard is
+# restated in SQL so a degenerate vector yields 0.0, never NaN).
 # Missing ranks surface as 0 sentinels (a NULL int column would
 # materialize as float64 in the driver's pandas canon).
 HYB_QVEC = [(1, 11), (2, 22), (3, 33)]
@@ -471,8 +471,13 @@ def _hybrid_rrf_oracle() -> str:
         SELECT q.qid, e.vec_id AS doc_id,
                row_number() OVER (
                    PARTITION BY q.qid
-                   ORDER BY list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+                   ORDER BY round(CASE
+                       WHEN list_sum(list_transform(
+                                CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
+                            AND list_sum(list_transform(q.qv, x -> x * x)) > 0
+                       THEN list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), q.qv)
+                       ELSE 0.0 END, 6) DESC, e.vec_id
                ) AS rb
         FROM embeddings e, qv q
         WHERE e.vec_id <> q.qvec
@@ -540,15 +545,19 @@ def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvec.join(e, qvec.qvec == e.vec_id)
         .select("qid", "qvec", vec.as_double(F.col("embedding")).alias("qv"))
     )
+    # rank on the 6dp-ROUNDED guarded cosine (r8 review: the sibling
+    # knn oracles' idiom; vec.cosine's zero-norm→0.0 guard is
+    # restated in the oracle so a degenerate vector cannot inject a
+    # NaN ordering divergence)
     wb = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
     rbl = (
         e.join(F.broadcast(qv), e.vec_id != qv.qvec)
         .select(
             "qid",
             F.col("vec_id").alias("doc_id"),
-            vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")).alias(
-                "cos"
-            ),
+            F.round(
+                vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos"),
         )
         .select("qid", "doc_id", F.row_number().over(wb).alias("rb"))
         .where(F.col("rb") <= HYB_LIST)

@@ -130,11 +130,11 @@ def orders_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # common phrases; 8-token sequences match only real leakage).
 DECON_NGRAM = 8
 
-
-@register(
-    "split_decontamination",
-    oracle=rf"""
-    WITH sh AS (
+# Shared construction for the decontamination family (exact pair
+# screen, per-source rollup, Bloom sketch): the distinct token-8-gram
+# stream under the 80/10/10 hash split, as matching Spark and SQL
+# forms so the three queries cannot drift (r8 review).
+_DECON_SH_SQL = rf"""sh AS (
         SELECT doc_id, {_BUCKET} % 256 AS bucket,
                list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
                               for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})]) AS grams
@@ -142,24 +142,15 @@ DECON_NGRAM = 8
               FROM documents)
     ),
     tr AS (SELECT doc_id AS train_doc, unnest(grams) AS g FROM sh WHERE bucket < 205),
-    te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231)
-    SELECT train_doc, test_doc, count(*) AS n_shared
-    FROM tr JOIN te USING (g)
-    GROUP BY train_doc, test_doc
-    """,
-)
-def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-leakage screen: every (train doc, test doc) pair of
-    the 80/10/10 hash split sharing at least one exact
-    DECON_NGRAM-token sequence, with the shared-gram count — the
-    decontamination step a training pipeline runs before the split
-    ships. Scale shape: per-doc DISTINCT grams explode to (gram,
-    doc) rows and the train×test match is one shuffle on the gram
-    key (at 100 TB the test/benchmark side is small → broadcast);
-    long n-grams keep the join selective, exactly why the screen
-    uses 8-token sequences and not shingles. The dynamic-length
-    sequence is guarded (docs under 8 tokens emit no grams) because
-    Spark's sequence() counts DOWN on an empty range."""
+    te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231)"""
+
+
+def _decon_gram_stream(spark: SparkSession, sf_dir: str):
+    """(sh, sp): the exploded (doc_id, split, g) distinct-8-gram
+    stream and the split-labelled documents frame. The dynamic-length
+    sequence is guarded (docs under {DECON_NGRAM} tokens emit no
+    grams) because Spark's sequence() counts DOWN on an empty
+    range."""
     from ..operators.sampling import dataset_split
 
     d = wide_table(spark, sf_dir, "documents")
@@ -175,6 +166,32 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     sp = dataset_split(d, "doc_id", 80, 10)
     sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    return sh, sp
+
+
+
+@register(
+    "split_decontamination",
+    oracle=f"""
+    WITH {_DECON_SH_SQL}
+    SELECT train_doc, test_doc, count(*) AS n_shared
+    FROM tr JOIN te USING (g)
+    GROUP BY train_doc, test_doc
+    """,
+)
+def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage screen: every (train doc, test doc) pair of
+    the 80/10/10 hash split sharing at least one exact
+    DECON_NGRAM-token sequence, with the shared-gram count — the
+    decontamination step a training pipeline runs before the split
+    ships. Scale shape: per-doc DISTINCT grams explode to (gram,
+    doc) rows and the train×test match is one shuffle on the gram
+    key (at 100 TB the test/benchmark side is small → broadcast);
+    long n-grams keep the join selective, exactly why the screen
+    uses 8-token sequences and not shingles (gram/split construction
+    shared across the decontamination family: _decon_gram_stream /
+    _DECON_SH_SQL)."""
+    sh, _ = _decon_gram_stream(spark, sf_dir)
     tr = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "g"
     )
@@ -190,16 +207,8 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_contamination_by_source",
-    oracle=rf"""
-    WITH sh AS (
-        SELECT doc_id, {_BUCKET} % 256 AS bucket,
-               list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
-                              for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})]) AS grams
-        FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
-              FROM documents)
-    ),
-    tr AS (SELECT doc_id AS train_doc, unnest(grams) AS g FROM sh WHERE bucket < 205),
-    te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231),
+    oracle=f"""
+    WITH {_DECON_SH_SQL},
     cont AS (SELECT DISTINCT train_doc FROM tr JOIN te USING (g)),
     trd AS (
         SELECT d.doc_id, d.source
@@ -231,22 +240,9 @@ def split_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     scale); the contaminated-doc set distincts AFTER the selective
     join; the rollup is one tiny per-source aggregate over the
     train-doc table with a left join against that set. All counts
-    exact integers; the rate divides two of them."""
-    from ..operators.sampling import dataset_split
-
-    d = wide_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= DECON_NGRAM,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
-                lambda x: F.array_join(F.slice(toks, x, DECON_NGRAM), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = dataset_split(d, "doc_id", 80, 10)
-    sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    exact integers; the rate divides two of them. Gram/split
+    construction shared with the exact twin (_decon_gram_stream)."""
+    sh, sp = _decon_gram_stream(spark, sf_dir)
     tr = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "g"
     )
@@ -384,22 +380,8 @@ def split_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, where the filter build is constant and the probe is the
     only corpus-sized stage. Builder checkpoints the filter at plan
     time: BUILD_EXECUTES."""
-    from ..operators.sampling import dataset_split
-
     m = DECON_BLOOM_M
-    d = wide_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= DECON_NGRAM,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
-                lambda x: F.array_join(F.slice(toks, x, DECON_NGRAM), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = dataset_split(d, "doc_id", 80, 10)
-    sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
+    sh, _ = _decon_gram_stream(spark, sf_dir)
     hashed = sh.select("doc_id", "split", F.md5(F.col("g")).alias("h"))
     u32 = lambda s: (  # noqa: E731
         F.conv(F.substring(F.col("h"), s, 8), 16, 10).cast("bigint") % m

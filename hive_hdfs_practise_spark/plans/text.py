@@ -146,14 +146,10 @@ def _token_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_quality_score", oracle=_quality_oracle())
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (Gopher/C4-rule spirit): mean
-    token length window + stopword presence + punctuation/digit
-    density penalties → [0,1]. (Column-expression form:
-    ``functions/text.py::quality_score`` — this plan uses the
-    explode fast path, same values.)"""
-    f = _token_agg(spark, sf_dir)
+def _quality_col() -> F.Column:
+    """The composite quality score as a COLUMN over the _token_agg
+    feature frame — shared by text_quality_score and
+    documents_filter_cascade (one feature pass, r8 review)."""
     mtl = F.when(
         F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")
     ).otherwise(F.lit(0.0))
@@ -162,14 +158,37 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     p_ratio = F.when(F.col("n") > 0, F.col("n_punct") / F.col("n")).otherwise(F.lit(0.0))
     d_ratio = F.when(F.col("n") > 0, F.col("n_digit") / F.col("n")).otherwise(F.lit(0.0))
-    quality = F.round(
+    return F.round(
         0.4 * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
         + 0.2 * F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
         + 0.2 * (1.0 - F.least(p_ratio * 5.0, F.lit(1.0)))
         + 0.2 * (1.0 - F.least(d_ratio * 5.0, F.lit(1.0))),
         4,
     )
-    return f.select("doc_id", quality.alias("quality"))
+
+
+def _langpred_col() -> F.Column:
+    """The deterministic language-ID argmax as a COLUMN over the
+    _token_agg feature frame — shared by text_lang_id and
+    documents_filter_cascade."""
+    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
+    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
+    top = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(tx.LANG_PRIORITY):
+        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
+    return F.when(top > 0, pred).otherwise(F.lit("und"))
+
+
+@register("text_quality_score", oracle=_quality_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (Gopher/C4-rule spirit): mean
+    token length window + stopword presence + punctuation/digit
+    density penalties → [0,1]. (Column-expression form:
+    ``functions/text.py::quality_score`` — this plan uses the
+    explode fast path, same values.)"""
+    f = _token_agg(spark, sf_dir)
+    return f.select("doc_id", _quality_col().alias("quality"))
 
 
 def _survivors_quality_oracle() -> str:
@@ -262,17 +281,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-expressible. (Column form: ``functions/text.py::lang_id``;
     this plan uses the shared explode fast path.)"""
     f = _token_agg(spark, sf_dir)
-    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
-    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
-    top = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(tx.LANG_PRIORITY):
-        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
-    pred = F.when(top > 0, pred).otherwise(F.lit("und"))
     labels = wide_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("lang_label")
     )
-    return f.join(labels, "doc_id").select("doc_id", "lang_label", pred.alias("lang_pred"))
+    return f.join(labels, "doc_id").select(
+        "doc_id", "lang_label", _langpred_col().alias("lang_pred")
+    )
 
 
 @register(
@@ -958,17 +972,23 @@ def documents_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving. Composes the three oracled per-doc scorers; every
     count is an exact integer.
 
-    Scale shape: the three scorers are independent corpus scans
-    (each already map-side-combining); the funnel itself is one
-    3-way doc-keyed join + a single global aggregate + a 3-row
-    literal cross join — nothing beyond the scorers grows with the
+    Scale shape: langid and quality derive from ONE shared
+    _token_agg feature pass (two separate scorer calls would rebuild
+    the identical tokenize/explode/aggregate — AQE exchange reuse
+    does not dedupe identical heavy subtrees, the r6 lesson);
+    repetition is its own two-branch scan. The funnel itself is one
+    doc-keyed join + a single global aggregate + a 3-row literal
+    cross join — nothing beyond the scorers grows with the
     corpus."""
-    li = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    q = text_quality_score(spark, sf_dir)
+    feats = _token_agg(spark, sf_dir).select(
+        "doc_id",
+        _langpred_col().alias("lang_pred"),
+        _quality_col().alias("quality"),
+    )
     rep = text_repetition_stats(spark, sf_dir).select(
         "doc_id", "dup_line_frac", "top_bigram_share"
     )
-    j = li.join(q, "doc_id").join(rep, "doc_id")
+    j = feats.join(rep, "doc_id")
     d1 = F.when(F.col("lang_pred") == "und", 1).otherwise(0)
     d2 = F.when(
         (F.col("lang_pred") != "und")

@@ -573,7 +573,15 @@ class TestKnTrigramPerplexity:
     def test_trigram_sharper_than_bigram_on_average(self, spark):
         """LM-depth sanity: a higher-order model trained on the
         scoring corpus assigns it a lower (or equal) mean NLL than
-        the bigram — corpus-level, not per-doc."""
+        the bigram — corpus-level, not per-doc.
+
+        CORPUS-CALIBRATED (r8 review note): this is an empirical
+        property of the sf0.001 corpus, not a theorem — interpolated
+        KN discounting can invert it on a small or heavily
+        restructured corpus with both queries correct. If a corpus
+        refresh flips it, loosen to a small tolerance rather than
+        suspecting the queries (the recompute test above is the
+        correctness pin)."""
         from hive_hdfs_practise_spark import plans as P
 
         sf = "/root/testdata/sf0.001"

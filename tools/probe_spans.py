@@ -10,10 +10,11 @@ one shuffle of the gram table, no persist, no join-back) at 1x/10x/40x.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
