@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "knn_recall_audit",
     "dedup_cross_source_matrix",
     "embeddings_drift_by_label",
+    "stream_kmv_distinct_users",
 ]
 
 

@@ -52,6 +52,7 @@ _FRONT = [
     "knn_recall_audit",
     "dedup_cross_source_matrix",
     "embeddings_drift_by_label",
+    "stream_kmv_distinct_users",
     # stalest greens (rotation, trimmed to the 50-slot budget —
     # the driver samples exactly slots 0-49; tools/derive_front.py)
     "q1_pricing_summary",

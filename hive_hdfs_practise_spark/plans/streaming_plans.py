@@ -362,6 +362,62 @@ def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "stream_url_dedup", "append")
 
 
+def _stream_kmv_oracle() -> str:
+    from .distinct import KMV_K, _kmv_hash_sql
+
+    h = _kmv_hash_sql("user_id")
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {h} AS hv FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM h
+    )
+    SELECT event_type,
+           round(CASE WHEN n_distinct >= {KMV_K}
+                      THEN ({KMV_K} - 1)
+                           / max(CASE WHEN rn = {KMV_K} THEN hv END)
+                      ELSE CAST(n_distinct AS DOUBLE) END, 4) AS n_kmv
+    FROM ranked
+    GROUP BY event_type, n_distinct
+    """
+
+
+@register("stream_kmv_distinct_users", oracle=_stream_kmv_oracle())
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV sketch: distinct users per event type with
+    K-doubles-per-key state merged across micro-batches
+    (``streaming/kmv_stream.py``) — the mergeable-sketch property
+    run live, and the 12th value-checked stream twin. The hash is
+    the batch twin's JVM md5 expression (stateless streaming
+    select); the state function emits running snapshots and the LAST
+    one per key wins downstream of the sink (max_by on the update
+    counter); estimate arithmetic + 4dp rounding happen in ENGINE
+    expressions (python round is half-even). Equals the batch
+    events_kmv_distinct_users estimate on bounded input — min-K of a
+    union IS the min-K of merged min-K states, and a merged set
+    smaller than K is the exact distinct set — so the oracle is the
+    batch restatement minus its exact-count column."""
+    from ..streaming.kmv_stream import kmv_running_state
+    from .distinct import KMV_K, _KMV_H
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type", F.expr(_KMV_H.replace("VARCHAR", "STRING")).alias("hv")
+    )
+    snaps = kmv_running_state(stream, KMV_K)
+    sunk = run_available_now(snaps, "stream_kmv_distinct_users", "append")
+    last = sunk.groupBy("event_type").agg(
+        F.max_by(F.struct("n_state", "hk"), F.col("upd")).alias("s")
+    )
+    est = F.when(
+        F.col("s.n_state") >= KMV_K, (KMV_K - 1) / F.col("s.hk")
+    ).otherwise(F.col("s.n_state").cast("double"))
+    return last.select("event_type", F.round(est, 4).alias("n_kmv"))
+
+
 def _stream_minhash_oracle() -> str:
     from .dedup import _minhash_lsh_oracle
 

@@ -123,6 +123,8 @@ BUILD_EXECUTES = {
     "knn_recall_audit",
     # r8: rides dedup_minhash_lsh's signature checkpoint
     "dedup_cross_source_matrix",
+    # r8: streaming query executes at build (availableNow sink)
+    "stream_kmv_distinct_users",
 }
 
 

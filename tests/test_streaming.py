@@ -571,3 +571,99 @@ class TestStreamMinhashDedup:
         # the split is only meaningful if some verified pair straddles
         # the trigger boundary
         assert any(a <= split_at < b for a, b, _ in got)
+
+
+class TestStreamKmvDistinct:
+    """r8: stream_kmv_distinct_users — the streaming KMV estimate
+    equals the batch sketch on bounded input (mergeability), incl. a
+    forced two-trigger split where per-key min-K state must merge
+    across batches."""
+
+    def test_single_batch_equals_batch_twin(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.event_type: r.n_kmv
+            for r in plans.QUERIES["stream_kmv_distinct_users"](
+                spark, sf
+            ).collect()
+        }
+        batch = {
+            r.event_type: r.n_kmv
+            for r in plans.QUERIES["events_kmv_distinct_users"](
+                spark, sf
+            ).collect()
+        }
+        assert got == batch and got
+
+    def test_multi_trigger_split_merges_state(self, spark, tmp_path):
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.distinct import KMV_K, _KMV_H
+        from hive_hdfs_practise_spark.sources.catalog import table
+        from hive_hdfs_practise_spark.streaming.kmv_stream import (
+            kmv_running_state,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        e = table(spark, sf, "events").select("event_type", "user_id")
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        for idx, half in enumerate(
+            [
+                e.filter(F.col("user_id") % 2 == 0),
+                e.filter(F.col("user_id") % 2 == 1),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .select(
+                "event_type",
+                F.expr(_KMV_H.replace("VARCHAR", "STRING")).alias("hv"),
+            )
+        )
+        q = (
+            kmv_running_state(stream, KMV_K)
+            .writeStream.format("memory")
+            .queryName("kmv_split_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table("kmv_split_test")
+        # keys touched by both triggers emit two snapshots
+        assert sunk.groupBy("event_type").count().agg(
+            F.max("count")
+        ).collect()[0][0] == 2
+        last = sunk.groupBy("event_type").agg(
+            F.max_by(F.struct("n_state", "hk"), F.col("upd")).alias("s")
+        )
+        est = F.when(
+            F.col("s.n_state") >= KMV_K, (KMV_K - 1) / F.col("s.hk")
+        ).otherwise(F.col("s.n_state").cast("double"))
+        got = {
+            r.event_type: r.n_kmv
+            for r in last.select(
+                "event_type", F.round(est, 4).alias("n_kmv")
+            ).collect()
+        }
+        batch = {
+            r.event_type: r.n_kmv
+            for r in plans.QUERIES["events_kmv_distinct_users"](
+                spark, sf
+            ).collect()
+        }
+        assert got == batch
