@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "dedup_cross_source_matrix",
     "embeddings_drift_by_label",
     "stream_kmv_distinct_users",
+    "documents_pack_efficiency",
 ]
 
 

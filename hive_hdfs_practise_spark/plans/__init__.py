@@ -53,6 +53,7 @@ _FRONT = [
     "dedup_cross_source_matrix",
     "embeddings_drift_by_label",
     "stream_kmv_distinct_users",
+    "documents_pack_efficiency",
     # stalest greens (rotation, trimmed to the 50-slot budget —
     # the driver samples exactly slots 0-49; tools/derive_front.py)
     "q1_pricing_summary",

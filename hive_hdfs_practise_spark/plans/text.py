@@ -782,6 +782,105 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_pack_efficiency",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                    - n_tokens AS BIGINT) AS off
+        FROM t
+    ),
+    s AS (
+        SELECT shard, doc_id, n_tokens, off,
+               CASE WHEN n_tokens > 0
+                    AND off // {PACK_BUDGET}
+                        <> (off + n_tokens - 1) // {PACK_BUDGET}
+                    THEN (off + n_tokens - 1) // {PACK_BUDGET}
+                         - off // {PACK_BUDGET}
+                    ELSE 0 END AS n_cuts
+        FROM c
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN n_cuts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split_docs,
+           CAST(sum(n_cuts) AS BIGINT) AS n_cuts,
+           round(CAST(CAST(sum(CASE WHEN n_cuts > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS DOUBLE) / count(*), 6)
+               AS split_frac,
+           round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+                 / (CAST((sum(n_tokens) + {PACK_BUDGET - 1})
+                         // {PACK_BUDGET} AS BIGINT) * {PACK_BUDGET}), 6)
+               AS fill_rate
+    FROM s
+    GROUP BY shard
+    """,
+)
+def documents_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit of the concat-and-chunk layout
+    (``documents_pack_sequences``), per shard: docs, token mass,
+    sequences used, docs CUT by a sequence boundary (the cross-doc
+    attention-contamination / split-loss metric a pretraining team
+    tracks), total cuts, split fraction, and fill rate (concat-and-
+    chunk wastes only each shard's final partial sequence — the
+    audit makes that trade against doc-splitting visible). Same
+    sharded cumulative sum as the packing query; all counts exact
+    integers, the two ratios divide exact int64 sums."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = t.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    n_cuts = F.when(
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"off div {PACK_BUDGET}")
+            != F.expr(f"(off + n_tokens - 1) div {PACK_BUDGET}")
+        ),
+        F.expr(
+            f"(off + n_tokens - 1) div {PACK_BUDGET} - off div {PACK_BUDGET}"
+        ),
+    ).otherwise(F.lit(0))
+    s = c.select("shard", "n_tokens", n_cuts.alias("n_cuts"))
+    agg = s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("n_cuts") > 0, 1).otherwise(0)).alias(
+            "n_split_docs"
+        ),
+        F.sum("n_cuts").alias("n_cuts"),
+    )
+    n_seqs = F.expr(f"(total_tokens + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+    return agg.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seqs.cast("bigint").alias("n_seqs"),
+        F.col("n_split_docs").cast("bigint").alias("n_split_docs"),
+        F.col("n_cuts").cast("bigint").alias("n_cuts"),
+        F.round(
+            F.col("n_split_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("split_frac"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (n_seqs.cast("bigint") * PACK_BUDGET),
+            6,
+        ).alias("fill_rate"),
+    )
+
+
 # Overlapping token-window chunking: the RAG/long-context prep twin
 # of packing — each document splits into fixed-size token windows
 # with stride < window so consecutive chunks overlap.
