@@ -41,7 +41,8 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    # round-8 additions (never sampled by construction)
+    # round-8 additions (never driver-sampled), then the stalest
+    # greens (tools/derive_front.py rotation, 50-slot budget)
     "documents_hybrid_rrf",
     "documents_kn_trigram_perplexity",
     "stream_dedup_minhash",
@@ -54,8 +55,6 @@ _FRONT = [
     "embeddings_drift_by_label",
     "stream_kmv_distinct_users",
     "documents_pack_efficiency",
-    # stalest greens (rotation, trimmed to the 50-slot budget —
-    # the driver samples exactly slots 0-49; tools/derive_front.py)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -94,8 +93,6 @@ _FRONT = [
     "embedding_centroids",
     "knn_lsh_multiprobe",
     "dedup_embedding_lsh",
-    "distinct_counts",
-    "events_kmv_distinct_users",
 ]
 
 
