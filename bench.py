@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "embeddings_drift_by_label",
     "stream_kmv_distinct_users",
     "documents_pack_efficiency",
+    "dedup_minhash_indexed",
 ]
 
 

@@ -399,3 +399,66 @@ def lsh_bands(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.hash(F.slice(sig, b * rows_per_band + 1, rows_per_band)).cast("bigint"),
     )
+
+
+def write_minhash_index(
+    spark,
+    docs: DataFrame,
+    table_prefix: str,
+    k: int = 5,
+    n_perm: int = _N_PERM_DEFAULT,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    downsample: int = 1,
+    family: str = "md5",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the MinHash-LSH index — the dedup family's
+    build-once/probe-repeatedly form (the ``write_ivf_index``
+    pattern):
+
+    - ``{prefix}_bands``: (band, band_key, doc_id), written BUCKETED
+      by (band, band_key) so each LSH bucket's members are co-located
+      — the candidate-pair groupBy then rides the bucketed layout
+      with ZERO exchange (plan-asserted in tests), and an
+      ingestion-time probe of one new document touches only its 16
+      buckets' files.
+    - ``{prefix}_sigs``: (doc_id, sig) — the signatures, for the
+      agreement prefilter and for probing new docs without
+      re-reading corpus text.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sources.writers import write_bucketed
+
+    # same dangling-location dance as similarity/knn.py's
+    # write_ivf_index: a fresh session's catalog has no record of an
+    # earlier session's managed tables, but their files survive
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("_bands", "_sigs"):
+        t = f"{table_prefix}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        parts = t.lower().split(".")
+        rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+        shutil.rmtree(f"{wh}/{rel}", ignore_errors=True)
+
+    sigs = minhash_signature_from_text(
+        docs, ["doc_id"], "text", k, n_perm, downsample=downsample,
+        family=family,
+    )
+    sigs.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_sigs"
+    )
+    banded = spark.table(f"{table_prefix}_sigs").select(
+        "doc_id",
+        F.posexplode(
+            lsh_bands(F.col("sig"), n_bands, rows_per_band, family)
+        ).alias("band", "band_key"),
+    )
+    write_bucketed(
+        banded.select("band", "band_key", "doc_id"),
+        f"{table_prefix}_bands",
+        ["band", "band_key"],
+        n_buckets=n_buckets,
+    )

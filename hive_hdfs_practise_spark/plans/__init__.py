@@ -55,6 +55,7 @@ _FRONT = [
     "embeddings_drift_by_label",
     "stream_kmv_distinct_users",
     "documents_pack_efficiency",
+    "dedup_minhash_indexed",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -92,8 +93,8 @@ _FRONT = [
     "knn_ivf",
     "embedding_centroids",
     "knn_lsh_multiprobe",
-    "dedup_embedding_lsh",
 ]
+
 
 
 def _reorder(front: list[str]) -> None:

@@ -259,6 +259,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification entirely — band collisions admit many mid-Jaccard
     # pairs on shared-vocabulary corpora, and they dominated verify
     # cost. Cutoff 0.55 sits 3.7σ under 0.7 (miss odds ~1e-4).
+    cand = _est_prefilter(cand, sigs)
+    # verify survivors against exact shingle Jaccard. The joins
+    # carry raw text and shingling happens AFTER both joins, so the
+    # (expensive) shingle arrays are built only for rows that
+    # survived the prefilter — a tiny set, and AQE broadcasts it.
+    docs = wide_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(cand, docs)
+
+
+def _est_prefilter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+    """The signature-agreement estimate prefilter shared by
+    dedup_minhash_lsh and dedup_minhash_indexed: candidates whose
+    agreement/N_PERM estimate sits >= 3.7σ under the Jaccard
+    threshold skip exact verification (see the inline commentary in
+    dedup_minhash_lsh)."""
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -270,16 +285,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(N_PERM)
-    cand = (
+    return (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
         .filter(est >= JACCARD_THRESHOLD - 0.15)
         .select("doc_a", "doc_b")
     )
-    # verify survivors against exact shingle Jaccard. The joins
-    # carry raw text and shingling happens AFTER both joins, so the
-    # (expensive) shingle arrays are built only for rows that
-    # survived the prefilter — a tiny set, and AQE broadcasts it.
+
+
+@register("dedup_minhash_indexed", oracle=_minhash_lsh_oracle())
+def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pipeline run off a MATERIALIZED band index —
+    the dedup family's build-once/probe-repeatedly deployment form
+    (the knn_ivf_indexed precedent): ``write_minhash_index`` saves
+    the signatures and a (band, band_key, doc_id) table BUCKETED by
+    the bucket key, so the candidate-pair groupBy rides the bucketed
+    layout with ZERO exchange (plan-asserted in test_dedup) and an
+    ingestion-time probe of one new doc touches only its 16 buckets'
+    files. Candidates, prefilter and verify are the inline query's
+    (shared helpers), so the SAME full-restatement oracle
+    value-checks the materialized index — a green row certifies what
+    was WRITTEN, not just the recompute. Builder writes the index at
+    plan time: BUILD_EXECUTES."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh.write_minhash_index(
+        spark,
+        d,
+        "minhash_doc_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    # bucket-aware reads: the auto heuristic would silently drop the
+    # bucketed layout here (no join needs the distribution), and with
+    # it the exchange-free grouping that is this index's point
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    banded = spark.table("minhash_doc_idx_bands")
+    cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
+    sigs = spark.table("minhash_doc_idx_sigs")
+    cand = _est_prefilter(cand, sigs)
     docs = wide_table(spark, sf_dir, "documents")
     return exact_jaccard_pairs(cand, docs)
 

@@ -1009,3 +1009,44 @@ class TestSurvivorsQuality:
             for r in rows:
                 assert r.is_survivor == (r.doc_id == best.doc_id)
             assert sum(r.is_survivor for r in rows) == 1
+
+
+class TestMinhashIndexed:
+    """r8: dedup_minhash_indexed — the materialized band index. The
+    candidate-pair groupBy must ride the bucketed layout with NO
+    exchange, and the indexed query's output must equal the inline
+    dedup_minhash_lsh pair set."""
+
+    def test_bucketed_candidates_no_exchange_and_parity(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        mh.write_minhash_index(
+            spark, d, "minhash_test_idx", downsample=4, family="md5"
+        )
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        banded = spark.table("minhash_test_idx_bands")
+        cand = mh.pairs_within_buckets(
+            banded, "doc_id", ["band", "band_key"]
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("Exchange")[0]
+        # the aggregate over (band, band_key) must appear BEFORE any
+        # exchange: the bucketed table already provides the hash
+        # distribution (the distinct afterwards may shuffle — that
+        # stream is candidate-sized, not corpus-sized)
+        assert "hashaggregate" in head.lower() or "objecthashaggregate" in head.lower(), plan[:2000]
+        inline = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in P.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+        }
+        indexed = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in P.QUERIES["dedup_minhash_indexed"](spark, sf).collect()
+        }
+        assert indexed == inline and indexed

@@ -125,6 +125,8 @@ BUILD_EXECUTES = {
     "dedup_cross_source_matrix",
     # r8: streaming query executes at build (availableNow sink)
     "stream_kmv_distinct_users",
+    # r8: writes the band index at plan time
+    "dedup_minhash_indexed",
 }
 
 
