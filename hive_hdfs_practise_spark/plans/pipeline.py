@@ -135,36 +135,16 @@ from .registry import register  # noqa: E402
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation chain (see module docstring); per-split doc and
     token counts of the surviving corpus."""
+    # the quality/lang-argmax arithmetic is the SHARED column builders
+    # (r8: the third verbatim copy lived here — review catch)
+    from .text import _langpred_col, _quality_col
+
     d = wide_table(spark, sf_dir, "documents")
     feats = _token_agg(spark, sf_dir)
-
-    # quality (same arithmetic as text_quality_score's fast path)
-    mtl = F.when(
-        F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    sw_ratio = F.when(
-        F.col("n_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    p_ratio = F.when(F.col("n") > 0, F.col("n_punct") / F.col("n")).otherwise(F.lit(0.0))
-    d_ratio = F.when(F.col("n") > 0, F.col("n_digit") / F.col("n")).otherwise(F.lit(0.0))
-    quality = F.round(
-        0.4 * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-        + 0.2 * F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
-        + 0.2 * (1.0 - F.least(p_ratio * 5.0, F.lit(1.0)))
-        + 0.2 * (1.0 - F.least(d_ratio * 5.0, F.lit(1.0))),
-        4,
-    )
-    # language argmax (same rule as text_lang_id)
-    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
-    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
-    top = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(tx.LANG_PRIORITY):
-        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
-    pred = F.when(top > 0, pred).otherwise(F.lit("und"))
-
     judged = feats.select(
-        "doc_id", quality.alias("quality"), pred.alias("lang_pred")
+        "doc_id",
+        _quality_col().alias("quality"),
+        _langpred_col().alias("lang_pred"),
     )
     kept = (
         d.join(judged, "doc_id")

@@ -817,10 +817,12 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(CAST(sum(CASE WHEN n_cuts > 0 THEN 1 ELSE 0 END)
                            AS BIGINT) AS DOUBLE) / count(*), 6)
                AS split_frac,
-           round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
-                 / (CAST((sum(n_tokens) + {PACK_BUDGET - 1})
-                         // {PACK_BUDGET} AS BIGINT) * {PACK_BUDGET}), 6)
-               AS fill_rate
+           round(CASE WHEN sum(n_tokens) > 0
+                      THEN CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+                           / (CAST((sum(n_tokens) + {PACK_BUDGET - 1})
+                                   // {PACK_BUDGET} AS BIGINT)
+                              * {PACK_BUDGET})
+                      ELSE 0.0 END, 6) AS fill_rate
     FROM s
     GROUP BY shard
     """,
@@ -873,9 +875,14 @@ def documents_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_split_docs").cast("double") / F.col("n_docs"), 6
         ).alias("split_frac"),
+        # CASE guard, not a filter: an all-empty-token shard is a legal
+        # corpus (adversarial-corpus class) and n_seqs would be 0
         F.round(
-            F.col("total_tokens").cast("double")
-            / (n_seqs.cast("bigint") * PACK_BUDGET),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_tokens").cast("double")
+                / (n_seqs.cast("bigint") * PACK_BUDGET),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("fill_rate"),
     )

@@ -1035,12 +1035,12 @@ class TestMinhashIndexed:
             banded, "doc_id", ["band", "band_key"]
         )
         plan = cand._jdf.queryExecution().executedPlan().toString()
-        head = plan.split("Exchange")[0]
-        # the aggregate over (band, band_key) must appear BEFORE any
-        # exchange: the bucketed table already provides the hash
-        # distribution (the distinct afterwards may shuffle — that
-        # stream is candidate-sized, not corpus-sized)
-        assert "hashaggregate" in head.lower() or "objecthashaggregate" in head.lower(), plan[:2000]
+        # the bucketed table provides the (band, band_key) hash
+        # distribution, so NO exchange keyed on the bucket columns
+        # may exist anywhere in the plan (plans print root-first, so
+        # a prefix check would vacuously pass — r8 review catch); the
+        # candidate-sized distinct above it may shuffle on doc pairs
+        assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
         inline = {
             (r.doc_a, r.doc_b, r.jaccard)
             for r in P.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
