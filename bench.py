@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "stream_kmv_distinct_users",
     "documents_pack_efficiency",
     "dedup_minhash_indexed",
+    "documents_temperature_mix",
 ]
 
 

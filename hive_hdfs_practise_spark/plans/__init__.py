@@ -56,6 +56,7 @@ _FRONT = [
     "stream_kmv_distinct_users",
     "documents_pack_efficiency",
     "dedup_minhash_indexed",
+    "documents_temperature_mix",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -92,8 +93,8 @@ _FRONT = [
     "knn_lsh_bucketed",
     "knn_ivf",
     "embedding_centroids",
-    "knn_lsh_multiprobe",
 ]
+
 
 
 

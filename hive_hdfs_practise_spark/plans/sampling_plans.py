@@ -1143,3 +1143,81 @@ def embeddings_cluster_balanced_sample(
         .filter(F.col("cluster_rank") <= CBS_QUOTA)
         .withColumn("cluster_rank", F.col("cluster_rank").cast("int"))
     )
+
+
+# Temperature-based source mixing (the multilingual/multi-source
+# sampling rule of mBERT/XLM-R/PaLM data pipelines): sample sources
+# proportionally to n_s^(1/T) with temperature T=2, i.e. sqrt(n_s) —
+# upweights small sources without letting the head dominate. α is
+# PINNED to 1/2 because IEEE sqrt is correctly rounded (a general
+# pow() is not, and would not be engine-exact). Cross-engine float
+# exactness of the NORMALIZER: a plain sum() of the 20 sqrt doubles
+# is merge-order-dependent, so the total is an ORDER-PINNED running
+# sum (window ordered by source name, every engine adds in the same
+# sequence) whose maximum — running sums of positives are monotone —
+# is the total. Each weight is then the same two IEEE ops on
+# identical inputs in both engines.
+@register(
+    "documents_temperature_mix",
+    oracle="""
+    WITH n AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    c AS (
+        SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sq,
+               sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (
+                   ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run
+        FROM n
+    ),
+    t AS (
+        SELECT source, n_docs, sq,
+               max(run) OVER () AS total
+        FROM c
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(sq / total, 9) AS weight,
+           CAST(round(sq / total * 1000000) AS BIGINT) AS per_million
+    FROM t
+    """,
+)
+def documents_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights under temperature-2 mixing (see
+    note above): weight_s = sqrt(n_s) / Σ sqrt(n), plus the
+    per-million sampling quota a data loader consumes.
+
+    Scale shape: one map-side-combining count per source, then
+    everything is SOURCE-CARDINALITY-sized (the ordered window runs
+    over ~|sources| rows — the one place a single-partition window
+    is correct, because the data IS metadata by then)."""
+    d = wide_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = n.select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("sq"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(w).alias("run"),
+    )
+    t = c.select(
+        "source",
+        "n_docs",
+        "sq",
+        F.max("run").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return t.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("sq") / F.col("total"), 9).alias("weight"),
+        F.round(F.col("sq") / F.col("total") * 1000000)
+        .cast("bigint")
+        .alias("per_million"),
+    )

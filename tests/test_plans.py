@@ -1412,3 +1412,50 @@ class TestBloomDecontamination:
         # clean doc has ~40 grams — with FP ~0.5% it may rarely pick
         # up a stray flag, so assert only on the planted doc
         assert got.get(train_id, 0) >= 5
+
+
+class TestTemperatureMix:
+    """r8: documents_temperature_mix — python recompute of the
+    order-pinned normalizer (sum sqrt(n) in source order — the same
+    IEEE sequence both engines run) and the Σ weights ≈ 1 pin."""
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        counts: dict = {}
+        for r in (
+            wide_table(spark, sf, "documents").select("source").collect()
+        ):
+            counts[r.source] = counts.get(r.source, 0) + 1
+        total = 0.0
+        for s in sorted(counts):  # the pinned order
+            total += math.sqrt(float(counts[s]))
+        got = {
+            r.source: (r.n_docs, r.weight, r.per_million)
+            for r in P.QUERIES["documents_temperature_mix"](
+                spark, sf
+            ).collect()
+        }
+        assert set(got) == set(counts)
+        for s, n in counts.items():
+            w = math.sqrt(float(n)) / total
+            want_w = float(
+                Decimal(repr(w)).quantize(
+                    Decimal("0.000000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            want_pm = int(
+                Decimal(repr(w * 1_000_000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            gn, gw, gpm = got[s]
+            assert gn == n
+            assert abs(gw - want_w) < 1e-12
+            assert gpm == want_pm
+        assert abs(sum(w for _, w, _ in got.values()) - 1.0) < 1e-6
