@@ -322,16 +322,29 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket-aware reads: the auto heuristic would silently drop the
     # bucketed layout here (no join needs the distribution), and with
-    # it the exchange-free grouping that is this index's point
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    # it the exchange-free grouping that is this index's point.
+    # build_with_conf scopes the flip to THIS plan (forces the
+    # physical plan, then restores the session conf) so later
+    # bucketed-table queries in a shared bench/sweep session are
+    # unaffected (r8 advice item).
+    from ..operators.confscope import build_with_conf
+
+    def _probe() -> DataFrame:
+        banded = spark.table("minhash_doc_idx_bands")
+        cand = mh.pairs_within_buckets(
+            banded, "doc_id", ["band", "band_key"]
+        )
+        sigs = spark.table("minhash_doc_idx_sigs")
+        pre = _est_prefilter(cand, sigs)
+        docs = wide_table(spark, sf_dir, "documents")
+        return exact_jaccard_pairs(pre, docs)
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
     )
-    banded = spark.table("minhash_doc_idx_bands")
-    cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
-    sigs = spark.table("minhash_doc_idx_sigs")
-    cand = _est_prefilter(cand, sigs)
-    docs = wide_table(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(cand, docs)
 
 
 def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:

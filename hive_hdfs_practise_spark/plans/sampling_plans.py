@@ -1151,36 +1151,41 @@ def embeddings_cluster_balanced_sample(
 # upweights small sources without letting the head dominate. α is
 # PINNED to 1/2 because IEEE sqrt is correctly rounded (a general
 # pow() is not, and would not be engine-exact). Cross-engine float
-# exactness of the NORMALIZER: a plain sum() of the 20 sqrt doubles
-# is merge-order-dependent, so the total is an ORDER-PINNED running
-# sum (window ordered by source name, every engine adds in the same
-# sequence) whose maximum — running sums of positives are monotone —
-# is the total. Each weight is then the same two IEEE ops on
-# identical inputs in both engines.
+# exactness of the NORMALIZER: the total is a genuinely SEQUENTIAL
+# left fold over the source-ordered sqrt list on BOTH sides — Spark
+# aggregate() over a sorted collect_list, DuckDB list_reduce over
+# list(sq ORDER BY source); each engine performs the identical
+# addition sequence on identical doubles, so the total is bit-equal.
+# (The r8 form used a cumulative WINDOW sum as the "order pin" —
+# the r8 advisor measured that DuckDB evaluates cumulative frames
+# via segment-tree combine order above ~32 rows, so that idiom is
+# only exact for tiny partitions; the fold has no such bound, and
+# the many-source adversarial corpus test in test_prefix_sum pins
+# it.) NULL-source docs are excluded on both sides: "unattributed"
+# is not a source, and a nullable fold/order key is on the
+# never-do list (engines disagree on NULL ordering).
 @register(
     "documents_temperature_mix",
     oracle="""
     WITH n AS (
-        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        SELECT source, count(*) AS n_docs FROM documents
+        WHERE source IS NOT NULL GROUP BY source
     ),
     c AS (
-        SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sq,
-               sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (
-                   ORDER BY source
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS run
+        SELECT source, n_docs,
+               sqrt(CAST(n_docs AS DOUBLE)) AS sq
         FROM n
     ),
     t AS (
-        SELECT source, n_docs, sq,
-               max(run) OVER () AS total
+        SELECT list_reduce(list(sq ORDER BY source), (x, y) -> x + y)
+                   AS total
         FROM c
     )
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            round(sq / total, 9) AS weight,
            CAST(round(sq / total * 1000000) AS BIGINT) AS per_million
-    FROM t
+    FROM c, t
     """,
 )
 def documents_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,31 +1194,37 @@ def documents_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-million sampling quota a data loader consumes.
 
     Scale shape: one map-side-combining count per source, then
-    everything is SOURCE-CARDINALITY-sized (the ordered window runs
-    over ~|sources| rows — the one place a single-partition window
-    is correct, because the data IS metadata by then)."""
+    everything is SOURCE-CARDINALITY-sized (the fold runs over a
+    collected ~|sources|-element array — the one place driver-ish
+    single-slot work is correct, because the data IS metadata by
+    then); the tiny one-row total broadcasts back onto the
+    per-source rows."""
     d = wide_table(spark, sf_dir, "documents")
-    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("source").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    n = (
+        d.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     c = n.select(
         "source",
         "n_docs",
         F.sqrt(F.col("n_docs").cast("double")).alias("sq"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(w).alias("run"),
     )
-    t = c.select(
-        "source",
-        "n_docs",
-        "sq",
-        F.max("run").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    # sequential left fold over the source-ordered sqrt list;
+    # 0.0 + x == x exactly for every positive double, so the
+    # zero-start fold performs the same addition sequence as
+    # DuckDB's first-element-start list_reduce
+    tot = c.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "sq"))),
+                lambda s: s["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total")
     )
-    return t.select(
+    return c.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.round(F.col("sq") / F.col("total"), 9).alias("weight"),

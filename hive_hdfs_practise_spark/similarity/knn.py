@@ -175,42 +175,53 @@ def knn_ivf_indexed(
     # when no JOIN/AGG needs the hash distribution — but that also
     # silently drops bucket PRUNING, turning the probe into a full
     # scan ("Bucketed: false (disabled by query planner)"). Pruning
-    # is the entire point of this index, so pin bucketed reads on;
-    # the only cost is one-task-per-bucket parallelism on bucketed
-    # tables, which this engine reads only through paths that want
-    # exactly that.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    assign = spark.table(f"{table_prefix}_assign")
-    qrow = (
-        assign.filter(F.col("vec_id") == query_vec_id)
-        .select(vec.as_double(F.col(vec_col)).alias("qv"))
-        .head()
-    )
-    if qrow is None:
-        raise KeyError(f"query_vec_id {query_vec_id} not in index")
-    qv = list(qrow["qv"])
-    centroids = [
-        (r["cluster_id"], list(r["centroid"]))
-        for r in spark.table(f"{table_prefix}_centroids").collect()
-    ]
-    # argmin over nlist centroids, ties to the lower cluster_id —
-    # same rule as assign_clusters
-    scored = sorted(
-        (sum((a - b) ** 2 for a, b in zip(qv, c)), cid) for cid, c in centroids
-    )
-    probe_ids = [cid for _, cid in scored[:nprobe]]
-    qv_col = F.array(*[F.lit(float(x)) for x in qv])
-    return (
-        assign.filter(F.col("cluster_id").isin(probe_ids))
-        .filter(F.col("vec_id") != query_vec_id)
-        .select(
-            "vec_id",
-            F.round(vec.cosine(vec.as_double(F.col(vec_col)), qv_col), 6).alias(
-                "cosine"
-            ),
+    # is the entire point of this index, so pin bucketed reads on
+    # for THIS plan only: build_with_conf forces the physical plan
+    # under the flipped conf and restores the session value, so the
+    # pin no longer leaks into later queries sharing the session
+    # (r8 advice item).
+    from ..operators.confscope import build_with_conf
+
+    def _probe() -> DataFrame:
+        assign = spark.table(f"{table_prefix}_assign")
+        qrow = (
+            assign.filter(F.col("vec_id") == query_vec_id)
+            .select(vec.as_double(F.col(vec_col)).alias("qv"))
+            .head()
         )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(top_k)
+        if qrow is None:
+            raise KeyError(f"query_vec_id {query_vec_id} not in index")
+        qv = list(qrow["qv"])
+        centroids = [
+            (r["cluster_id"], list(r["centroid"]))
+            for r in spark.table(f"{table_prefix}_centroids").collect()
+        ]
+        # argmin over nlist centroids, ties to the lower cluster_id —
+        # same rule as assign_clusters
+        scored = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)), cid)
+            for cid, c in centroids
+        )
+        probe_ids = [cid for _, cid in scored[:nprobe]]
+        qv_col = F.array(*[F.lit(float(x)) for x in qv])
+        return (
+            assign.filter(F.col("cluster_id").isin(probe_ids))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select(
+                "vec_id",
+                F.round(
+                    vec.cosine(vec.as_double(F.col(vec_col)), qv_col), 6
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(top_k)
+        )
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
     )
 
 

@@ -118,6 +118,16 @@ def signature_bands(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             sig = _signature(text)
             if sig is None:
                 continue
+            # Sentinel (all-P32) signatures — every sub-shingle-length
+            # doc shares them — would collide with agreement 1.0 in
+            # every band, piling O(m²) candidate pairs into each
+            # bucket's state that the exact-Jaccard verify must then
+            # discard (union = 0 can never pass). Skipping them before
+            # banding keeps the VERIFIED pair set identical while the
+            # candidate/state volume stays linear on short-doc-heavy
+            # streams.
+            if sig[0] == P32 and (sig == P32).all():
+                continue
             sig_str = ",".join(str(int(v)) for v in sig)
             for b in range(N_BANDS):
                 key = ",".join(

@@ -1050,3 +1050,22 @@ class TestMinhashIndexed:
             for r in P.QUERIES["dedup_minhash_indexed"](spark, sf).collect()
         }
         assert indexed == inline and indexed
+
+    def test_auto_bucketed_scan_conf_restored(self, spark):
+        """r9 advice fix: the indexed query pins autoBucketedScan=false
+        for ITS plan only — build_with_conf forces the physical plan
+        then restores the session value, so a shared bench/sweep
+        session sees no cross-query side effect. The pinned plan must
+        still be exchange-free after the restore."""
+        from hive_hdfs_practise_spark import plans as P
+
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        spark.conf.set(key, "true")
+        df = P.QUERIES["dedup_minhash_indexed"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert spark.conf.get(key) == "true"  # restored at build time
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(band" not in plan.lower()
+        assert rows

@@ -328,3 +328,79 @@ def test_r8_filter_cascade_survives_adversarial_corpus(
     assert rows[1][0] == 40
     assert rows[1][0] - rows[1][1] == rows[1][2] == rows[2][0]
     assert rows[2][0] - rows[2][1] == rows[2][2] == rows[3][0]
+
+
+@pytest.fixture(scope="module")
+def r9_many_source_dir(tmp_path_factory):
+    """r9 adversarial corpus for the temperature-mix normalizer: 96
+    distinct sources (far past the ~32-row point where DuckDB's
+    cumulative-window segment tree diverges from sequential addition
+    — the r8 advice finding) with irrational-sqrt doc counts, plus
+    NULL-source docs that the query must exclude on both sides."""
+    import pandas as pd
+
+    rows = []
+    doc_id = 0
+    for s in range(96):
+        # 2..31 docs per source, most sqrt(n) irrational
+        n = 2 + ((s * 7 + 3) % 30)
+        for _ in range(n):
+            rows.append((doc_id, f"doc {doc_id} text body", "en",
+                         f"src{s:02d}", 20))
+            doc_id += 1
+    for _ in range(5):  # unattributed docs: must not be a source
+        rows.append((doc_id, f"doc {doc_id} text body", "en", None, 20))
+        doc_id += 1
+    d = tmp_path_factory.mktemp("r9sf")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_r9_temperature_mix_many_sources_cross_engine(
+    spark, r9_many_source_dir
+):
+    """The sequential-fold normalizer must stay bit-exact cross-engine
+    at 96 sources (the window-running-sum idiom it replaced measurably
+    diverged above ~32 rows), and NULL-source docs must vanish."""
+    import math
+
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+
+    got = {
+        r.source: (r.n_docs, r.weight, r.per_million)
+        for r in plans.QUERIES["documents_temperature_mix"](
+            spark, r9_many_source_dir
+        ).collect()
+    }
+    assert len(got) == 96 and None not in got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{r9_many_source_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: (int(r[1]), float(r[2]), int(r[3]))
+        for r in con.execute(
+            plans.ORACLES["documents_temperature_mix"]
+        ).fetchall()
+    }
+    assert got == oracle  # bit-exact: both sides fold in source order
+    # python recompute of the identical sequential fold (Decimal
+    # HALF_UP on the shortest repr — python round() is half-even,
+    # the recurring r7 trap)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    total = 0.0
+    for s in sorted(got):
+        total += math.sqrt(float(got[s][0]))
+    for s, (n, w, pm) in got.items():
+        want = float(
+            Decimal(repr(math.sqrt(float(n)) / total)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert w == want

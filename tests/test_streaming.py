@@ -496,6 +496,36 @@ class TestStreamMinhashDedup:
                 py[did] = [int(v) for v in sig]
         assert py == jvm
 
+    def test_sentinel_signatures_skipped_in_banding(self):
+        """r9 advice fix: sub-shingle-length docs all share the
+        all-P32 sentinel signature, so banding them would make every
+        short doc collide with every other in all 16 bands (O(m²)
+        state per bucket) only for the exact-Jaccard verify to
+        discard the pairs (union = 0). signature_bands must skip
+        them — the sentinel itself stays bit-pinned to the JVM
+        aggregate by test_python_signatures_match_jvm."""
+        import pandas as pd
+
+        from hive_hdfs_practise_spark.streaming.minhash_stream import (
+            P32,
+            _signature,
+            signature_bands,
+        )
+
+        long_text = (
+            "a sufficiently long document body full of shingles and "
+            "words that certainly survive the downsample filter here"
+        )
+        sig = _signature("ab")
+        assert sig is not None and (sig == P32).all()  # still sentinel
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["ab", "", long_text]}
+        )
+        out = list(signature_bands([pdf]))
+        banded_ids = set(pd.concat(out)["doc_id"]) if out else set()
+        assert 1 not in banded_ids and 2 not in banded_ids
+        assert banded_ids == {3}
+
     def test_single_batch_equals_batch_twin(self, spark):
         sf = "/root/testdata/sf0.001"
         got = {
