@@ -225,6 +225,11 @@ BENCH_QUERIES = [
     "documents_pack_efficiency",
     "dedup_minhash_indexed",
     "documents_temperature_mix",
+    # r9 additions. dedup_recall_audit is bench-EXCLUDED: its truth
+    # side is the deliberately-quadratic dedup_ngram_jaccard verifier
+    # (same exclusion class as the other correctness oracles).
+    "dedup_minhash_probe_delta",
+    "documents_perplexity_buckets",
 ]
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -95,9 +95,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+def _ngram_jaccard_oracle() -> str:
+    """Restatement of the exact lang-blocked ground truth — shared by
+    dedup_ngram_jaccard itself and the recall audit, so the audit's
+    "truth" cannot drift from the registered ground-truth query."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, lang,
                list_distinct([substring(text, x, {SHINGLE_K})
@@ -115,8 +117,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
     FROM pairs
     WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 6) >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup pairs: exact Jaccard over character
     5-gram shingle sets, blocked by lang. Quadratic within blocks —
@@ -172,17 +176,28 @@ EST_MIN_MATCHES = math.ceil((JACCARD_THRESHOLD - 0.15) * N_PERM)
 from .minhash_sql import minhash_cand_ctes as _minhash_cand_ctes  # noqa: E402
 
 
+def _est_agreement_sql() -> str:
+    """SQL form of the signature-agreement match count between
+    aliases ``sa``/``sb`` (the _est_prefilter twin), shared by the
+    inline/indexed oracle and the delta-probe oracle so the two
+    cannot drift. Grouped in 8-term parenthesized chunks: a flat
+    128-term ``+`` chain parses left-deep and trips DuckDB's
+    128-deep binder recursion limit; grouping caps the tree depth
+    at ~24."""
+    terms = [
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERM)
+    ]
+    return " + ".join(
+        "(" + " + ".join(terms[g : g + 8]) + ")" for g in range(0, N_PERM, 8)
+    )
+
+
 def _minhash_lsh_oracle() -> str:
     """Full SQL restatement of dedup_minhash_lsh (md5 family):
     candidates → integer-form signature-agreement prefilter → exact
     shingle-Jaccard verify ≥ 0.7."""
-    # grouped in 8-term parenthesized chunks: a flat 128-term `+`
-    # chain parses left-deep and trips DuckDB's 128-deep binder
-    # recursion limit; grouping caps the tree depth at ~24.
-    terms = [f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)]
-    est = " + ".join(
-        "(" + " + ".join(terms[g : g + 8]) + ")" for g in range(0, N_PERM, 8)
-    )
+    est = _est_agreement_sql()
     return f"""
     WITH {_minhash_cand_ctes("documents", downsample=4, lang=False)},
     mh_est AS (
@@ -344,6 +359,262 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false",
         _probe,
+    )
+
+
+# The delta-probe's "new batch": the md5(doc_id) nibble-0 shard
+# (~1/16 of the corpus) plays the just-arrived documents; the other
+# 15/16 are the already-indexed corpus. A hash split (not a range)
+# keeps both sides distributionally representative.
+PROBE_DELTA_NIBBLE = "0"
+_PROBE_DELTA_SQL = (
+    f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = "
+    f"'{PROBE_DELTA_NIBBLE}'"
+)
+
+
+def _probe_delta_col() -> Column:
+    """Spark twin of _PROBE_DELTA_SQL (md5 of the decimal doc_id
+    string is engine-identical — the established md5-halves idiom)."""
+    return (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == PROBE_DELTA_NIBBLE
+    )
+
+
+def _minhash_probe_oracle() -> str:
+    """Full SQL restatement of dedup_minhash_probe_delta: the corpus
+    and delta sides each get their own signature chain (prefixed
+    CTEs), the candidate join is ASYMMETRIC (delta bands × corpus
+    bands — never delta×delta: new-batch-internal dedup is the
+    streaming twin's job), then the shared agreement prefilter and
+    exact-Jaccard verify."""
+    est = _est_agreement_sql()
+    d_chain = _minhash_cand_ctes(
+        "delta_docs", downsample=4, lang=False, prefix="d_",
+        emit_cand=False,
+    )
+    c_chain = _minhash_cand_ctes(
+        "corpus_docs", downsample=4, lang=False, prefix="c_",
+        emit_cand=False,
+    )
+    return f"""
+    WITH delta_docs AS (
+        SELECT doc_id, text FROM documents WHERE {_PROBE_DELTA_SQL}
+    ),
+    corpus_docs AS (
+        SELECT doc_id, text FROM documents WHERE NOT ({_PROBE_DELTA_SQL})
+    ),{d_chain},{c_chain},
+    pr_cand AS (
+        SELECT DISTINCT d.doc_id AS doc_new, c.doc_id AS doc_corpus
+        FROM d_bands d JOIN c_bands c
+          ON d.band = c.band AND d.band_key = c.band_key
+    ),
+    pr_est AS (
+        SELECT p.doc_new, p.doc_corpus
+        FROM pr_cand p
+        JOIN d_sigs sa ON sa.doc_id = p.doc_new
+        JOIN c_sigs sb ON sb.doc_id = p.doc_corpus
+        WHERE {est} >= {EST_MIN_MATCHES}
+    ),
+    fsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    )
+    SELECT e.doc_new, e.doc_corpus,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM pr_est e
+    JOIN fsh a ON a.doc_id = e.doc_new
+    JOIN fsh b ON b.doc_id = e.doc_corpus
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_probe_delta", oracle=_minhash_probe_oracle())
+def dedup_minhash_probe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INGESTION probe of the materialized band index —
+    the operation a production dedup service runs on every new batch
+    (the r8 verdict's top ask): hold out the md5-nibble-0 shard of
+    documents as the "new batch", build the band index from the
+    OTHER 15/16 (write_minhash_index — BUILD_EXECUTES), then
+
+      1. signature ONLY the delta (the corpus is never re-shingled:
+         its signatures/bands come back from the written index);
+      2. band the delta signatures and join them — broadcast, the
+         delta is batch-sized — against the index's bands table for
+         asymmetric (new, corpus) candidates;
+      3. shared agreement prefilter (_est_prefilter) with the corpus
+         side's signatures read from the index's sigs table;
+      4. shared exact-Jaccard verify (exact_jaccard_pairs).
+
+    Output: verified (doc_new, doc_corpus, jaccard) — which incoming
+    docs near-duplicate something already ingested. Probe economics
+    vs rebuild measured in SCALING.md (the probe re-signatures ~1/16
+    of the text and reads precomputed band/sig parquet for the rest;
+    the rebuild pays the full-corpus signature scan). Delta-internal
+    pairs are deliberately NOT emitted: within-batch dedup is
+    stream_dedup_minhash's job, and the asymmetric join is what
+    keeps the probe's cost O(delta × collisions), not O(corpus²).
+    The plan pin (TestMinhashProbeDelta) asserts the probe side
+    generates shingles only once (the delta scan) and reads both
+    index tables."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(_probe_delta_col())
+    corpus = d.filter(~_probe_delta_col())
+    mh.write_minhash_index(
+        spark,
+        corpus,
+        "minhash_probe_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    docs = wide_table(spark, sf_dir, "documents")
+    return probe_minhash_index(
+        spark, delta, "minhash_probe_idx", docs, family
+    )
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_prefix: str,
+    docs: DataFrame,
+    family: str,
+) -> DataFrame:
+    """The PROBE step alone, against an already-written band index —
+    what the ingestion service runs per batch (the registered query
+    wraps it with the index build so the green row certifies both;
+    SCALING.md measures this helper separately for the
+    probe-vs-rebuild economics)."""
+    # delta signatures: tiny (batch × 128 longs), reused by banding
+    # AND the prefilter — checkpoint so neither consumer replays the
+    # delta text scan
+    dsigs = mh.minhash_signature_from_text(
+        delta, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4,
+        family=family,
+    ).localCheckpoint(eager=True)
+    dbands = dsigs.select(
+        F.col("doc_id").alias("doc_new"),
+        F.posexplode(
+            mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND, family)
+        ).alias("band", "band_key"),
+    )
+    idx = spark.table(f"{table_prefix}_bands")
+    # the delta's banded rows broadcast; the index streams map-side —
+    # no shuffle of the (much larger) index ever happens
+    cand = (
+        idx.join(F.broadcast(dbands), ["band", "band_key"])
+        .select(
+            F.col("doc_new").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # corpus signatures come from the INDEX (never recomputed);
+    # delta/corpus doc_ids are disjoint, so the union lookup feeds
+    # the shared prefilter exactly
+    sigs = dsigs.select("doc_id", "sig").unionByName(
+        spark.table(f"{table_prefix}_sigs").select("doc_id", "sig")
+    )
+    pre = _est_prefilter(cand, sigs)
+    return exact_jaccard_pairs(pre, docs).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_corpus"),
+        "jaccard",
+    )
+
+
+@register(
+    "dedup_recall_audit",
+    oracle=f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_ngram_jaccard_oracle()})
+    ),
+    det AS (
+        SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ),
+    t AS (SELECT count(*) AS n_truth FROM truth),
+    d AS (SELECT count(*) AS n_detected FROM det),
+    h AS (
+        SELECT count(*) AS n_hit
+        FROM det JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_detected AS BIGINT) AS n_detected,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_truth - n_hit AS BIGINT) AS n_missed,
+           CAST(n_detected - n_hit AS BIGINT) AS n_extra,
+           CASE WHEN n_truth > 0
+                THEN CAST((n_hit * 1000000) // n_truth AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_micro
+    FROM t, d, h
+    """,
+)
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the LSH dedup pipeline against the exact
+    ground truth (the knn_recall_audit precedent, applied to the
+    dedup family): dedup_minhash_lsh's verified pair set vs
+    dedup_ngram_jaccard's exact lang-blocked pairs, as DATA — the
+    planted-collision tests pin family parity, but no registered
+    query exposed the recall number itself.
+
+    Honest-numbers notes: every detected pair is exact-verified ≥
+    tau, so the only possible "extras" (``n_extra``) are CROSS-LANG
+    true near-dups the lang-blocked ground truth cannot contain —
+    precision against unblocked truth is 1.0 by construction.
+    ``n_missed`` counts truth pairs banding/prefilter never
+    surfaced; at the tau boundary the 16-band×8-row detection
+    probability is 1-(1-j^8)^16 ≈ 0.61 at j=0.7, so a sub-1.0
+    recall on a boundary-heavy corpus is the EXPECTED honest
+    answer, not a defect. recall_micro is an exact integer ratio
+    (×1e6, truncating div both engines), CASE-guarded for an
+    empty-truth corpus.
+
+    Scale shape: rides the two registered pipelines (the exact side
+    is quadratic-within-lang by definition — the audit is a
+    sampled-corpus diagnostic, not a production scan); the final
+    join/counts are pair-set-sized. Builder runs jobs at plan time
+    (the LSH signature checkpoint): BUILD_EXECUTES."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    det = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    d = det.agg(F.count(F.lit(1)).alias("n_detected"))
+    h = det.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        t.crossJoin(d)
+        .crossJoin(h)
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_detected").cast("bigint").alias("n_detected"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            (F.col("n_truth") - F.col("n_hit"))
+            .cast("bigint")
+            .alias("n_missed"),
+            (F.col("n_detected") - F.col("n_hit"))
+            .cast("bigint")
+            .alias("n_extra"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("cast((n_hit * 1000000) div n_truth as bigint)"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("recall_micro"),
+        )
     )
 
 

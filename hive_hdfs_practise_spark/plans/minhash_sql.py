@@ -11,7 +11,13 @@ from ..dedup import minhash as mh
 from .constants import N_BANDS, N_PERM, ROWS_PER_BAND, SHINGLE_K
 
 
-def minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
+def minhash_cand_ctes(
+    src: str,
+    downsample: int,
+    lang: bool,
+    prefix: str = "mh_",
+    emit_cand: bool = True,
+) -> str:
     """CTE chain restating the md5-family MinHash-LSH candidate
     generator over source relation ``src`` (doc_id[, lang], text):
     distinct shingles → md5-derived base hash (÷``downsample``
@@ -24,7 +30,13 @@ def minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
     Docs with no shingles are absent here but present (sentinel
     signature) in Spark — sentinel buckets contain only empty docs,
     whose pairs die at exact verification (0/0 Jaccard), so the
-    verified output is engine-identical."""
+    verified output is engine-identical.
+
+    ``prefix`` renames the CTEs (two chains can coexist in one
+    oracle — the delta-probe query signatures a delta and a corpus
+    side independently); ``emit_cand=False`` stops after
+    ``{prefix}bands`` so the caller can write its own (possibly
+    asymmetric) candidate join."""
     h = mh.md5_shingle_hash_sql("s")
     lang_sel = "lang, " if lang else ""
     lang_grp = ", lang" if lang else ""
@@ -36,25 +48,32 @@ def minhash_cand_ctes(src: str, downsample: int, lang: bool) -> str:
         arms.append(f"WHEN {b} THEN concat_ws(',', {cols})")
     band_key = "CASE b.band " + " ".join(arms) + " END"
     ds = f"WHERE h % {downsample} = 0" if downsample > 1 else ""
-    return f"""
-    mh_sh AS (
+    p = prefix
+    chain = f"""
+    {p}sh AS (
         SELECT doc_id, {lang_sel}
                unnest(list_distinct([substring(text, x, {SHINGLE_K})
                       for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))]))
                AS s
         FROM {src}
     ),
-    mh_h AS (SELECT doc_id, {lang_sel} {h} AS h FROM mh_sh {ds}),
-    mh_sigs AS (
-        SELECT doc_id, {lang_sel} {mins} FROM mh_h GROUP BY doc_id{lang_grp}
+    {p}h AS (SELECT doc_id, {lang_sel} {h} AS h FROM {p}sh {ds}),
+    {p}sigs AS (
+        SELECT doc_id, {lang_sel} {mins} FROM {p}h GROUP BY doc_id{lang_grp}
     ),
-    mh_bands AS (
+    {p}bands AS (
         SELECT doc_id, {lang_sel} b.band, {band_key} AS band_key
-        FROM mh_sigs, generate_series(0, {N_BANDS - 1}) AS b(band)
-    ),
-    mh_cand AS (
+        FROM {p}sigs, generate_series(0, {N_BANDS - 1}) AS b(band)
+    )"""
+    if not emit_cand:
+        return chain
+    return (
+        chain
+        + f""",
+    {p}cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM mh_bands a JOIN mh_bands b
+        FROM {p}bands a JOIN {p}bands b
           ON {lang_join}a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     )"""
+    )

@@ -2047,6 +2047,84 @@ def documents_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet's actual curation ACTION on the perplexity score (Wenzek et
+# al. 2020 §4.3): per language (here: per SOURCE), rank documents by
+# LM perplexity and cut into head / middle / tail TERCILES — head
+# (lowest perplexity) is kept, middle sampled, tail usually dropped.
+# Exactness: the per-token score is the exact integer rational
+# (-logprob_micro · 1e6) / n_tokens, ranked as a DECIMAL(38,0)
+# product // divide (pico-nat resolution; logprob_micro · 1e6 can
+# reach ~2e19 on book-length docs, past int64) with doc_id
+# tiebreak, so ntile boundaries are exact integer rank thresholds —
+# the established ntile-on-integer idiom (customer deciles / RFM).
+@register(
+    "documents_perplexity_buckets",
+    oracle=f"""
+    WITH ppl AS (SELECT * FROM ({{KN_PPL}})),
+    r AS (
+        SELECT p.doc_id, d.source, p.n_tokens,
+               CAST((CAST(-p.logprob_micro AS HUGEINT) * 1000000)
+                    // p.n_tokens AS BIGINT) AS ppl_fp
+        FROM ppl p JOIN documents d USING (doc_id)
+    ),
+    b AS (
+        SELECT r.*,
+               CAST(ntile(3) OVER (
+                   PARTITION BY source ORDER BY ppl_fp, doc_id
+               ) AS INTEGER) AS tercile
+        FROM r
+    )
+    SELECT doc_id, source, n_tokens, ppl_fp,
+           CASE tercile WHEN 1 THEN 'head'
+                        WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(sum(n_tokens) OVER (PARTITION BY source, tercile)
+                AS BIGINT) AS bucket_tokens
+    FROM b
+    """.replace("{KN_PPL}", _kn_ppl_oracle()),
+)
+def documents_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail assignment (see note above): per-source
+    perplexity terciles over the exact-integer KN doc scores, each
+    doc labeled with its bucket plus the bucket's total token mass
+    (what a sampling loader consumes). Zero-token docs carry no LM
+    evidence and are absent (exactly the kn query's domain).
+
+    Scale shape: rides documents_kn_perplexity (one corpus token
+    pass + vocabulary-sized model tables); the tercile window
+    partitions by source over DOC-cardinality rows — the heavy text
+    never enters the window; token mass is one integer window sum
+    on the same partitioning. Builder runs jobs at plan time
+    (the KN bigram checkpoint): BUILD_EXECUTES."""
+    ppl = documents_kn_perplexity(spark, sf_dir)
+    src = wide_table(spark, sf_dir, "documents").select("doc_id", "source")
+    r = ppl.join(src, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            "cast((cast(-logprob_micro as decimal(38,0)) * 1000000)"
+            " div n_tokens as bigint)"
+        ).alias("ppl_fp"),
+    )
+    w = Window.partitionBy("source").orderBy("ppl_fp", "doc_id")
+    b = r.withColumn("tercile", F.ntile(3).over(w))
+    wb = Window.partitionBy("source", "tercile")
+    return b.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "ppl_fp",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.sum("n_tokens").over(wb).cast("bigint").alias("bucket_tokens"),
+    )
+
+
 # Trigram Kneser-Ney with the RECURSIVE backoff (r8, verdict item 4
 # — the LM depth a CCNet-style filter actually runs; KenLM is a
 # 5-gram of this exact structure). Interpolated KN, D = 3/4 at both

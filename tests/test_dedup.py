@@ -1051,6 +1051,52 @@ class TestMinhashIndexed:
         }
         assert indexed == inline and indexed
 
+    def test_probe_delta_plan_and_parity(self, spark):
+        """r9: dedup_minhash_probe_delta — the incremental ingestion
+        probe. (a) Parity: banding is per-doc independent, so the
+        probe's verified (new, corpus) pairs must equal EXACTLY the
+        cross-split subset of the full dedup_minhash_lsh pair set.
+        (b) Plan pin: the probe must read both index tables and never
+        re-shingle the corpus — the only Generate is the delta
+        banding posexplode (delta signatures hide behind their
+        checkpoint), and documents.parquet appears exactly twice
+        (the candidate-bounded verify text joins)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.plans.dedup import (
+            PROBE_DELTA_NIBBLE,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        df = P.QUERIES["dedup_minhash_probe_delta"](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "minhash_probe_idx_bands" in plan
+        assert "minhash_probe_idx_sigs" in plan
+        gens = re.findall(r"Generate (\w+)", plan)
+        assert gens == ["posexplode"], gens
+        assert len(re.findall(r"documents\.parquet", plan)) == 2
+        got = {(r.doc_new, r.doc_corpus, r.jaccard) for r in df.collect()}
+
+        def nib(doc_id):
+            import hashlib
+
+            return hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+
+        want = set()
+        for r in P.QUERIES["dedup_minhash_lsh"](spark, sf).collect():
+            da, db = (
+                nib(r.doc_a) == PROBE_DELTA_NIBBLE,
+                nib(r.doc_b) == PROBE_DELTA_NIBBLE,
+            )
+            if da and not db:
+                want.add((r.doc_a, r.doc_b, r.jaccard))
+            elif db and not da:
+                want.add((r.doc_b, r.doc_a, r.jaccard))
+        assert got == want and got
+
     def test_auto_bucketed_scan_conf_restored(self, spark):
         """r9 advice fix: the indexed query pins autoBucketedScan=false
         for ITS plan only — build_with_conf forces the physical plan

@@ -107,6 +107,8 @@ BUILD_EXECUTES = {
     "split_decontamination_bloom",
     # r7: checkpoints the bigram count table at plan time
     "documents_kn_perplexity",
+    # r9: rides the KN bigram checkpoint
+    "documents_perplexity_buckets",
     # r7: streaming query executes at build (availableNow sink)
     "stream_url_dedup",
     # r7: checkpoints the span table at plan time
@@ -127,6 +129,10 @@ BUILD_EXECUTES = {
     "stream_kmv_distinct_users",
     # r8: writes the band index at plan time
     "dedup_minhash_indexed",
+    # r9: writes the corpus band index + checkpoints delta signatures
+    "dedup_minhash_probe_delta",
+    # r9: rides both pipelines' checkpoints (truth + LSH)
+    "dedup_recall_audit",
 }
 
 

@@ -484,6 +484,75 @@ class TestKnPerplexity:
             assert abs(gavg - avg) < 1e-9
 
 
+class TestPerplexityBuckets:
+    """r9: documents_perplexity_buckets — CCNet head/middle/tail
+    terciles recomputed from scratch in Python on top of the KN doc
+    scores (which TestKnPerplexity pins independently): exact
+    DECIMAL-product fixed-point rate, standard NTILE remainder rule
+    (first n%3 buckets one larger), per-(source, tercile) token
+    mass."""
+
+    def test_matches_python_recompute(self, spark):
+        from collections import defaultdict
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        ppl = {
+            r.doc_id: (r.n_tokens, r.logprob_micro)
+            for r in P.QUERIES["documents_kn_perplexity"](spark, sf).collect()
+        }
+        src = {
+            r.doc_id: r.source
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", "source")
+            .collect()
+        }
+        by_source = defaultdict(list)
+        for did, (n, lpm) in ppl.items():
+            fp = (-lpm * 1_000_000) // n  # positive: // == trunc
+            by_source[src[did]].append((fp, did, n))
+        want = {}
+        for s, rows in by_source.items():
+            rows.sort()
+            n = len(rows)
+            q, rem = divmod(n, 3)
+            sizes = [q + 1 if i < rem else q for i in range(3)]
+            labels = ["head", "middle", "tail"]
+            idx = 0
+            mass = defaultdict(int)
+            assign = []
+            for t in range(3):
+                for _ in range(sizes[t]):
+                    fp, did, ntok = rows[idx]
+                    assign.append((did, t, fp, ntok))
+                    mass[t] += ntok
+                    idx += 1
+            for did, t, fp, ntok in assign:
+                want[did] = (s, ntok, fp, labels[t], mass[t])
+        got = {
+            r.doc_id: (
+                r.source,
+                r.n_tokens,
+                r.ppl_fp,
+                r.bucket,
+                r.bucket_tokens,
+            )
+            for r in P.QUERIES["documents_perplexity_buckets"](
+                spark, sf
+            ).collect()
+        }
+        assert got == want and got
+        # head never has higher max rate than tail's min within a
+        # source (the tercile ordering invariant)
+        for s, rows in by_source.items():
+            heads = [v[2] for k, v in got.items() if v[0] == s and v[3] == "head"]
+            tails = [v[2] for k, v in got.items() if v[0] == s and v[3] == "tail"]
+            if heads and tails:
+                assert max(heads) <= min(tails)
+
+
 class TestKnTrigramPerplexity:
     """r8: documents_kn_trigram_perplexity — from-scratch Python
     recompute of the interpolated trigram KN with the recursive
