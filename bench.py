@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     # (same exclusion class as the other correctness oracles).
     "dedup_minhash_probe_delta",
     "documents_perplexity_buckets",
+    "dedup_survivors_indexed",
 ]
 
 

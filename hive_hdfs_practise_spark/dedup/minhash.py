@@ -412,6 +412,7 @@ def write_minhash_index(
     downsample: int = 1,
     family: str = "md5",
     n_buckets: int = 32,
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize the MinHash-LSH index — the dedup family's
     build-once/probe-repeatedly form (the ``write_ivf_index``
@@ -426,7 +427,12 @@ def write_minhash_index(
     - ``{prefix}_sigs``: (doc_id, sig) — the signatures, for the
       agreement prefilter and for probing new docs without
       re-reading corpus text.
-    """
+
+    ``extra_cols`` (e.g. ``("lang",)``) carries blocking columns
+    into both tables: signatures group on (doc_id, *extra) and the
+    bands rows keep them, so a lang-blocked consumer can group on
+    (lang, band, band_key) — still exchange-free, because the
+    (band, band_key) hash layout co-locates every superset group."""
     import shutil
     from urllib.parse import urlparse
 
@@ -444,20 +450,21 @@ def write_minhash_index(
         shutil.rmtree(f"{wh}/{rel}", ignore_errors=True)
 
     sigs = minhash_signature_from_text(
-        docs, ["doc_id"], "text", k, n_perm, downsample=downsample,
-        family=family,
+        docs, ["doc_id", *extra_cols], "text", k, n_perm,
+        downsample=downsample, family=family,
     )
     sigs.write.mode("overwrite").format("parquet").saveAsTable(
         f"{table_prefix}_sigs"
     )
     banded = spark.table(f"{table_prefix}_sigs").select(
         "doc_id",
+        *extra_cols,
         F.posexplode(
             lsh_bands(F.col("sig"), n_bands, rows_per_band, family)
         ).alias("band", "band_key"),
     )
     write_bucketed(
-        banded.select("band", "band_key", "doc_id"),
+        banded.select("band", "band_key", "doc_id", *extra_cols),
         f"{table_prefix}_bands",
         ["band", "band_key"],
         n_buckets=n_buckets,

@@ -1055,6 +1055,19 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = mh.lsh_candidate_pairs(
         sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
     )
+    return _verify_pairs_full_shingles(spark, sf_dir, cand)
+
+
+def _verify_pairs_full_shingles(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidates against a
+    CHECKPOINTED full-corpus shingle table — the downsample=1
+    family's verify (its candidate stream is wide enough that the
+    one-pass shingle materialization beats per-candidate shingling);
+    shared by the inline pair front end and dedup_survivors_indexed
+    so the two cannot drift."""
+    d = wide_table(spark, sf_dir, "documents")
     shingled = d.select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
     ).localCheckpoint(eager=True)

@@ -245,6 +245,74 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_survivors_indexed", oracle=_survivors_quality_oracle())
+def dedup_survivors_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_survivors_quality riding a MATERIALIZED lang-blocked
+    band index instead of recomputing signatures — the family-reuse
+    answer to the r8 verdict's item 5. The measured 40× story
+    (SCALING.md round-9): reading the 128-long signature ARRAYS back
+    from parquet LOSES to recomputing them (35.7 s vs 23.4 s — wide
+    array decode beats nothing), but reading the BANDS table (16
+    short rows/doc, no signature payload) wins 2.4× (9.9 s vs
+    23.4 s for the identical 85,688-pair front end). So the index
+    shape that matters for the LSH family is the banded one:
+    write once (extra_cols=('lang',) carries the blocking column),
+    then every family member's candidate stage is a bucketed-table
+    groupBy — exchange-free by layout — plus the shared
+    full-shingle verify. This registered form pays the index WRITE
+    inside (the green row certifies the written index, the
+    dedup_minhash_indexed convention); the amortized win applies
+    from the second family member on. Same oracle as
+    dedup_survivors_quality — output is IDENTICAL by construction
+    (parity-pinned in test_dedup). Builder writes the index at plan
+    time: BUILD_EXECUTES."""
+    from ..dedup import minhash as mh
+    from ..dedup.clusters import connected_components
+    from ..operators.confscope import build_with_conf
+    from .constants import N_BANDS, N_PERM, ROWS_PER_BAND, SHINGLE_K
+    from .dedup import _verify_pairs_full_shingles
+
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents")
+    mh.write_minhash_index(
+        spark,
+        d.select("doc_id", "lang", "text"),
+        "minhash_fam_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=1,
+        family=family,
+        extra_cols=("lang",),
+    )
+
+    def _probe() -> DataFrame:
+        banded = spark.table("minhash_fam_idx_bands")
+        cand = mh.pairs_within_buckets(
+            banded, "doc_id", ["lang", "band", "band_key"]
+        )
+        pairs = _verify_pairs_full_shingles(spark, sf_dir, cand)
+        cl = connected_components(pairs)
+        q = text_quality_score(spark, sf_dir)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality"), "doc_id"
+        )
+        return cl.join(q, "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("is_survivor"),
+        )
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
+    )
+
+
 def _lang_oracle() -> str:
     score_sql = {}
     for lang, markers in tx.LANG_MARKERS.items():

@@ -1097,6 +1097,50 @@ class TestMinhashIndexed:
                 want.add((r.doc_b, r.doc_a, r.jaccard))
         assert got == want and got
 
+    def test_survivors_indexed_parity_and_no_exchange(self, spark):
+        """r9: dedup_survivors_indexed must equal
+        dedup_survivors_quality row-for-row (same oracle, same
+        closure/quality machinery — only the pair front end rides
+        the written lang-blocked bands table), and the candidate
+        groupBy over the bucketed index must be exchange-free even
+        though it groups on the SUPERSET (lang, band, band_key) of
+        the (band, band_key) bucket key."""
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+
+        sf = "/root/testdata/sf0.001"
+        df = P.QUERIES["dedup_survivors_indexed"](spark, sf)
+        got = {
+            r.doc_id: (r.cluster_id, r.quality, r.is_survivor)
+            for r in df.collect()
+        }
+        base = {
+            r.doc_id: (r.cluster_id, r.quality, r.is_survivor)
+            for r in P.QUERIES["dedup_survivors_quality"](
+                spark, sf
+            ).collect()
+        }
+        assert got == base and got
+        # superset-grouping exchange pin on the index the query wrote
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            banded = spark.table("minhash_fam_idx_bands")
+            cand = mh.pairs_within_buckets(
+                banded, "doc_id", ["lang", "band", "band_key"]
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(lang" not in plan.lower(), plan[:3000]
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+
     def test_auto_bucketed_scan_conf_restored(self, spark):
         """r9 advice fix: the indexed query pins autoBucketedScan=false
         for ITS plan only — build_with_conf forces the physical plan

@@ -133,6 +133,8 @@ BUILD_EXECUTES = {
     "dedup_minhash_probe_delta",
     # r9: rides both pipelines' checkpoints (truth + LSH)
     "dedup_recall_audit",
+    # r9: writes the lang-blocked family band index at plan time
+    "dedup_survivors_indexed",
 }
 
 
