@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "dedup_minhash_probe_delta",
     "documents_perplexity_buckets",
     "dedup_survivors_indexed",
+    "documents_ngram_novelty",
 ]
 
 

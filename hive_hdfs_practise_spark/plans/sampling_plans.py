@@ -170,6 +170,97 @@ def _decon_gram_stream(spark: SparkSession, sf_dir: str):
 
 
 
+# N-gram NOVELTY in arrival order (the dedup-adjacent freshness
+# metric a curation pipeline tracks per crawl increment): a doc's
+# novelty is the fraction of its distinct token-8-grams that no
+# EARLIER doc (doc_id = arrival order) contains. First-occurrence is
+# min(doc_id) per gram, so the whole metric is TWO map-side-combining
+# aggregates with no gram-table self-join: n_grams(doc) from the
+# gram stream, n_new(doc) = |{g : min claimant = doc}| from the
+# first-claimer table. Ratios are exact ×1e6 integer quotients
+# (truncating div both engines) plus a display double computed from
+# the same exact integers; both CASE-guarded for gram-less docs
+# (sub-8-token texts — the adversarial-corpus 0-division class).
+@register(
+    "documents_ngram_novelty",
+    oracle=rf"""
+    WITH gsh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[x:x + {DECON_NGRAM - 1}], ' ')
+                      for x in generate_series(1, len(toks) - {DECON_NGRAM - 1})])) AS g
+        FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+              FROM documents)
+    ),
+    fo AS (SELECT g, min(doc_id) AS first_doc FROM gsh GROUP BY g),
+    pg AS (SELECT doc_id, count(*) AS n_grams FROM gsh GROUP BY doc_id),
+    pn AS (SELECT first_doc AS doc_id, count(*) AS n_new FROM fo GROUP BY first_doc)
+    SELECT d.doc_id,
+           CAST(coalesce(pg.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(pn.n_new, 0) AS BIGINT) AS n_new,
+           CASE WHEN coalesce(pg.n_grams, 0) > 0
+                THEN CAST((coalesce(pn.n_new, 0) * 1000000) // pg.n_grams AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS novelty_micro,
+           CASE WHEN coalesce(pg.n_grams, 0) > 0
+                THEN round(CAST(coalesce(pn.n_new, 0) AS DOUBLE) / pg.n_grams, 6)
+                ELSE 0.0 END AS novelty
+    FROM documents d
+    LEFT JOIN pg USING (doc_id)
+    LEFT JOIN pn USING (doc_id)
+    """,
+)
+def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc arrival-order 8-gram novelty (see note above): what
+    fraction of this doc's distinct 8-grams is corpus-NEW at its
+    arrival position. Low novelty flags re-crawls/boilerplate even
+    below the near-dup threshold; the running corpus-level mean is
+    the "are we still adding information?" curve crawl teams watch.
+
+    Scale shape: gram explode → two hash aggregates (gram-keyed,
+    then doc-keyed), both map-side combining; NO join ever carries
+    the gram stream against itself (n_new comes from grouping the
+    first-claimer table, gram-vocabulary-sized). At 100 TB the gram
+    aggregate is the same shuffle the decontamination screen already
+    pays; everything after is doc-cardinality."""
+    sh, _ = _decon_gram_stream(spark, sf_dir)
+    gsh = sh.select("doc_id", "g")
+    fo = gsh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    pg = gsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    pn = fo.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    d = wide_table(spark, sf_dir, "documents").select("doc_id")
+    j = (
+        d.join(pg, "doc_id", "left")
+        .join(pn, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_grams",
+        "n_new",
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("cast((n_new * 1000000) div n_grams as bigint)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("novelty_micro"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_new").cast("double") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )
+
+
 @register(
     "split_decontamination",
     oracle=f"""

@@ -1459,3 +1459,51 @@ class TestTemperatureMix:
             assert abs(gw - want_w) < 1e-12
             assert gpm == want_pm
         assert abs(sum(w for _, w, _ in got.values()) - 1.0) < 1e-6
+
+
+class TestNgramNovelty:
+    """r9: documents_ngram_novelty — from-scratch python recompute of
+    the arrival-order first-claimer semantics, plus the fraction<=1
+    pin every whole-relative metric must carry (r7 lesson)."""
+
+    def test_matches_python_recompute(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {
+            r.doc_id: r.text
+            for r in wide_table(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        first = {}
+        per_doc = {}
+        for did in sorted(docs):
+            toks = docs[did].split()
+            grams = {
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            }
+            per_doc[did] = grams
+            for g in grams:
+                first.setdefault(g, did)
+        got = {
+            r.doc_id: (r.n_grams, r.n_new, r.novelty_micro, r.novelty)
+            for r in P.QUERIES["documents_ngram_novelty"](spark, sf).collect()
+        }
+        assert set(got) == set(docs)
+        for did, grams in per_doc.items():
+            n_grams = len(grams)
+            n_new = sum(1 for g in grams if first[g] == did)
+            gn, gnew, gmicro, gnov = got[did]
+            assert gn == n_grams and gnew == n_new
+            if n_grams:
+                assert gmicro == (n_new * 1_000_000) // n_grams
+            else:
+                assert gmicro == 0 and gnov == 0.0
+            assert 0.0 <= gnov <= 1.0
+            assert gmicro <= 1_000_000
+        # the earliest doc with any grams is 100% novel
+        with_grams = [d for d in sorted(per_doc) if per_doc[d]]
+        if with_grams:
+            assert got[with_grams[0]][3] == 1.0
