@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "documents_perplexity_buckets",
     "dedup_survivors_indexed",
     "documents_ngram_novelty",
+    "stream_filter_cascade",
 ]
 
 

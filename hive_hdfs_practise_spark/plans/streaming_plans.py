@@ -449,3 +449,125 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sunk.select("doc_a", "doc_b").distinct()
     docs = table(spark, sf_dir, "documents")
     return exact_jaccard_pairs(cand, docs)
+
+
+def _stream_cascade_oracle() -> str:
+    from .text import _filter_cascade_oracle
+
+    return _filter_cascade_oracle()
+
+
+@register("stream_filter_cascade", oracle=_stream_cascade_oracle())
+def stream_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality-filter funnel — the 13th value-checked
+    stream twin: documents_filter_cascade's first-fail attribution
+    run as arriving docs are scored. Every scorer is a PER-ROW
+    column expression (stateless per micro-batch — the column forms
+    of quality/langid from functions/text.py produce the exact
+    values of the batch explode path, and the repetition stats
+    compute per-doc: dup-line fraction from the line array, and the
+    top-bigram count as a max-run-length FOLD over the SORTED bigram
+    array — linear per doc, no quadratic element-counting lambda).
+    The only stateful operator is ONE global integer-count
+    aggregation (complete mode), whose cross-batch merge is exact by
+    integer addition, so on bounded input the funnel EQUALS the
+    batch twin and carries the SAME oracle. This is the shape an
+    ingestion pipeline actually deploys: score-at-arrival, one
+    running funnel row, no corpus state."""
+    from ..functions import text as tx
+    from .text import (
+        CASCADE_MAX_DUP_LINE,
+        CASCADE_MAX_TOP_BIGRAM,
+        CASCADE_MIN_QUALITY,
+        _cascade_funnel,
+    )
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    agg = cascade_flag_counts(stream)
+    sunk = run_available_now(agg, "stream_filter_cascade", "complete")
+    return _cascade_funnel(spark, sunk)
+
+
+def cascade_flag_counts(stream: DataFrame) -> DataFrame:
+    """Per-row first-fail flags + the single global count aggregate
+    over a (doc_id, text) stream — the whole stateful surface of
+    stream_filter_cascade, factored so the multi-trigger test can
+    drive it on a custom 2-file source."""
+    from ..functions import text as tx
+    from .text import (
+        CASCADE_MAX_DUP_LINE,
+        CASCADE_MAX_TOP_BIGRAM,
+        CASCADE_MIN_QUALITY,
+    )
+
+    quality = tx.quality_score(F.col("text"))
+    lang_pred = tx.lang_id(F.col("text"))
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda ln: ln != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    dup_line_frac = F.round(
+        F.when(
+            n_lines > 0, 1.0 - n_uniq.cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    toks = tx.tokens(F.col("text"))
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_big),
+        F.slice(toks, 2, n_big),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # mode count without a per-element count lambda: sort, then one
+    # linear fold tracking (prev, current run, best run). Tokens are
+    # \S+ so no bigram equals the "" sentinel.
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+    )
+    tot = F.size(bigrams)
+    top_bigram_share = F.round(
+        F.when(tot > 0, run["best"].cast("double") / tot).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    d1 = F.when(lang_pred == "und", 1).otherwise(0)
+    d2 = F.when(
+        (lang_pred != "und") & (quality < CASCADE_MIN_QUALITY), 1
+    ).otherwise(0)
+    d3 = F.when(
+        (lang_pred != "und")
+        & (quality >= CASCADE_MIN_QUALITY)
+        & (
+            (top_bigram_share > CASCADE_MAX_TOP_BIGRAM)
+            | (dup_line_frac > CASCADE_MAX_DUP_LINE)
+        ),
+        1,
+    ).otherwise(0)
+    return stream.select(
+        d1.alias("d1"), d2.alias("d2"), d3.alias("d3")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
+        F.sum("d3").alias("n3"),
+    )

@@ -1184,6 +1184,13 @@ def documents_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d2).alias("n2"),
         F.sum(d3).alias("n3"),
     )
+    return _cascade_funnel(spark, a)
+
+
+def _cascade_funnel(spark: SparkSession, a: DataFrame) -> DataFrame:
+    """The 3-row funnel presentation over a 1-row (n, n1, n2, n3)
+    first-fail counts frame — shared by the batch cascade and its
+    streaming twin so the funnel arithmetic cannot drift."""
     stages = spark.createDataFrame(
         [(1, "langid"), (2, "quality"), (3, "repetition")],
         "stage int, rule string",

@@ -135,6 +135,8 @@ BUILD_EXECUTES = {
     "dedup_recall_audit",
     # r9: writes the lang-blocked family band index at plan time
     "dedup_survivors_indexed",
+    # r9: streaming query executes at build (availableNow sink)
+    "stream_filter_cascade",
 }
 
 

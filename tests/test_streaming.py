@@ -697,3 +697,94 @@ class TestStreamKmvDistinct:
             ).collect()
         }
         assert got == batch
+
+
+class TestStreamFilterCascade:
+    """r9: stream_filter_cascade — the 13th value-checked stream
+    twin. The per-row column scorers must reproduce the batch
+    explode-path values exactly (funnel equality pins it), and the
+    single global count aggregate must merge across a forced
+    multi-trigger split (integer addition — but the test proves the
+    plumbing, not the arithmetic)."""
+
+    def test_equals_batch_twin(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.stage: (r.rule, r.n_in, r.n_dropped, r.n_out)
+            for r in plans.QUERIES["stream_filter_cascade"](
+                spark, sf
+            ).collect()
+        }
+        want = {
+            r.stage: (r.rule, r.n_in, r.n_dropped, r.n_out)
+            for r in plans.QUERIES["documents_filter_cascade"](
+                spark, sf
+            ).collect()
+        }
+        assert got == want and got[1][1] > 0
+
+    def test_multi_trigger_split_merges_counts(self, spark, tmp_path):
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            cascade_flag_counts,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        docs = table(spark, sf, "documents").select("doc_id", "text")
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).head()[0]
+        src = tmp_path / "cascade_stream"
+        src.mkdir()
+        for idx, half in enumerate(
+            [
+                docs.filter(F.col("doc_id") <= mid),
+                docs.filter(F.col("doc_id") > mid),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            cascade_flag_counts(stream)
+            .writeStream.format("memory")
+            .queryName("cascade_split_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress["batchId"] >= 1  # proves >1 trigger ran
+        got = spark.table("cascade_split_test").collect()[-1]
+        full = (
+            cascade_flag_counts(
+                spark.readStream.schema(docs.schema).parquet(str(src))
+            )
+            .writeStream.format("memory")
+            .queryName("cascade_full_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        full.awaitTermination()
+        want = spark.table("cascade_full_test").collect()[-1]
+        assert (got.n, got.n1, got.n2, got.n3) == (
+            want.n,
+            want.n1,
+            want.n2,
+            want.n3,
+        )
+        assert got.n == docs.count()
