@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "dedup_survivors_indexed",
     "documents_ngram_novelty",
     "stream_filter_cascade",
+    "knn_mmr_rerank",
 ]
 
 

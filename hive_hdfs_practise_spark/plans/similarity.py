@@ -2392,3 +2392,167 @@ def embeddings_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.where((F.col("na") > 0) & (F.col("nb") > 0))
         .select("label", "na", "nb", F.round(drift, 6).alias("centroid_drift"))
     )
+
+
+# MMR (Maximal Marginal Relevance) diversified reranking — the
+# standard RAG/retrieval post-pass (Carbonell & Goldstein 1998):
+# from a relevance-ranked candidate pool, greedily pick TOP_K
+# results maximizing relevance-to-query MINUS max similarity to
+# anything already picked (λ = 1/2, so the argmax of
+# λ·rel − (1−λ)·maxsim is the argmax of rel − maxsim). Exactness:
+# relevance and every pairwise similarity are the 6dp-rounded
+# zero-norm-guarded cosines (the knn ordering idiom) lifted to
+# ×1e6 BIGINT micro-units, so every greedy comparison is an exact
+# INTEGER subtraction with vec_id tiebreak; the oracle unrolls all
+# TOP_K selection rounds as a CTE chain (each p_k MATERIALIZED —
+# the next round references it twice, the r6 CTE-inlining lesson).
+MMR_POOL = 50
+
+_DDB_GUARDED_COS = (
+    "CASE WHEN list_sum(list_transform({a}, x -> x * x)) > 0"
+    " AND list_sum(list_transform({b}, x -> x * x)) > 0"
+    " THEN list_cosine_similarity({a}, {b}) ELSE 0.0 END"
+)
+
+
+def _mmr_oracle() -> str:
+    qcos = _DDB_GUARDED_COS.format(
+        a="CAST(e.embedding AS DOUBLE[])", b="q.qv"
+    )
+    pcos = _DDB_GUARDED_COS.format(
+        a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])"
+    )
+    rounds = []
+    for k in range(2, TOP_K + 1):
+        rounds.append(f"""
+    s{k} AS (
+        SELECT c.vec_id, c.rel_micro,
+               c.rel_micro - max(m.sim_micro) AS score_micro
+        FROM mmr_cand c
+        JOIN mmr_sims m ON m.va = c.vec_id
+         AND m.vb IN (SELECT vec_id FROM p{k - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM p{k - 1})
+        GROUP BY c.vec_id, c.rel_micro
+        ORDER BY score_micro DESC, c.vec_id
+        LIMIT 1
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT * FROM p{k - 1}
+        UNION ALL
+        SELECT vec_id, rel_micro, score_micro, {k} AS rank FROM s{k}
+    )""")
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+    mmr_cand AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding,
+               CAST(round(round({qcos}, 6) * 1000000) AS BIGINT)
+                   AS rel_micro
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY round({qcos}, 6) DESC, e.vec_id
+        LIMIT {MMR_POOL}
+    ),
+    mmr_sims AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(round(round({pcos}, 6) * 1000000) AS BIGINT)
+                   AS sim_micro
+        FROM mmr_cand a JOIN mmr_cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+        SELECT vec_id, rel_micro, rel_micro AS score_micro, 1 AS rank
+        FROM mmr_cand ORDER BY rel_micro DESC, vec_id LIMIT 1
+    ),{",".join(rounds)}
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel_micro, score_micro
+    FROM p{TOP_K}
+    ORDER BY rank
+    """
+
+
+@register("knn_mmr_rerank", oracle=_mmr_oracle())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{TOP_K} (see note above): distributed
+    relevance scan → top-{MMR_POOL} candidate pool → greedy
+    integer-exact diversity rerank.
+
+    Scale shape: the DISTRIBUTED work is the corpus-wide relevance
+    scoring (broadcast query vector, TakeOrdered top-{MMR_POOL} —
+    exactly knn_brute's plan); the rerank then runs on a
+    METADATA-SCALE pool ({MMR_POOL} candidates, {MMR_POOL}²
+    pairwise sims computed as ONE tiny Spark self-join so the
+    cosine expression is the same JVM fold the pool ranking used),
+    collected to the driver for the greedy loop — the same
+    bounded-collect class as the k-means seeds/PQ codebooks, and
+    precisely how a retrieval service composes ANN shortlist +
+    reranker. All greedy arithmetic is integer micro-units, so the
+    python loop cannot drift from the SQL unroll by even an ulp.
+    Builder collects the pool at plan time: BUILD_EXECUTES."""
+    e = wide_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        vec.as_double(F.col("embedding")).alias("qv")
+    )
+    cos6 = F.round(
+        vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cos6 * 1000000).cast("bigint").alias("rel_micro"),
+            cos6.alias("_c6"),
+        )
+        .orderBy(F.desc("_c6"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .drop("_c6")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"),
+        vec.as_double(F.col("embedding")).alias("ea"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"),
+        vec.as_double(F.col("embedding")).alias("eb"),
+    )
+    sims = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(F.round(vec.cosine(F.col("ea"), F.col("eb")), 6) * 1000000)
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    pool = [
+        (int(r.vec_id), int(r.rel_micro))
+        for r in cand.select("vec_id", "rel_micro").collect()
+    ]
+    sim = {
+        (int(r.va), int(r.vb)): int(r.sim_micro) for r in sims.collect()
+    }
+    if not pool:
+        raise ValueError("knn_mmr_rerank: empty candidate pool")
+    rel_m = dict(pool)
+    selected: list[tuple[int, int, int]] = []  # (vec_id, rel, score)
+    remaining = sorted(rel_m)
+    # round 1: pure relevance, vec_id tiebreak
+    first = max(remaining, key=lambda v: (rel_m[v], -v))
+    selected.append((first, rel_m[first], rel_m[first]))
+    remaining.remove(first)
+    while remaining and len(selected) < TOP_K:
+        best_v, best_s = None, None
+        for v in remaining:  # ascending vec_id → ties keep the first
+            s = rel_m[v] - max(sim[(v, p)] for p, _, _ in selected)
+            if best_s is None or s > best_s:
+                best_v, best_s = v, s
+        selected.append((best_v, rel_m[best_v], best_s))
+        remaining.remove(best_v)
+    rows = [
+        (i + 1, v, r, s) for i, (v, r, s) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id bigint, rel_micro bigint, score_micro bigint"
+    )

@@ -137,6 +137,8 @@ BUILD_EXECUTES = {
     "dedup_survivors_indexed",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
+    # r9: collects the metadata-scale candidate pool at plan time
+    "knn_mmr_rerank",
 }
 
 

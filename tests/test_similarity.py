@@ -734,3 +734,62 @@ class TestDriftByLabel:
             gna, gnb, gd = got[lab]
             assert (gna, gnb) == (na, nb)
             assert abs(gd - want) < 1e-9
+
+
+class TestMmrRerank:
+    """r9: knn_mmr_rerank — greedy invariants plus a from-scratch
+    python recompute of the integer greedy from the pool's OWN
+    Spark-computed micro-unit scores (the oracle separately pins the
+    values end to end)."""
+
+    def test_greedy_invariants_and_recompute(self, spark):
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        rows = P.QUERIES["knn_mmr_rerank"](spark, sf).collect()
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == len(ids)
+        # rank 1 is the pure-relevance argmax == knn_brute's top hit
+        brute = P.QUERIES["knn_brute_cosine"](spark, sf).collect()
+        assert rows[0].vec_id == brute[0].vec_id
+        assert rows[0].score_micro == rows[0].rel_micro
+        # recompute each pick's score from INDEPENDENTLY computed
+        # pairwise micro-sims (same guarded-cosine expression, its
+        # own tiny Spark query): score_k = rel - max sim to the
+        # k-1 already-selected. NB the penalty can be NEGATIVE
+        # (anti-similar neighbors), so score > rel is legal.
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.functions import vectors as vec
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        e = wide_table(spark, sf, "embeddings")
+        sel = [r.vec_id for r in rows]
+        sub = e.filter(F.col("vec_id").isin(sel))
+        a = sub.select(
+            F.col("vec_id").alias("va"),
+            vec.as_double(F.col("embedding")).alias("ea"),
+        )
+        b = sub.select(
+            F.col("vec_id").alias("vb"),
+            vec.as_double(F.col("embedding")).alias("eb"),
+        )
+        sims = {
+            (r.va, r.vb): r.s
+            for r in a.join(b, F.col("va") != F.col("vb"))
+            .select(
+                "va",
+                "vb",
+                F.round(
+                    F.round(vec.cosine(F.col("ea"), F.col("eb")), 6)
+                    * 1000000
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .collect()
+        }
+        for i, r in enumerate(rows[1:], start=1):
+            penalty = max(sims[(r.vec_id, p.vec_id)] for p in rows[:i])
+            assert r.score_micro == r.rel_micro - penalty
