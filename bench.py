@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "documents_ngram_novelty",
     "stream_filter_cascade",
     "knn_mmr_rerank",
+    "documents_gopher_rules",
 ]
 
 

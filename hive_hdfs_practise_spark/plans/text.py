@@ -2363,3 +2363,151 @@ def documents_kn_trigram_perplexity(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# The Gopher quality-rule battery (Rae et al. 2021, Table A1) as a
+# per-doc audit with PER-RULE flags — the raw rule outcomes a
+# curation team tunes against, complementing documents_filter_cascade
+# (which composes a funnel) and text_quality_score (which composes a
+# scalar). All ratio thresholds compare via INTEGER
+# cross-multiplication (sum_len >= 3·n_words, 10·n_symbol <=
+# n_words, …), so no float ever reaches a boundary; zero-denominator
+# docs pass ratio rules vacuously (no evidence either way) while the
+# absolute word-count bound still fails them. Bounds are Gopher's
+# canonical 50..100,000 words — most synthetic docs fail rule 1,
+# which is the honest report, not a defect.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPWORDS)
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS toks,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+               len(regexp_extract_all(text, '[#…]')) AS n_symbol
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_symbol,
+               len(toks) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    AS BIGINT) AS sum_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                   AS n_alpha,
+               len(list_distinct(list_filter(
+                   list_transform(toks, x -> lower(x)),
+                   x -> x IN ({req})))) AS n_req,
+               len(ls) AS n_lines,
+               len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]')))
+                   AS n_bullet,
+               len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                   AS n_ell
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+               AS r_word_count,
+           sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+               AS r_mean_word_len,
+           10 * n_symbol <= n_words AS r_symbol_ratio,
+           10 * n_bullet <= 9 * n_lines AS r_bullet_lines,
+           10 * n_ell <= 3 * n_lines AS r_ellipsis_lines,
+           10 * n_alpha >= 8 * n_words AS r_alpha_words,
+           n_req >= 2 AS r_stopwords,
+           CAST((CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                           AND n_words <= {GOPHER_MAX_WORDS}
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN sum_len >= 3 * n_words
+                           AND sum_len <= 10 * n_words
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN 10 * n_symbol <= n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 0 ELSE 1 END)
+              + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 0 ELSE 1 END)
+              + (CASE WHEN 10 * n_alpha >= 8 * n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN n_req >= 2 THEN 0 ELSE 1 END) AS INT)
+               AS n_failed
+    FROM m
+    """
+
+
+@register("documents_gopher_rules", oracle=_gopher_oracle())
+def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule flags (see note above): word-count bounds,
+    mean-word-length 3..10, #/… symbol ratio ≤ 0.1, bullet-line
+    fraction ≤ 0.9, ellipsis-line fraction ≤ 0.3, alpha-word
+    fraction ≥ 0.8, ≥ 2 distinct required stopwords — plus the
+    failed-rule count. pass_all is n_failed = 0 by construction
+    (derivable; kept out to keep columns orthogonal).
+
+    Scale shape: ONE corpus scan; every feature is a codegen'd array
+    expression over the doc's own tokens/lines (no explode, no
+    shuffle — output is doc-cardinality with integer features), and
+    every threshold is an integer comparison."""
+    d = wide_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    ls = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: x != F.lit("")
+    )
+    req_lit = [F.lit(w) for w in GOPHER_REQ_STOPWORDS]
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).alias(
+            "n_alpha"
+        ),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform(toks, F.lower),
+                    lambda x: x.isin(*GOPHER_REQ_STOPWORDS),
+                )
+            )
+        ).alias("n_req"),
+        F.regexp_count(F.col("text"), F.lit("[#…]")).alias("n_symbol"),
+        F.size(ls).alias("n_lines"),
+        F.size(
+            F.filter(ls, lambda x: x.rlike(r"^\s*[-*•]"))
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(ls, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        ).alias("n_ell"),
+    )
+    r1 = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r2 = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r3 = 10 * F.col("n_symbol") <= F.col("n_words")
+    r4 = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    r5 = 10 * F.col("n_ell") <= 3 * F.col("n_lines")
+    r6 = 10 * F.col("n_alpha") >= 8 * F.col("n_words")
+    r7 = F.col("n_req") >= 2
+    fails = sum(
+        F.when(r, 0).otherwise(1) for r in (r1, r2, r3, r4, r5, r6, r7)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        r1.alias("r_word_count"),
+        r2.alias("r_mean_word_len"),
+        r3.alias("r_symbol_ratio"),
+        r4.alias("r_bullet_lines"),
+        r5.alias("r_ellipsis_lines"),
+        r6.alias("r_alpha_words"),
+        r7.alias("r_stopwords"),
+        fails.cast("int").alias("n_failed"),
+    )

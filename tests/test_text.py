@@ -873,3 +873,85 @@ class TestFilterCascade:
         }
         assert got[1] == ("langid", len(li), len(d1), len(li) - len(d1))
         assert got[2][2] == len(d2) and got[3][2] == len(d3)
+
+
+class TestGopherRules:
+    """r9: documents_gopher_rules — crafted docs exercising every
+    rule in both directions, python expectations + cross-engine
+    equality on the crafted corpus."""
+
+    def test_crafted_corpus_rules(self, spark, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from hive_hdfs_practise_spark import plans as P
+
+        good = (
+            "the quick brown fox jumps over that lazy dog and then "
+            "walks away with steady calm pace because nothing here "
+            "matters very much to anyone at all today " * 3
+        )  # >50 words, stopwords the/that/and/with/to, clean lines
+        docs = {
+            0: good,
+            1: "word " * 60,  # no 2 distinct req stopwords
+            2: "#tag " * 60,  # symbol-heavy, alpha-poor... tokens '#tag' have alpha
+            3: "\n".join("- bullet item" for _ in range(10)),  # bullets
+            4: "\n".join("trailing off..." for _ in range(10)),  # ellipsis
+            5: "ab " * 60,  # mean word len 2 < 3
+            6: "",  # empty: ratio rules vacuous, word count fails
+            7: "12345 " * 60,  # digits: alpha fraction 0
+        }
+        d = tmp_path / "gopher"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": list(docs),
+                "text": [docs[i] for i in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": [len(docs[i]) for i in docs],
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in P.QUERIES["documents_gopher_rules"](
+                spark, str(d)
+            ).collect()
+        }
+        assert rows[0].n_failed == 0  # the good doc passes everything
+        assert not rows[1].r_stopwords
+        assert not rows[2].r_symbol_ratio
+        assert not rows[3].r_bullet_lines and rows[3].r_ellipsis_lines
+        assert not rows[4].r_ellipsis_lines and rows[4].r_bullet_lines
+        assert not rows[5].r_mean_word_len
+        assert not rows[6].r_word_count  # empty doc fails the bound
+        assert rows[6].r_mean_word_len  # ...but ratio rules vacuous
+        assert rows[6].r_alpha_words
+        assert not rows[7].r_alpha_words
+        # cross-engine equality on the crafted corpus
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        oracle = {
+            int(r[0]): tuple(r[1:])
+            for r in con.execute(
+                P.ORACLES["documents_gopher_rules"]
+            ).fetchall()
+        }
+        got = {
+            r.doc_id: (
+                r.n_words,
+                r.r_word_count,
+                r.r_mean_word_len,
+                r.r_symbol_ratio,
+                r.r_bullet_lines,
+                r.r_ellipsis_lines,
+                r.r_alpha_words,
+                r.r_stopwords,
+                r.n_failed,
+            )
+            for r in rows.values()
+        }
+        assert got == oracle
