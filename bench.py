@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "stream_filter_cascade",
     "knn_mmr_rerank",
     "documents_gopher_rules",
+    "embeddings_outlier_audit",
 ]
 
 

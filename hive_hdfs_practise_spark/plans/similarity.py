@@ -2556,3 +2556,139 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, vec_id bigint, rel_micro bigint, score_micro bigint"
     )
+
+
+# Embedding OUTLIER audit (r9) — the embedding-QC step a pipeline
+# runs before clustering/dedup trusts the vectors: flag vectors
+# whose mean squared deviation from their LABEL centroid exceeds
+# OUTLIER_FACTOR × the label's median. Exactness (the drift-monitor
+# integer machinery): components quantize to ×1e6 BIGINT, the
+# centroid never materializes as a float — the per-vector deviation
+# is Σ_i (n·q_i − S_i)² as DECIMAL(38,0) (n·q_i ≈ 1.6e10 fits
+# int64, its square ≈ 2.6e20 does NOT — cast before multiplying),
+# scaled by n² into micro² units that fit BIGINT; the median is the
+# rank-⌈m/2⌉ element (low median — exact, deterministic via vec_id
+# tiebreak); the flag compares integers.
+OUTLIER_FACTOR = 4
+
+
+def _outlier_oracle() -> str:
+    return f"""
+    WITH ex AS (
+        SELECT label, vec_id, t.i,
+               CAST(round(CAST(embedding AS DOUBLE[])[t.i] * {DRIFT_SCALE})
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    s AS (
+        SELECT label, i, CAST(sum(q) AS BIGINT) AS sc
+        FROM ex GROUP BY label, i
+    ),
+    d2 AS (
+        -- HUGEINT, not DECIMAL, for the integer division: DuckDB's
+        -- `//` on DECIMAL operands converts through DOUBLE and
+        -- ROUNDS (11 // 3 = 4, measured r9); HUGEINT // truncates
+        -- like Spark's decimal `div`
+        SELECT ex.vec_id, ex.label,
+               CAST(CAST(sum(CAST(n.n * ex.q - s.sc AS DECIMAL(38,0))
+                             * CAST(n.n * ex.q - s.sc AS DECIMAL(38,0)))
+                         AS HUGEINT)
+                    // CAST(n.n * n.n AS HUGEINT) AS BIGINT)
+                   AS msd_micro2
+        FROM ex
+        JOIN s ON s.label = ex.label AND s.i = ex.i
+        JOIN n ON n.label = ex.label
+        GROUP BY ex.vec_id, ex.label, n.n
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY msd_micro2, vec_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY label) AS m
+        FROM d2
+    ),
+    med AS (
+        SELECT label,
+               CAST(max(CASE WHEN rn = (m + 1) // 2
+                             THEN msd_micro2 END) AS BIGINT) AS med_micro2
+        FROM r GROUP BY label
+    )
+    SELECT d2.vec_id, d2.label, d2.msd_micro2, med.med_micro2,
+           d2.msd_micro2 > {OUTLIER_FACTOR} * med.med_micro2 AS is_outlier
+    FROM d2 JOIN med ON med.label = d2.label
+    """
+
+
+@register("embeddings_outlier_audit", oracle=_outlier_oracle())
+def embeddings_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector centroid-deviation outlier flags (see note above):
+    mean squared deviation from the label centroid in exact micro²
+    integers, the label's low-median, and the
+    > {OUTLIER_FACTOR}×median flag.
+
+    Scale shape: one posexplode pass (64 rows/vector) feeds BOTH the
+    component-sum model table (labels × 64, broadcast back) and the
+    per-vector deviation aggregate; the median window partitions by
+    label over VECTOR-cardinality integer rows (never the raw
+    vectors); the flag join is label-sized. No float is ever summed
+    — sqrt never even appears."""
+    e = wide_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(vec.as_double(F.col("embedding"))).alias("i0", "comp"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("comp") * DRIFT_SCALE).cast("bigint").alias("q"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    s = ex.groupBy("label", "i").agg(
+        F.sum("q").cast("bigint").alias("sc")
+    )
+    dev = F.expr(
+        "cast(n * q - sc as decimal(38,0)) * cast(n * q - sc as decimal(38,0))"
+    )
+    d2 = (
+        ex.join(F.broadcast(s), ["label", "i"])
+        .join(F.broadcast(n), "label")
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum(dev).alias("dd"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "cast(dd div cast(n * n as decimal(38,0)) as bigint)"
+            ).alias("msd_micro2"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("msd_micro2", "vec_id")
+    r = d2.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("m"),
+    )
+    med = r.groupBy("label").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(m + 1) div 2"),
+                F.col("msd_micro2"),
+            )
+        )
+        .cast("bigint")
+        .alias("med_micro2")
+    )
+    return d2.join(F.broadcast(med), "label").select(
+        "vec_id",
+        "label",
+        "msd_micro2",
+        "med_micro2",
+        (F.col("msd_micro2") > OUTLIER_FACTOR * F.col("med_micro2")).alias(
+            "is_outlier"
+        ),
+    )

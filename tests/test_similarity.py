@@ -793,3 +793,46 @@ class TestMmrRerank:
         for i, r in enumerate(rows[1:], start=1):
             penalty = max(sims[(r.vec_id, p.vec_id)] for p in rows[:i])
             assert r.score_micro == r.rel_micro - penalty
+
+
+class TestOutlierAudit:
+    """r9: embeddings_outlier_audit — from-scratch integer recompute
+    (numpy int64 quantization, python-int exact squared mass, low
+    median, 4x flag)."""
+
+    def test_matches_python_recompute(self, spark):
+        import numpy as np
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            wide_table(spark, sf, "embeddings")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        by_label: dict = {}
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            q = [int(x) for x in np.round(v * 1_000_000).astype(np.int64)]
+            by_label.setdefault(r.label, []).append((r.vec_id, q))
+        want = {}
+        for lab, vs in by_label.items():
+            n = len(vs)
+            S = [sum(q[i] for _, q in vs) for i in range(64)]
+            msds = {}
+            for vid, q in vs:
+                dd = sum((n * q[i] - S[i]) ** 2 for i in range(64))
+                msds[vid] = dd // (n * n)
+            ordered = sorted(msds.items(), key=lambda kv: (kv[1], kv[0]))
+            med = ordered[(n + 1) // 2 - 1][1]
+            for vid, m in msds.items():
+                want[vid] = (lab, m, med, m > 4 * med)
+        got = {
+            r.vec_id: (r.label, r.msd_micro2, r.med_micro2, r.is_outlier)
+            for r in P.QUERIES["embeddings_outlier_audit"](
+                spark, sf
+            ).collect()
+        }
+        assert got == want and got
