@@ -1323,3 +1323,108 @@ def documents_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("per_million"),
     )
+
+
+# Rendezvous (highest-random-weight) shard placement — the
+# consistent-hashing layout a 100 TB corpus store actually wants:
+# doc d lands on argmax_s md5(d '#' s), so ADDING a shard moves a
+# doc iff the NEW shard's weight beats all old ones — every move
+# lands on the new shard and the expected moved fraction is
+# 1/(n+1), vs ~n/(n+1) under mod-n hashing. This query audits the
+# 8-shard layout and the 8→9 scale-out in one pass and emits the
+# minimality property AS DATA: n_moved_elsewhere is structurally 0
+# (a move that lands on an OLD shard would falsify HRW). Weights
+# compare as md5 hex strings (lexicographic, engine-identical); the
+# single-digit shard id appended after the 32-char hex makes the
+# argmax a plain string max with a deterministic (impossible in
+# practice) tiebreak. Weights are per-(doc, shard) — 17 short md5s
+# per row, no shuffle before the 8-group aggregate.
+RDV_SHARDS = 8  # base layout; scale-out audits RDV_SHARDS + 1
+
+
+def _rdv_winner_sql(n: int) -> str:
+    return (
+        "CAST(substring(list_max(list_transform(generate_series(0, "
+        f"{n - 1}), s -> md5(CAST(doc_id AS VARCHAR) || '#' || "
+        "CAST(s AS VARCHAR)) || CAST(s AS VARCHAR))), 33, 1) AS INT)"
+    )
+
+
+@register(
+    "documents_shard_rendezvous",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               {_rdv_winner_sql(RDV_SHARDS)} AS shard8,
+               {_rdv_winner_sql(RDV_SHARDS + 1)} AS shard9
+        FROM documents
+    )
+    SELECT shard8 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass,
+           CAST(sum(CASE WHEN shard9 = {RDV_SHARDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_to_new,
+           CAST(sum(CASE WHEN shard9 <> shard8
+                          AND shard9 <> {RDV_SHARDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_elsewhere
+    FROM w GROUP BY shard8
+    """,
+)
+def documents_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard placement audit (see note above): per
+    base shard, the doc count and char mass it holds, how many of
+    its docs the 8→9 scale-out hands to the NEW shard, and the
+    structurally-zero count of moves to any OLD shard.
+
+    Scale shape: one corpus scan computing two per-row string maxes
+    over fixed 8/9-element arrays (no explode, no join), then one
+    map-side-combining 8-group integer aggregate. Placement lookups
+    at serving time are O(shards) per key with no coordination —
+    the property that makes HRW the layout of choice for elastic
+    shard pools."""
+
+    def winner(n: int) -> F.Column:
+        return F.substring(
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda s: F.concat(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("doc_id").cast("string"),
+                                s.cast("string"),
+                            )
+                        ),
+                        s.cast("string"),
+                    ),
+                )
+            ),
+            33,
+            1,
+        ).cast("int")
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "n_chars",
+        winner(RDV_SHARDS).alias("shard8"),
+        winner(RDV_SHARDS + 1).alias("shard9"),
+    )
+    return w.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_mass"),
+        F.sum(
+            F.when(F.col("shard9") == RDV_SHARDS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+        F.sum(
+            F.when(
+                (F.col("shard9") != F.col("shard8"))
+                & (F.col("shard9") != RDV_SHARDS),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_elsewhere"),
+    )
