@@ -712,3 +712,131 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", F.explode(F.array(*pairs)).alias("p")
     ).select("p.col_x", "p.col_y", "n", "p.pearson_r")
+
+
+# Lexical vocabulary drift between the two md5 halves of the corpus —
+# the token-level twin of embeddings_drift_by_label: when a new dump
+# lands (here: the deterministic md5 B-half standing in for it), which
+# words' DOCUMENT FREQUENCY moved most? Smoothed rate ratio
+# q = ((dfA+1)/(nA+2)) / ((dfB+1)/(nB+2)); the symmetric drift
+# max(q, 1/q) is ranked as an exact fixed-point integer quotient
+# (the LP_SCALE idiom): cross-multiplied numerators are exact BIGINT
+# products, widened to DECIMAL(38,0)/HUGEINT before the ×1e6
+# truncating division (Spark decimal `div` and DuckDB HUGEINT `//`
+# both truncate toward zero — never DuckDB DECIMAL `//`, which
+# rounds through DOUBLE). ln() never enters the check.
+VOCAB_DRIFT_TOPK = 30
+_VD_SCALE = 1_000_000
+_VD_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "documents_vocab_drift",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN {_VD_BUCKET} < 128 THEN 1 ELSE 0 END AS in_a,
+               list_distinct(list_transform(
+                   regexp_extract_all(trim(text), '\S+'),
+                   x -> lower(x))) AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS na,
+               CAST(sum(1 - in_a) AS BIGINT) AS nb
+        FROM d
+    ),
+    tok AS (
+        SELECT in_a, unnest(toks) AS token FROM d
+    ),
+    df AS (
+        SELECT token,
+               CAST(sum(in_a) AS BIGINT) AS df_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS df_b
+        FROM tok GROUP BY token
+    ),
+    s AS (
+        SELECT token, df_a, df_b,
+               (df_a + 1) * (nb + 2) AS n1,
+               (df_b + 1) * (na + 2) AS n2
+        FROM df, n
+    )
+    SELECT token, df_a, df_b,
+           CAST((CAST(greatest(n1, n2) AS HUGEINT) * {_VD_SCALE})
+                // CAST(least(n1, n2) AS HUGEINT) AS BIGINT) AS drift_fp,
+           CASE WHEN n1 > n2 THEN 'A' WHEN n2 > n1 THEN 'B'
+                ELSE '=' END AS direction
+    FROM s
+    ORDER BY drift_fp DESC, token
+    LIMIT {VOCAB_DRIFT_TOPK}
+    """,
+)
+def documents_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tokens by document-frequency drift between the md5
+    corpus halves (see note above): token, per-half df, the ×1e6
+    fixed-point symmetric rate ratio, and which half over-represents
+    it.
+
+    Scale shape: one corpus scan (distinct lowercase tokens per doc,
+    codegen'd array exprs), one map-side-combining token aggregate
+    (vocabulary-sized output), a broadcast one-row half-size join,
+    then a vocabulary-scale top-k sort. No per-pair work, no window
+    over the corpus."""
+    from ..functions import text as tx
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            < 128,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_a"),
+        F.array_distinct(
+            F.transform(tx.tokens(F.col("text")), F.lower)
+        ).alias("toks"),
+    )
+    n = d.agg(
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("nb"),
+    )
+    df = (
+        d.select("in_a", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("df_a"),
+            F.sum(1 - F.col("in_a")).cast("bigint").alias("df_b"),
+        )
+    )
+    s = df.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df_a",
+        "df_b",
+        ((F.col("df_a") + 1) * (F.col("nb") + 2)).alias("n1"),
+        ((F.col("df_b") + 1) * (F.col("na") + 2)).alias("n2"),
+    )
+    return (
+        s.select(
+            "token",
+            "df_a",
+            "df_b",
+            F.expr(
+                f"CAST(CAST(greatest(n1, n2) AS DECIMAL(38,0)) * {_VD_SCALE}"
+                " div CAST(least(n1, n2) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("drift_fp"),
+            F.when(F.col("n1") > F.col("n2"), "A")
+            .when(F.col("n2") > F.col("n1"), "B")
+            .otherwise("=")
+            .alias("direction"),
+        )
+        .orderBy(F.col("drift_fp").desc(), "token")
+        .limit(VOCAB_DRIFT_TOPK)
+    )
