@@ -1428,3 +1428,73 @@ def documents_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_moved_elsewhere"),
     )
+
+
+# Range-shard layout planning — the exact form of what Spark's
+# RangePartitioner / repartitionByRange(...).sortWithinPartitions
+# approximates by sampling: split the corpus into N equal-mass shards
+# ordered by (n_chars, doc_id) and report each shard's key range —
+# the boundaries a sorted-layout writer (length-bucketed training
+# shards, z-order-adjacent file layout) would cut at. The global rank
+# is computed WITHOUT a global sort: the two-level sharded prefix sum
+# (operators/prefix_sum.py) over the composite key
+# n_chars·2^40 + doc_id, sharded by the metadata-scale n_chars value
+# itself — parallelism grows with the data while the offset table
+# stays |distinct n_chars|-sized. Shard id = (rank−1)·N div n — both
+# engines truncate non-negative integer division identically (the
+# exact ntile-law variant with extras spread by rank, not bunched).
+N_RANGE_SHARDS = 16
+
+
+@register(
+    "documents_range_shard_plan",
+    oracle=f"""
+    WITH r AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+               count(*) OVER () AS n
+        FROM documents
+    )
+    SELECT CAST((rnk - 1) * {N_RANGE_SHARDS} // n AS INT) AS shard,
+           count(*) AS n_docs,
+           min(n_chars) AS lo_chars,
+           max(n_chars) AS hi_chars,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass
+    FROM r GROUP BY 1
+    """,
+)
+def documents_range_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mass range-shard plan over (n_chars, doc_id) (see note
+    above): per shard, the doc count, the key range [lo_chars,
+    hi_chars] it spans, and its char mass.
+
+    Scale shape: one scan + the two-level sharded prefix sum (no
+    global single-task sort anywhere); the final aggregate is
+    N-shard-sized. The oracle restates the identical rank with a
+    flat global window — fine for the oracle, not for the engine."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    d = table(spark, sf_dir, "documents").select(
+        "n_chars",
+        (
+            F.col("n_chars").cast("bigint") * F.lit(1 << 40)
+            + F.col("doc_id")
+        ).alias("key"),
+        F.lit(1).alias("one"),
+    )
+    r = sharded_cumsum(d, [], "key", "one", shard=F.col("n_chars"))
+    return (
+        r.select(
+            "n_chars",
+            F.expr(
+                f"CAST((cum - 1) * {N_RANGE_SHARDS} div tot AS INT)"
+            ).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo_chars"),
+            F.max("n_chars").alias("hi_chars"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+        )
+    )
