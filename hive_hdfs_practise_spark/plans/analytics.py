@@ -1114,3 +1114,111 @@ def part_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# Decile MIGRATION matrix — the churn/upsell dashboard a retention
+# team actually reads: each customer's spend decile in the first
+# temporal half of the corpus vs the second, counted into a 10×10
+# matrix (diagonal = stable, below = churn, above = growth). Spend
+# is exact integer cents; decile assignment is the exact rank law
+# (rank−1)·10 div n over (cents, custkey) — computed WITHOUT a
+# 2-partition window (the low-cardinality trap): the (half, cents)
+# count grid rides the two-level sharded prefix sum, the custkey
+# tiebreak is a row_number over the high-cardinality (half, cents)
+# partitions, and their sum is the global per-half rank.
+DECILE_PIVOT = "1998-01-01"
+
+
+@register(
+    "orders_decile_migration",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '{DECILE_PIVOT}'
+                    THEN 1 ELSE 2 END AS half,
+               o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT half, o_custkey,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY cents, o_custkey) AS rnk,
+               count(*) OVER (PARTITION BY half) AS n
+        FROM s
+    ),
+    d AS (
+        SELECT half, o_custkey,
+               CAST((rnk - 1) * 10 // n AS INT) + 1 AS decile
+        FROM r
+    )
+    SELECT a.decile AS decile_h1, b.decile AS decile_h2,
+           count(*) AS n_customers
+    FROM d a JOIN d b ON a.o_custkey = b.o_custkey
+    WHERE a.half = 1 AND b.half = 2
+    GROUP BY 1, 2
+    """,
+)
+def orders_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10×10 customer spend-decile migration matrix between the two
+    temporal halves of the order history (see note above) — only
+    customers active in both halves appear.
+
+    Scale shape: one map-side-combining (half, custkey) cents
+    aggregate, then everything runs on the customer-cardinality
+    table: grid prefix sum (sharded — no 2-partition window),
+    high-cardinality tiebreak window, and a shuffle join of the two
+    decile assignments on custkey. Output is 10×10."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    s = (
+        o.select(
+            F.when(
+                F.col("o_orderdate") < F.lit(DECILE_PIVOT).cast("timestamp"),
+                1,
+            )
+            .otherwise(2)
+            .alias("half"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("half", "o_custkey")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    grid = s.groupBy("half", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = sharded_cumsum(
+        grid,
+        ["half"],
+        "cents",
+        "cnt",
+        shard=F.floor(F.col("cents") / F.lit(1_000_000)),
+    ).select(
+        "half",
+        "cents",
+        (F.col("cum") - F.col("cnt")).alias("below"),
+        F.col("tot").alias("n"),
+    )
+    w = Window.partitionBy("half", "cents").orderBy("o_custkey")
+    d = (
+        s.join(cum, ["half", "cents"])
+        .withColumn("rnk", F.col("below") + F.row_number().over(w))
+        .select(
+            "half",
+            "o_custkey",
+            (
+                F.expr("CAST((rnk - 1) * 10 div n AS INT)") + 1
+            ).alias("decile"),
+        )
+    )
+    a = d.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("decile").alias("decile_h1")
+    )
+    b = d.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("decile").alias("decile_h2")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_h1", "decile_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
