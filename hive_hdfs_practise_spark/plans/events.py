@@ -1079,27 +1079,7 @@ def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_transition_matrix",
-    oracle="""
-    WITH ev AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
-        FROM events
-    ),
-    seq AS (
-        SELECT user_id, event_type AS from_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS to_type
-        FROM ev
-    ),
-    c AS (
-        SELECT from_type, to_type, count(*) AS n
-        FROM seq WHERE to_type IS NOT NULL
-        GROUP BY from_type, to_type
-    )
-    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
-    FROM c
-    """,
+    oracle=EO.TRANSITION_MATRIX,
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event

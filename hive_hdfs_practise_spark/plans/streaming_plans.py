@@ -571,3 +571,39 @@ def cascade_flag_counts(stream: DataFrame) -> DataFrame:
         F.sum("d2").alias("n2"),
         F.sum("d3").alias("n3"),
     )
+
+
+@register("stream_transition_matrix", oracle=EO.TRANSITION_MATRIX)
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix AS A STATEFUL STREAM
+    (14th twin): per-user last-event state chains consecutive events
+    across micro-batches (streaming/transitions.py), so the batch
+    twin's lead() window becomes an O(1)-state online operator — the
+    shape a clickstream pipeline runs at ingestion instead of
+    re-sorting history every refresh. The emitted pair stream sinks
+    via availableNow; counting and row-normalizing the ≤|types|²
+    pairs happens on the sunk result (driver-scale), keeping the
+    SAME value-checking oracle as the batch twin. Stream == batch
+    equality incl. a forced multi-trigger split INSIDE a known
+    transition is asserted in tests."""
+    from pyspark.sql.window import Window
+
+    from ..streaming.transitions import transition_pairs
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    pairs = transition_pairs(stream)
+    sunk = run_available_now(pairs, "stream_transition_matrix", "append")
+    c = sunk.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "p"
+        ),
+    )

@@ -1,0 +1,84 @@
+"""Stateful streaming first-order transition extraction — the
+streaming twin of ``plans/events.py::events_transition_matrix``'s
+lead() window.
+
+State per user is the ONE register a Markov-chain builder needs:
+the user's latest event (its event time, id, and type). Each
+trigger's rows for the user sort by (ts, event_id) and chain onto
+the carried last event, emitting one (from_type, to_type) row per
+consecutive pair — so the transition that STRADDLES a micro-batch
+boundary is emitted exactly once, by the later batch (the
+multi-trigger split test pins this). Counting and row-normalizing
+the emitted pairs is a plain aggregate downstream.
+
+Determinism contract (same as the other stateful twins): exact
+equality with the batch lead() needs each user's rows to arrive in
+event-time order ACROSS triggers — guaranteed on the bounded
+availableNow runs the driver and tests use; a live deployment
+would put a watermark + sort buffer in front.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _transitions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    last_type = state.get[2] if state.exists else None
+    last_ts_us = state.get[0] if state.exists else 0
+    last_event_id = state.get[1] if state.exists else 0
+    out: list[dict] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for ts, event_id, etype in zip(
+        rows["ts"], rows["event_id"], rows["event_type"]
+    ):
+        ts_us = int(ts.value // 1000)
+        if last_type is not None:
+            out.append(
+                {
+                    "user_id": user_id,
+                    "from_type": last_type,
+                    "to_type": etype,
+                }
+            )
+        last_ts_us, last_event_id, last_type = ts_us, int(event_id), etype
+    state.update((last_ts_us, last_event_id, last_type))
+    if out:
+        yield pd.DataFrame(out).astype({"user_id": "int64"})
+
+
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts, event_type) stream → stream of
+    consecutive (from_type, to_type) pairs per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -788,3 +788,106 @@ class TestStreamFilterCascade:
             want.n3,
         )
         assert got.n == docs.count()
+
+
+class TestStreamTransitionMatrix:
+    """r9: stream_transition_matrix — the per-user last-event state
+    must chain transitions across micro-batches exactly once each,
+    so the aggregated matrix equals the batch lead() twin."""
+
+    def test_single_batch_equals_batch_twin(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = {
+            tuple(r)
+            for r in plans.QUERIES["stream_transition_matrix"](
+                spark, sf
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in plans.QUERIES["events_transition_matrix"](
+                spark, sf
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_multi_trigger_split_carries_state(self, spark, tmp_path):
+        """Split the corpus at the median timestamp, one trigger per
+        file: the transition that straddles the boundary (a user's
+        last pre-split event → first post-split event) must emit
+        exactly once, from the carried state."""
+        import glob
+        import shutil
+        import time
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.sources.catalog import table
+        from hive_hdfs_practise_spark.streaming.transitions import (
+            transition_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        e = table(spark, sf, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        med = e.agg(
+            F.expr("percentile(unix_micros(ts), 0.5)").cast("bigint")
+        ).collect()[0][0]
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        halves = [
+            e.filter(F.unix_micros("ts") <= med),
+            e.filter(F.unix_micros("ts") > med),
+        ]
+        # a user with events on both sides makes the split meaningful
+        straddlers = (
+            halves[0]
+            .select("user_id")
+            .intersect(halves[1].select("user_id"))
+            .count()
+        )
+        assert straddlers > 0
+        for idx, half in enumerate(halves):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)  # file-source orders triggers by mtime
+
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            transition_pairs(stream)
+            .writeStream.format("memory")
+            .queryName("transition_split_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = Counter(
+            tuple(r)
+            for r in spark.table("transition_split_test").collect()
+        )
+        # batch ground truth: per-user consecutive pairs
+        w = __import__(
+            "pyspark.sql.window", fromlist=["Window"]
+        ).Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = Counter(
+            tuple(r)
+            for r in e.select(
+                "user_id",
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .where(F.col("to_type").isNotNull())
+            .collect()
+        )
+        assert got == want and len(got) > 0
