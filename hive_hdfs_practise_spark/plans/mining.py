@@ -1693,3 +1693,128 @@ def graph_link_prediction_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# k-core ONION decomposition (r9) over the same thresholded
+# co-purchase graph as the triangle/LPA family: repeatedly strip
+# nodes of degree < k and record the round each node fell
+# (peel_round 1..R; 0 = survived all R rounds = the exact k-core
+# once peeling has converged, which it has at every tested sf — a
+# fixed round count rather than a convergence gate keeps the output
+# a pure function of the graph, so the whole peel unrolls in SQL,
+# the LPA determinism recipe). Every round's degree table is
+# doubly-referenced (survivors AND removals read it) — the oracle
+# marks them MATERIALIZED or DuckDB inlines the recursion
+# exponentially (the embeddings_pca_power lesson).
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS (SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e),
+    n0 AS (SELECT DISTINCT v FROM und)"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT n.v, CAST(coalesce(c.cnt, 0) AS INT) AS deg
+        FROM n{r - 1} n LEFT JOIN (
+            SELECT u.v, count(*) AS cnt
+            FROM und u JOIN n{r - 1} a ON a.v = u.w
+            GROUP BY u.v
+        ) c ON c.v = n.v
+    )"""
+        )
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+        SELECT v FROM d{r} WHERE deg >= {KCORE_K}
+    )"""
+        )
+    removed = "\n    UNION ALL ".join(
+        f"SELECT v, {r} AS peel_round, deg FROM d{r} WHERE deg < {KCORE_K}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    df AS (
+        SELECT n.v, CAST(coalesce(c.cnt, 0) AS INT) AS deg
+        FROM n{KCORE_ROUNDS} n LEFT JOIN (
+            SELECT u.v, count(*) AS cnt
+            FROM und u JOIN n{KCORE_ROUNDS} a ON a.v = u.w
+            GROUP BY u.v
+        ) c ON c.v = n.v
+    )
+    SELECT v AS part_id, CAST(peel_round AS INT) AS peel_round, deg
+    FROM ({removed}
+    UNION ALL SELECT v, 0 AS peel_round, deg FROM df) t
+    """
+    )
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion (k-core peel) decomposition of the co-purchase part
+    graph (see note above): one row per node with the round it was
+    peeled (deg < {k} in the surviving subgraph) and its degree at
+    that moment; peel_round 0 rows are the {k}-core with their
+    in-core degree.
+
+    Scale shape: the corpus-sized stage is the shared checkpointed
+    edge build; each round is one edge×survivor hash join + a
+    map-side-combining degree count, with the per-round frame
+    localCheckpointed (iterative-loop invariant — plans stay O(1)
+    deep and removal frames don't replay prior rounds). Builder
+    runs jobs at plan time: BUILD_EXECUTES."""
+    e = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
+    und = (
+        undirected(e, src="pa", dst="pb")
+        .select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select("v").distinct()
+    removed = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            und.join(alive.select(F.col("v").alias("w")), "w")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        awd = (
+            alive.join(deg, "v", "left")
+            .select(
+                "v",
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("int").alias("deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        removed.append(
+            awd.filter(F.col("deg") < KCORE_K).select(
+                "v", F.lit(r).cast("int").alias("peel_round"), "deg"
+            )
+        )
+        alive = awd.filter(F.col("deg") >= KCORE_K).select("v")
+    deg_f = (
+        und.join(alive.select(F.col("v").alias("w")), "w")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    core = alive.join(deg_f, "v", "left").select(
+        "v",
+        F.lit(0).cast("int").alias("peel_round"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("int").alias("deg"),
+    )
+    out = core
+    for fr in removed:
+        out = out.unionByName(fr)
+    return out.select(F.col("v").alias("part_id"), "peel_round", "deg")

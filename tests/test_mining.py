@@ -467,3 +467,61 @@ class TestContainmentMinhash:
             )
             assert abs(r.containment_est - expect) < 1e-9
             assert r.containment_est >= 0.9 - 1e-9
+
+
+class TestKcorePeel:
+    """r9: graph_kcore_peel — full python peel recompute at sf0.01
+    (the smallest sf with a non-trivial onion) plus the convergence
+    property that makes layer 0 the true k-core."""
+
+    def test_matches_python_peel(self, spark):
+        from collections import Counter
+
+        from hive_hdfs_practise_spark.plans.mining import (
+            KCORE_K,
+            KCORE_ROUNDS,
+            TRI_MIN_SUP,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        li = (
+            table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        baskets: dict[int, set[int]] = {}
+        for r in li:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        sup: Counter = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    sup[(a, b)] += 1
+        adj: dict[int, set[int]] = {}
+        for (a, b), c in sup.items():
+            if c >= TRI_MIN_SUP:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        want: dict[int, tuple[int, int]] = {}
+        for rnd in range(1, KCORE_ROUNDS + 1):
+            deg = {v: sum(1 for w in adj[v] if w in alive) for v in alive}
+            dropped = {v for v in alive if deg[v] < KCORE_K}
+            for v in dropped:
+                want[v] = (rnd, deg[v])
+            alive -= dropped
+        deg_f = {v: sum(1 for w in adj[v] if w in alive) for v in alive}
+        for v in alive:
+            want[v] = (0, deg_f[v])
+        got = {
+            r.part_id: (r.peel_round, r.deg)
+            for r in plans.QUERIES["graph_kcore_peel"](spark, sf).collect()
+        }
+        assert got == want
+        # converged: the last peel round removed nothing, so the
+        # 0-layer is the exact k-core, not an artifact of the cap
+        assert not any(pr == KCORE_ROUNDS for pr, _ in got.values())
+        assert any(pr == 0 for pr, _ in got.values())
+        assert any(pr >= 1 for pr, _ in got.values())

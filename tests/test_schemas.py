@@ -43,6 +43,8 @@ BUILD_EXECUTES = {
     "multimodal_phash_clusters",
     # r5: per-round label checkpoints (LPA)
     "graph_label_propagation",
+    # r9: per-round survivor checkpoints (k-core peel)
+    "graph_kcore_peel",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
@@ -137,6 +139,8 @@ BUILD_EXECUTES = {
     "dedup_survivors_indexed",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
+    # r9: stateful transition chaining sinks at plan time
+    "stream_transition_matrix",
     # r9: collects the metadata-scale candidate pool at plan time
     "knn_mmr_rerank",
 }
