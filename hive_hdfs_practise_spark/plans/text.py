@@ -2511,3 +2511,118 @@ def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r7.alias("r_stopwords"),
         fails.cast("int").alias("n_failed"),
     )
+
+
+# Heaps-law vocabulary growth audit (r9): how fast does the corpus
+# stop yielding NEW word types as it grows? The curve a crawl
+# pipeline watches to decide when another dump stops paying for
+# itself (diminishing novel-vocabulary returns). Docs are split into
+# 10 arrival-order prefix checkpoints by the exact rank law over
+# doc_id (sharded prefix sum — no global sort); each type is
+# credited to the checkpoint of its FIRST claiming doc (min bucket —
+# the documents_ngram_novelty first-claimer idiom on word types
+# instead of 8-grams); the cumulative sums run over the 10-row
+# metadata-scale frame (integer sums — combine-order-proof).
+HEAPS_BUCKETS = 10
+
+
+@register(
+    "documents_heaps_vocab_growth",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   regexp_extract_all(trim(text), '\S+'),
+                   x -> lower(x))) AS toks,
+               len(regexp_extract_all(trim(text), '\S+')) AS n_toks
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, toks, n_toks,
+               row_number() OVER (ORDER BY doc_id) AS rnk,
+               count(*) OVER () AS n
+        FROM d
+    ),
+    b AS (
+        SELECT doc_id, toks, n_toks,
+               CAST((rnk - 1) * {HEAPS_BUCKETS} // n AS INT) + 1 AS bucket
+        FROM r
+    ),
+    fb AS (
+        SELECT tk, min(bucket) AS bucket
+        FROM (SELECT bucket, unnest(toks) AS tk FROM b) GROUP BY tk
+    ),
+    nv AS (SELECT bucket, count(*) AS new_types FROM fb GROUP BY bucket),
+    dm AS (
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS tok_mass
+        FROM b GROUP BY bucket
+    )
+    SELECT dm.bucket,
+           CAST(sum(dm.n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(dm.tok_mass) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(nv.new_types, 0)) OVER w AS BIGINT)
+               AS cum_vocab
+    FROM dm LEFT JOIN nv ON nv.bucket = dm.bucket
+    WINDOW w AS (ORDER BY dm.bucket ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def documents_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary-growth curve (see note above): per
+    arrival-order checkpoint, cumulative docs, token mass, and
+    distinct word types seen so far.
+
+    Scale shape: one corpus scan; the rank rides the two-level
+    sharded prefix sum (no global sort), the type explode reduces
+    map-side to (type, min bucket) — vocabulary-sized — and every
+    window runs on the 10-row checkpoint frame. Integer end to
+    end."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(tx.tokens(F.col("text")), F.lower)
+        ).alias("toks"),
+        F.size(tx.tokens(F.col("text"))).alias("n_toks"),
+    )
+    r = sharded_cumsum(
+        d.withColumn("one", F.lit(1)),
+        [],
+        "doc_id",
+        "one",
+        shard=F.floor(F.col("doc_id") / F.lit(4096)),
+    )
+    b = r.select(
+        "toks",
+        "n_toks",
+        (
+            F.expr(f"CAST((cum - 1) * {HEAPS_BUCKETS} div tot AS INT)") + 1
+        ).alias("bucket"),
+    )
+    fb = (
+        b.select("bucket", F.explode("toks").alias("tk"))
+        .groupBy("tk")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    nv = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_types"))
+    dm = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("tok_mass"),
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dm.join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+            F.sum("tok_mass").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
