@@ -2692,3 +2692,164 @@ def embeddings_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# nprobe SWEEP (r9): the recall-vs-cost curve behind every IVF
+# deployment decision — one row per nprobe level with the candidate
+# rows scanned (the cost axis) and the panel-mean recall@K (the
+# quality axis). nprobe = nlist scans everything, so its recall row
+# is a structural 1.0 anchor certifying the audit itself. ONE
+# quantizer build, ONE ranked probe table, ONE brute ranking are
+# shared across all levels (a per-level knn_ivf would retrain
+# k-means 4×); levels materialize by joining the ranked lists
+# against a 4-row level table on rn <= nprobe.
+NPROBE_LEVELS = [1, 2, 4, 8]
+
+
+def _nprobe_sweep_oracle() -> str:
+    from ..similarity.knn import kmeans_unrolled_cte
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    ids = ", ".join(str(v) for v in AUDIT_QVECS)
+    lvls = ", ".join(f"({n})" for n in NPROBE_LEVELS)
+    cfinal = f"c{IVF_ITERS}"
+    return f"""
+    {kmeans_unrolled_cte(IVF_NLIST, IVF_ITERS)},
+    q AS (SELECT vec_id AS qvec, v AS qv FROM e WHERE vec_id IN ({ids})),
+    ranked AS MATERIALIZED (
+        SELECT q.qvec, c.cid,
+               row_number() OVER (PARTITION BY q.qvec
+                                  ORDER BY {dist('q.qv', 'c.c')}, c.cid)
+                   AS rn
+        FROM q, {cfinal} AS c
+    ),
+    probe AS (
+        SELECT v.np, r.qvec, r.cid
+        FROM ranked r, (VALUES {lvls}) v(np)
+        WHERE r.rn <= v.np
+    ),
+    cand AS MATERIALIZED (
+        SELECT p.np, p.qvec, f.vec_id,
+               round(list_cosine_similarity(f.v, q.qv), 6) AS s
+        FROM probe p
+        JOIN af f ON f.cid = p.cid
+        JOIN q ON q.qvec = p.qvec
+        WHERE f.vec_id <> p.qvec
+    ),
+    ivf AS (
+        SELECT np, qvec, vec_id FROM (
+            SELECT np, qvec, vec_id,
+                   row_number() OVER (PARTITION BY np, qvec
+                                      ORDER BY s DESC, vec_id) AS rn
+            FROM cand
+        ) WHERE rn <= {TOP_K}
+    ),
+    brute AS (
+        SELECT qvec, vec_id FROM (
+            SELECT q.qvec, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qvec
+                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM e, q WHERE e.vec_id <> q.qvec
+        ) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT v.np, CAST(count(i.vec_id) AS BIGINT) AS n_hits
+        FROM brute b
+        CROSS JOIN (VALUES {lvls}) v(np)
+        LEFT JOIN ivf i ON i.np = v.np AND i.qvec = b.qvec
+                        AND i.vec_id = b.vec_id
+        GROUP BY v.np
+    ),
+    cost AS (
+        SELECT np, CAST(count(*) AS BIGINT) AS scanned_rows
+        FROM cand GROUP BY np
+    )
+    SELECT h.np AS nprobe, c.scanned_rows, h.n_hits,
+           round(CAST(h.n_hits AS DOUBLE)
+                 / ({len(AUDIT_QVECS)} * {TOP_K}), 6) AS mean_recall
+    FROM hits h JOIN cost c ON c.np = h.np
+    """
+
+
+@register("knn_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def knn_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} vs candidate-scan cost at nprobe ∈ NPROBE_LEVELS
+    over the AUDIT_QVECS panel (see note above) — the tuning curve
+    an IVF deployment reads to pick its operating point.
+
+    Scale shape: one shared quantizer build + one shared brute
+    ranking; the per-level candidate streams are slices of ONE
+    probe-ranked join (no retraining, no rescans); windows partition
+    by (level, query) — parallelism = levels × panel. Builder runs
+    jobs at plan time (kmeans checkpoints): BUILD_EXECUTES."""
+    from ..functions import vectors as vec
+    from ..similarity.knn import assign_clusters, kmeans_centroids
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, IVF_NLIST, IVF_ITERS)
+    assigned = assign_clusters(e, centroids)
+    q = e.filter(F.col("vec_id").isin(AUDIT_QVECS)).select(
+        F.col("vec_id").alias("qvec"),
+        vec.as_double(F.col("embedding")).alias("qv"),
+    )
+    wp = Window.partitionBy("qvec").orderBy("_d", "cluster_id")
+    ranked = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("_d", vec.l2_distance(F.col("centroid"), F.col("qv")))
+        .select("qvec", "cluster_id", F.row_number().over(wp).alias("rn"))
+    )
+    lvls = spark.createDataFrame(
+        [(n,) for n in NPROBE_LEVELS], "np int"
+    )
+    probe = ranked.crossJoin(F.broadcast(lvls)).where(
+        F.col("rn") <= F.col("np")
+    ).select("np", "qvec", "cluster_id")
+    score = F.round(
+        vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cluster_id")
+        .join(F.broadcast(q), "qvec")
+        .where(F.col("vec_id") != F.col("qvec"))
+        .select("np", "qvec", "vec_id", score.alias("_s"))
+    )
+    wr = Window.partitionBy("np", "qvec").orderBy(F.desc("_s"), "vec_id")
+    ivf = (
+        cand.select("np", "qvec", "vec_id", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+        .select("np", "qvec", F.col("vec_id").alias("bvec"), F.lit(1).alias("_hit"))
+    )
+    wb = Window.partitionBy("qvec").orderBy(F.desc("_s"), "vec_id")
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qvec"))
+        .select("qvec", "vec_id", score.alias("_s"))
+        .select("qvec", "vec_id", F.row_number().over(wb).alias("rn"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qvec", F.col("vec_id").alias("bvec"))
+    )
+    hits = (
+        brute.crossJoin(F.broadcast(lvls))
+        .join(ivf, ["np", "qvec", "bvec"], "left")
+        .groupBy("np")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+    )
+    cost = cand.groupBy("np").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scanned_rows")
+    )
+    denom = len(AUDIT_QVECS) * TOP_K
+    return hits.join(cost, "np").select(
+        F.col("np").alias("nprobe"),
+        "scanned_rows",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / denom, 6).alias(
+            "mean_recall"
+        ),
+    )

@@ -45,6 +45,8 @@ BUILD_EXECUTES = {
     "graph_label_propagation",
     # r9: per-round survivor checkpoints (k-core peel)
     "graph_kcore_peel",
+    # r9: shared quantizer kmeans checkpoints (nprobe sweep)
+    "knn_ivf_nprobe_sweep",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
