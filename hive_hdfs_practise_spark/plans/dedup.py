@@ -2196,3 +2196,121 @@ def documents_remove_duplicate_spans(
         ),
         "clean_text",
     )
+
+
+# Mutual-kNN graph statistics (r9) — the neighborhood structure
+# report a graph-based curation pass (kNN-graph clustering,
+# SemDeDup-style neighborhood pruning, isolation scoring) reads
+# before committing to a strategy: each vector's out-degree in the
+# bucketed k=3 kNN graph and how many of those edges are MUTUAL
+# (reciprocated — the strong-tie signal). Candidates are the same
+# banded hyperplane buckets as embeddings_ann_self_join; duplicate
+# multi-band collisions are absorbed by a map-side-combining
+# (vec_id, cnd) aggregate BEFORE the rank (a top-k over a
+# duplicate-bearing stream would count one neighbor twice — the k=1
+# max_by absorbed them for free, a k=3 rank cannot). Ranking orders
+# by the 6dp-rounded ZERO-NORM-GUARDED cosine (the r8 rule: raw
+# list_cosine_similarity NaNs sort first under DESC in DuckDB).
+KNN_GRAPH_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    guarded = """round(CASE
+                       WHEN list_sum(list_transform(ea.v, x -> x * x)) > 0
+                            AND list_sum(list_transform(eb.v, x -> x * x)) > 0
+                       THEN list_cosine_similarity(ea.v, eb.v)
+                       ELSE 0.0 END, 6)"""
+    return f"""
+    WITH {_emb_lsh_cand_sql(N_EMB_BANDS, PLANES_PER_BAND)},
+    directed AS (
+        SELECT vec_a AS vec_id, vec_b AS cnd FROM cand
+        UNION ALL
+        SELECT vec_b, vec_a FROM cand
+    ),
+    ded AS (SELECT DISTINCT vec_id, cnd FROM directed),
+    scored AS (
+        SELECT d.vec_id, d.cnd, {guarded} AS cosine
+        FROM ded d
+        JOIN e ea ON ea.vec_id = d.vec_id
+        JOIN e eb ON eb.vec_id = d.cnd
+    ),
+    knn AS MATERIALIZED (
+        SELECT vec_id, cnd FROM (
+            SELECT vec_id, cnd,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, cnd) AS rn
+            FROM scored
+        ) WHERE rn <= {KNN_GRAPH_K}
+    )
+    SELECT a.vec_id,
+           CAST(count(*) AS INT) AS out_deg,
+           CAST(count(m.vec_id) AS INT) AS n_mutual
+    FROM knn a
+    LEFT JOIN knn m ON m.vec_id = a.cnd AND m.cnd = a.vec_id
+    GROUP BY a.vec_id
+    """
+
+
+@register("embeddings_knn_graph_stats", oracle=_knn_graph_oracle())
+def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector out-degree and mutual-edge count in the bucketed
+    k=3 kNN graph (see note above). Vectors with no bucket-mates
+    emit nothing (the ann_self_join residue note).
+
+    Scale shape: one banded candidate pass (never all-pairs); the
+    pair stream carries only ids + one rounded double, its dedup
+    reduces map-side; vectors broadcast into the cosine join (the
+    ann_self_join OOM lesson); the mutuality probe is a self-join of
+    the ≤K-per-vector kNN list — K·|V|-sized, id-only."""
+    from ..functions import vectors as vec
+
+    cand, e = _emb_lsh_candidates(
+        spark, sf_dir, N_EMB_BANDS, PLANES_PER_BAND, distinct=False
+    )
+    directed = cand.select(
+        F.col("doc_a").alias("vec_id"), F.col("doc_b").alias("cnd")
+    ).unionByName(
+        cand.select(
+            F.col("doc_b").alias("vec_id"), F.col("doc_a").alias("cnd")
+        )
+    )
+    ea = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("cnd"), F.col("v").alias("vb"))
+    scored = (
+        directed.groupBy("vec_id", "cnd")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .drop("_dup")
+        .join(F.broadcast(ea), "vec_id")
+        .join(F.broadcast(eb), "cnd")
+        .select(
+            "vec_id",
+            "cnd",
+            F.round(vec.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cnd")
+    knn = (
+        scored.select(
+            "vec_id", "cnd", F.row_number().over(wr).alias("rn")
+        )
+        .where(F.col("rn") <= KNN_GRAPH_K)
+        .select("vec_id", "cnd")
+        # the mutuality probe self-joins this frame — checkpoint the
+        # K|V| id-only list or the banded pass replays per side
+        .localCheckpoint(eager=True)
+    )
+    rev = knn.select(
+        F.col("cnd").alias("vec_id"),
+        F.col("vec_id").alias("cnd"),
+        F.lit(1).alias("_m"),
+    )
+    return (
+        knn.join(rev, ["vec_id", "cnd"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("out_deg"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            .cast("int")
+            .alias("n_mutual"),
+        )
+    )

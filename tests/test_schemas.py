@@ -47,6 +47,8 @@ BUILD_EXECUTES = {
     "graph_kcore_peel",
     # r9: shared quantizer kmeans checkpoints (nprobe sweep)
     "knn_ivf_nprobe_sweep",
+    # r9: kNN-list checkpoint before the mutuality self-join
+    "embeddings_knn_graph_stats",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
