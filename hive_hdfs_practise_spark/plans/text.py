@@ -2626,3 +2626,58 @@ def documents_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+# Language-ID CONFUSION matrix (r9) — the scorer-validation report a
+# filtering pipeline reads before trusting a language gate: predicted
+# vs labeled language counts plus each cell's share of its label row.
+# On this synthetic corpus the marker heuristic collapses to en/und —
+# the audit's job is to EXPOSE that (the knn_recall_audit honesty
+# contract), which is exactly what a real pipeline needs to see
+# before it drops 4/5 of its non-English data. Rides the ONE shared
+# _token_agg feature pass + _langpred_col (the r8 shared-scorer
+# rule); the oracle nests the full text_lang_id restatement so the
+# two can never drift.
+
+
+@register(
+    "documents_langid_confusion",
+    oracle=f"""
+    WITH per_doc AS ({_lang_oracle()}),
+    m AS (
+        SELECT lang_label, lang_pred, count(*) AS n
+        FROM per_doc GROUP BY lang_label, lang_pred
+    )
+    SELECT lang_label, lang_pred, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY lang_label), 6) AS row_frac
+    FROM m
+    """,
+)
+def documents_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled lang column (see note above): one row per (label, pred)
+    cell with the count and its within-label share.
+
+    Scale shape: the shared single feature pass, one
+    map-side-combining ≤|langs|² aggregate, and a window over that
+    metadata-scale matrix. The share divides two exact integers."""
+    f = _token_agg(spark, sf_dir)
+    labels = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label")
+    )
+    m = (
+        f.join(labels, "doc_id")
+        .select("lang_label", _langpred_col().alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang_label")
+    return m.select(
+        "lang_label",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 6).alias(
+            "row_frac"
+        ),
+    )
