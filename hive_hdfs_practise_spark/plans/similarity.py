@@ -2853,3 +2853,153 @@ def knn_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall"
         ),
     )
+
+
+# Johnson–Lindenstrauss projection AUDIT (r9): how much does a ±1
+# random projection 64 → JL_DIM distort pairwise distances on a
+# fixed panel? The question every dimensionality-reduction shortcut
+# (sketch joins, coarse prefilters, cheap clustering) must answer
+# before deployment. The projection matrix is the md5-sign
+# construction (the knn_opq_adc rotation idiom): s(j,i) = +1 iff the
+# first md5 nibble of "j:i" < 8 — deterministic, engine-identical,
+# and applied to the 1e6-QUANTIZED integer vectors, so projected
+# coordinates, both squared distances, and the ×1e6 distortion
+# ratio are EXACT integers end to end (E[‖Pa−Pb‖²] = JL_DIM·‖a−b‖²
+# for ±1 entries, so ratio_fp ≈ 1e6 with JL-bounded spread — the
+# spread IS the audit's finding). Quotient widened to
+# DECIMAL(38,0)/HUGEINT before the truncating division (Σydiff²
+# ×1e6 overflows int64).
+JL_DIM = 16
+
+
+def _jl_audit_oracle() -> str:
+    ids = ", ".join(str(v) for v in AUDIT_QVECS)
+    sign = (
+        "(CASE WHEN instr('0123456789abcdef', substring(md5("
+        "CAST(j AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 1)) - 1 < 8 "
+        "THEN 1 ELSE -1 END)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    comp AS (
+        SELECT vec_id, t.i,
+               CAST(round(v[t.i] * 1000000) AS BIGINT) AS q
+        FROM e, generate_series(1, 64) AS t(i)
+    ),
+    proj AS (
+        SELECT vec_id, j,
+               CAST(sum({sign} * q) AS BIGINT) AS y
+        FROM comp t, generate_series(1, {JL_DIM}) AS g(j)
+        GROUP BY vec_id, j
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    tru AS (
+        SELECT p.vec_a, p.vec_b,
+               CAST(sum((ca.q - cb.q) * (ca.q - cb.q)) AS BIGINT) AS true_l2sq
+        FROM pairs p
+        JOIN comp ca ON ca.vec_id = p.vec_a
+        JOIN comp cb ON cb.vec_id = p.vec_b AND cb.i = ca.i
+        GROUP BY p.vec_a, p.vec_b
+    ),
+    est AS (
+        SELECT p.vec_a, p.vec_b,
+               CAST(sum((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT) AS proj_l2sq
+        FROM pairs p
+        JOIN proj ya ON ya.vec_id = p.vec_a
+        JOIN proj yb ON yb.vec_id = p.vec_b AND yb.j = ya.j
+        GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT t.vec_a, t.vec_b, t.true_l2sq, s.proj_l2sq,
+           CAST((CAST(s.proj_l2sq AS HUGEINT) * 1000000)
+                // (CAST({JL_DIM} AS HUGEINT) * t.true_l2sq) AS BIGINT)
+               AS ratio_fp
+    FROM tru t JOIN est s ON s.vec_a = t.vec_a AND s.vec_b = t.vec_b
+    """
+
+
+@register("embeddings_jl_projection_audit", oracle=_jl_audit_oracle())
+def embeddings_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-panel-pair distance distortion of the md5-sign ±1
+    projection 64 → JL_DIM (see note above): exact squared distances
+    in original and projected space and the ×1e6 ratio (1e6 = no
+    distortion; the JL spread around it is the deliverable).
+
+    Scale shape: everything is panel-sized (8 vectors → 28 pairs);
+    the projection of a FULL corpus would be one linear scan with
+    the same codegen'd expressions — this audit is the metadata-cost
+    certification step before that rollout."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(AUDIT_QVECS)
+    )
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "c"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("c") * 1_000_000).cast("bigint").alias("q"),
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("i"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8,
+        1,
+    ).otherwise(-1)
+    proj = (
+        comp.select(
+            "vec_id", "i", "q", F.explode(F.sequence(F.lit(1), F.lit(JL_DIM))).alias("j")
+        )
+        .select("vec_id", "j", (sign * F.col("q")).alias("sq"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("sq").cast("bigint").alias("y"))
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"))
+    pairs = ea.crossJoin(eb).where(F.col("vec_a") < F.col("vec_b"))
+    ca = comp.select(F.col("vec_id").alias("vec_a"), "i", F.col("q").alias("qa"))
+    cb = comp.select(F.col("vec_id").alias("vec_b"), "i", F.col("q").alias("qb"))
+    tru = (
+        pairs.join(ca, "vec_a")
+        .join(cb, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("true_l2sq")
+        )
+    )
+    ya = proj.select(F.col("vec_id").alias("vec_a"), "j", F.col("y").alias("ya"))
+    yb = proj.select(F.col("vec_id").alias("vec_b"), "j", F.col("y").alias("yb"))
+    est = (
+        pairs.join(ya, "vec_a")
+        .join(yb, ["vec_b", "j"])
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("bigint")
+            .alias("proj_l2sq")
+        )
+    )
+    return tru.join(est, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        "true_l2sq",
+        "proj_l2sq",
+        F.expr(
+            "CAST(CAST(proj_l2sq AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST({JL_DIM} AS DECIMAL(38,0)) * true_l2sq) AS BIGINT)"
+        ).alias("ratio_fp"),
+    )
