@@ -3003,3 +3003,146 @@ def embeddings_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
             f" div (CAST({JL_DIM} AS DECIMAL(38,0)) * true_l2sq) AS BIGINT)"
         ).alias("ratio_fp"),
     )
+
+
+# Cluster TOPIC annotation (r9): after k-means partitions the
+# embedding space, WHAT IS each cluster about? The labeling pass a
+# curation UI runs so a human can read "cluster 3 ≈ {scan, filter,
+# query}" instead of a centroid. Per cluster, the top CLUSTER_TOPICS
+# tokens by smoothed doc-frequency LIFT against the rest of the
+# corpus — the vocab-drift rate-ratio machinery pointed at learned
+# clusters instead of md5 halves: lift = ((df_in+1)/(n_in+2)) /
+# ((df_out+1)/(n_out+2)), ranked as the exact ×1e6 fixed-point
+# integer quotient (DECIMAL div / HUGEINT //). Embeddings join
+# documents 1:1 on vec_id = doc_id (referential_integrity_audit's
+# pinned invariant).
+CLUSTER_TOPICS = 3
+
+
+def _cluster_topics_oracle() -> str:
+    from ..similarity.knn import kmeans_unrolled_cte
+
+    return rf"""
+    {kmeans_unrolled_cte(IVF_NLIST, IVF_ITERS)},
+    asg AS (SELECT vec_id, cid FROM af),
+    n_in AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asg GROUP BY cid
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asg),
+    toks AS (
+        SELECT a.cid, t.tk
+        FROM asg a
+        JOIN (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       regexp_extract_all(trim(text), '\S+'),
+                       x -> lower(x)))) AS tk
+            FROM documents
+        ) t ON t.doc_id = a.vec_id
+    ),
+    df_in AS (
+        SELECT cid, tk, CAST(count(*) AS BIGINT) AS d_in
+        FROM toks GROUP BY cid, tk
+    ),
+    df_all AS (
+        SELECT tk, CAST(count(*) AS BIGINT) AS d_all
+        FROM toks GROUP BY tk
+    ),
+    lift AS (
+        SELECT f.cid, f.tk, f.d_in,
+               (a.d_all - f.d_in) AS d_out,
+               CAST((CAST(f.d_in + 1 AS HUGEINT)
+                     * (t.n - i.n_c + 2) * 1000000)
+                    // (CAST(a.d_all - f.d_in + 1 AS HUGEINT)
+                        * (i.n_c + 2)) AS BIGINT) AS lift_fp
+        FROM df_in f
+        JOIN df_all a ON a.tk = f.tk
+        JOIN n_in i ON i.cid = f.cid
+        CROSS JOIN tot t
+    )
+    SELECT cid AS cluster_id, CAST(rn AS INT) AS rank, tk AS token,
+           d_in AS df_in, d_out AS df_out, lift_fp
+    FROM (
+        SELECT cid, tk, d_in, d_out, lift_fp,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY lift_fp DESC, tk) AS rn
+        FROM lift
+    ) WHERE rn <= {CLUSTER_TOPICS}
+    """
+
+
+@register("embeddings_cluster_topics", oracle=_cluster_topics_oracle())
+def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top distinctive tokens per k-means cluster (see note above):
+    cluster_id, rank, token, in/out doc frequencies, and the ×1e6
+    fixed-point lift.
+
+    Scale shape: one shared quantizer build, one distinct-token
+    explode reduced map-side to (cluster, token) — vocabulary×nlist
+    sized — a broadcast of the nlist-row cluster sizes, and a top-k
+    window over that vocabulary-scale frame. Builder runs jobs at
+    plan time (kmeans checkpoints): BUILD_EXECUTES."""
+    from ..functions import text as tx
+    from ..similarity.knn import assign_clusters, kmeans_centroids
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, IVF_NLIST, IVF_ITERS)
+    asg = assign_clusters(e, centroids).select("vec_id", "cluster_id")
+    n_in = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    tot = asg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.array_distinct(
+            F.transform(tx.tokens(F.col("text")), F.lower)
+        ).alias("toks"),
+    )
+    toks = asg.join(d, "vec_id").select(
+        "cluster_id", F.explode("toks").alias("tk")
+    )
+    df_in = toks.groupBy("cluster_id", "tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_in")
+    )
+    df_all = toks.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_all")
+    )
+    lift = (
+        df_in.join(df_all, "tk")
+        .join(F.broadcast(n_in), "cluster_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "tk",
+            "d_in",
+            (F.col("d_all") - F.col("d_in")).alias("d_out"),
+            F.expr(
+                "CAST(CAST(d_in + 1 AS DECIMAL(38,0))"
+                " * (n - n_c + 2) * 1000000"
+                " div (CAST(d_all - d_in + 1 AS DECIMAL(38,0))"
+                " * (n_c + 2)) AS BIGINT)"
+            ).alias("lift_fp"),
+        )
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("lift_fp"), "tk"
+    )
+    return (
+        lift.select(
+            "cluster_id",
+            "tk",
+            "d_in",
+            "d_out",
+            "lift_fp",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") <= CLUSTER_TOPICS)
+        .select(
+            "cluster_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("tk").alias("token"),
+            F.col("d_in").alias("df_in"),
+            F.col("d_out").alias("df_out"),
+            "lift_fp",
+        )
+    )

@@ -49,6 +49,8 @@ BUILD_EXECUTES = {
     "knn_ivf_nprobe_sweep",
     # r9: kNN-list checkpoint before the mutuality self-join
     "embeddings_knn_graph_stats",
+    # r9: shared quantizer kmeans checkpoints (cluster topics)
+    "embeddings_cluster_topics",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
