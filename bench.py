@@ -236,6 +236,19 @@ BENCH_QUERIES = [
     "knn_mmr_rerank",
     "documents_gopher_rules",
     "embeddings_outlier_audit",
+    # r9 continuation-session additions
+    "documents_shard_rendezvous",
+    "documents_vocab_drift",
+    "documents_range_shard_plan",
+    "orders_decile_migration",
+    "stream_transition_matrix",
+    "graph_kcore_peel",
+    "documents_heaps_vocab_growth",
+    "knn_ivf_nprobe_sweep",
+    "embeddings_knn_graph_stats",
+    "documents_langid_confusion",
+    "embeddings_jl_projection_audit",
+    "embeddings_cluster_topics",
 ]
 
 
