@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "documents_langid_confusion",
     "embeddings_jl_projection_audit",
     "embeddings_cluster_topics",
+    "lineitem_benford_audit",
 ]
 
 

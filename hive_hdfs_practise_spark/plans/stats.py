@@ -449,3 +449,86 @@ def lineitem_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# Benford first-digit audit (r9) — the classic bulk-numeric QC /
+# fraud screen: compare the first-digit distribution of order-line
+# amounts against Benford's law log10(1 + 1/d). The digit comes from
+# the STRING form of the exact integer cents (substring of a BIGINT
+# cast — engine-identical; never log10 on doubles, which can land on
+# 2.999… at power-of-10 boundaries and flip the digit). Expected
+# shares are fixed literals; the per-digit z-ish deviation divides
+# exact integers by a literal, rounded 6dp.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                   AS digit
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    m AS (
+        SELECT digit, count(*) AS n FROM c GROUP BY digit
+    ),
+    t AS (SELECT sum(n) AS tot FROM m),
+    b(digit, p) AS (VALUES {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())})
+    SELECT b.digit,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n,
+           round(CAST(coalesce(m.n, 0) AS DOUBLE) / t.tot, 6) AS observed,
+           round(b.p, 6) AS expected,
+           round(CAST(coalesce(m.n, 0) AS DOUBLE) / t.tot - b.p, 6)
+               AS deviation
+    FROM b LEFT JOIN m ON m.digit = b.digit CROSS JOIN t
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of line amounts (see note above):
+    per digit 1–9, the count, observed share, Benford expectation,
+    and deviation.
+
+    Scale shape: one scan reduced map-side to 9 groups; everything
+    after is 9-row metadata. The digit extraction is a codegen'd
+    string op on the exact integer cents."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    c = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    m = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = m.agg(F.sum("n").alias("tot"))
+    b = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    return (
+        b.join(m, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot"),
+                6,
+            ).alias("observed"),
+            F.round(F.col("p"), 6).alias("expected"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot")
+                - F.col("p"),
+                6,
+            ).alias("deviation"),
+        )
+    )
