@@ -36,63 +36,63 @@ from . import tpch  # noqa: F401,E402
 # FIRST ~50 registry entries each round (r04-r07 sampled exactly
 # slots 0-49). After r07 the UNION of driver greens covers all 216
 # names, so _FRONT's job flips to RE-VALIDATION coverage
-# (tools/derive_front.py, rotation mode): round-8 additions first
+# (tools/derive_front.py, rotation mode): round-9 additions first
 # (never sampled by construction), then the greens whose most recent
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    # round-8 additions (never driver-sampled), then the stalest
-    # greens (tools/derive_front.py rotation, 50-slot budget)
-    "documents_hybrid_rrf",
-    "documents_kn_trigram_perplexity",
-    "stream_dedup_minhash",
-    "documents_tokenizer_fertility",
-    "split_contamination_by_source",
-    "dedup_survivors_quality",
-    "documents_filter_cascade",
-    "knn_recall_audit",
-    "dedup_cross_source_matrix",
-    "embeddings_drift_by_label",
-    "stream_kmv_distinct_users",
-    "documents_pack_efficiency",
-    "dedup_minhash_indexed",
-    "documents_temperature_mix",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "json_roundtrip",
-    "events_salted_agg",
-    "events_props_map",
-    "events_props_variant",
-    "multimodal_decode_stub",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "order_detail_nested",
-    "next_order_id",
-    "events_json_extract",
-    "customer_projection",
-    "scalar_functions",
-    "knn_brute_cosine",
-    "knn_brute_cosine_vectorized",
-    "knn_lsh_bucketed",
-    "knn_ivf",
-    "embedding_centroids",
+    # round-9 additions (never driver-sampled; tools/derive_front.py
+    # rotation), then the stalest r01-r03-era greens — 50 slots
+    "orders_decile_migration",
+    "dedup_minhash_probe_delta",
+    "dedup_recall_audit",
+    "knn_mmr_rerank",
+    "embeddings_outlier_audit",
+    "knn_ivf_nprobe_sweep",
+    "embeddings_jl_projection_audit",
+    "embeddings_cluster_topics",
+    "embeddings_knn_graph_stats",
+    "documents_vocab_drift",
+    "graph_kcore_peel",
+    "dedup_survivors_indexed",
+    "documents_perplexity_buckets",
+    "documents_gopher_rules",
+    "documents_heaps_vocab_growth",
+    "documents_langid_confusion",
+    "documents_ngram_novelty",
+    "documents_shard_rendezvous",
+    "documents_range_shard_plan",
+    "lineitem_benford_audit",
+    "stream_filter_cascade",
+    "stream_transition_matrix",
+    "knn_lsh_multiprobe",
+    "dedup_embedding_lsh",
+    "distinct_counts",
+    "events_kmv_distinct_users",
+    "distinct_counts_approx",
+    "events_theta_setops",
+    "text_token_stats",
+    "text_token_counts_bpe",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "word_freq_topk",
+    "text_repetition_stats",
+    "text_char_bigram_logprob",
+    "text_sentences_udtf",
+    "word_freq_cms_topk",
+    "word_freq_countsketch_topk",
+    "documents_pack_sequences",
+    "documents_chunk_overlap",
+    "pipeline_training_data",
+    "part_list_search",
+    "order_list_time_filtered",
+    "recommend_top15",
+    "order_detail_flat",
+    "order_value_percentiles",
+    "order_value_percentiles_approx",
+    "order_value_histogram",
+    "lineitem_moments",
 ]
 
 
