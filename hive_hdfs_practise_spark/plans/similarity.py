@@ -2916,9 +2916,11 @@ def _jl_audit_oracle() -> str:
         GROUP BY p.vec_a, p.vec_b
     )
     SELECT t.vec_a, t.vec_b, t.true_l2sq, s.proj_l2sq,
-           CAST((CAST(s.proj_l2sq AS HUGEINT) * 1000000)
-                // (CAST({JL_DIM} AS HUGEINT) * t.true_l2sq) AS BIGINT)
-               AS ratio_fp
+           CASE WHEN t.true_l2sq > 0
+                THEN CAST((CAST(s.proj_l2sq AS HUGEINT) * 1000000)
+                          // (CAST({JL_DIM} AS HUGEINT) * t.true_l2sq)
+                          AS BIGINT)
+                ELSE 1000000 END AS ratio_fp
     FROM tru t JOIN est s ON s.vec_a = t.vec_a AND s.vec_b = t.vec_b
     """
 
@@ -2998,10 +3000,20 @@ def embeddings_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_b",
         "true_l2sq",
         "proj_l2sq",
-        F.expr(
-            "CAST(CAST(proj_l2sq AS DECIMAL(38,0)) * 1000000"
-            f" div (CAST({JL_DIM} AS DECIMAL(38,0)) * true_l2sq) AS BIGINT)"
-        ).alias("ratio_fp"),
+        # identical panel vectors (legal on replica corpora) give
+        # true = proj = 0: a raw division would ANSI-raise; the 0/0
+        # pair is distortion-free by construction, so 1e6 (and never
+        # NULL — a NULL bigint becomes float64 in the driver canon)
+        F.when(
+            F.col("true_l2sq") > 0,
+            F.expr(
+                "CAST(CAST(proj_l2sq AS DECIMAL(38,0)) * 1000000"
+                f" div (CAST({JL_DIM} AS DECIMAL(38,0)) * true_l2sq)"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(1_000_000).cast("bigint"))
+        .alias("ratio_fp"),
     )
 
 

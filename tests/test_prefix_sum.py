@@ -404,3 +404,55 @@ def test_r9_temperature_mix_many_sources_cross_engine(
             )
         )
         assert w == want
+
+
+@pytest.fixture(scope="module")
+def r9_jl_dup_dir(tmp_path_factory):
+    """r9 adversarial corpus: two AUDIT panel vectors (0 and 7) are
+    IDENTICAL — the JL audit's 0/0 distortion class."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("r9jl")
+    ids = list(range(30))
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.uniform(-1, 1, 64).astype("float32") for i in ids}
+    vecs[7] = vecs[0].copy()  # planted duplicate inside the panel
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [vecs[i].tolist() for i in ids],
+            "label": [i % 3 for i in ids],
+        }
+    ).to_parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_r9_jl_audit_duplicate_vector_cross_engine(spark, r9_jl_dup_dir):
+    """Identical panel vectors make true_l2sq = 0: the ratio must be
+    the distortion-free 1e6 sentinel on BOTH engines, never an ANSI
+    divide-by-zero or a NULL (which would float64 the driver canon)."""
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+
+    rows = plans.QUERIES["embeddings_jl_projection_audit"](
+        spark, r9_jl_dup_dir
+    ).collect()
+    got = {(r.vec_a, r.vec_b, r.true_l2sq, r.proj_l2sq, r.ratio_fp) for r in rows}
+    dup = [r for r in rows if (r.vec_a, r.vec_b) == (0, 7)]
+    assert len(dup) == 1
+    assert dup[0].true_l2sq == 0 and dup[0].proj_l2sq == 0
+    assert dup[0].ratio_fp == 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{r9_jl_dup_dir}/embeddings.parquet')"
+    )
+    oracle = {
+        tuple(int(x) for x in r)
+        for r in con.execute(
+            plans.ORACLES["embeddings_jl_projection_audit"]
+        ).fetchall()
+    }
+    assert got == oracle and len(got) == 3
