@@ -2204,12 +2204,15 @@ def documents_remove_duplicate_spans(
 # before committing to a strategy: each vector's out-degree in the
 # bucketed k=3 kNN graph and how many of those edges are MUTUAL
 # (reciprocated — the strong-tie signal). Candidates are the same
-# banded hyperplane buckets as embeddings_ann_self_join; duplicate
-# multi-band collisions are absorbed by a map-side-combining
-# (vec_id, cnd) aggregate BEFORE the rank (a top-k over a
-# duplicate-bearing stream would count one neighbor twice — the k=1
-# max_by absorbed them for free, a k=3 rank cannot). Ranking orders
-# by the 6dp-rounded ZERO-NORM-GUARDED cosine (the r8 rule: raw
+# banded hyperplane buckets as embeddings_ann_self_join. Duplicate
+# multi-band collisions cannot be groupBy-deduped BEFORE the rank —
+# that shuffles the whole candidate mass (the r5 distinct-first OOM
+# class; it killed the 40x context) — so the rank runs ON the
+# duplicate-bearing stream: dups of a pair are rank-adjacent, the
+# top K·N_EMB_BANDS rows provably contain the top-K distinct cnds
+# (pigeonhole), WindowGroupLimit prunes map-side, and the tiny
+# survivor set dedups after. Ranking orders by the 6dp-rounded
+# ZERO-NORM-GUARDED cosine (the r8 rule: raw
 # list_cosine_similarity NaNs sort first under DESC in DuckDB).
 KNN_GRAPH_K = 3
 
@@ -2251,17 +2254,10 @@ def _knn_graph_oracle() -> str:
     """
 
 
-@register("embeddings_knn_graph_stats", oracle=_knn_graph_oracle())
-def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector out-degree and mutual-edge count in the bucketed
-    k=3 kNN graph (see note above). Vectors with no bucket-mates
-    emit nothing (the ann_self_join residue note).
-
-    Scale shape: one banded candidate pass (never all-pairs); the
-    pair stream carries only ids + one rounded double, its dedup
-    reduces map-side; vectors broadcast into the cosine join (the
-    ann_self_join OOM lesson); the mutuality probe is a self-join of
-    the ≤K-per-vector kNN list — K·|V|-sized, id-only."""
+def _knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint top-K kNN list (vec_id, cnd) — factored so the
+    WindowGroupLimit plan pin can inspect it (the checkpoint in the
+    registered builder executes the plan away)."""
     from ..functions import vectors as vec
 
     cand, e = _emb_lsh_candidates(
@@ -2276,11 +2272,18 @@ def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
     eb = e.select(F.col("vec_id").alias("cnd"), F.col("v").alias("vb"))
+    # score the DUPLICATE-BEARING stream directly (a groupBy-dedup
+    # first would shuffle the full candidate mass — the r5
+    # distinct-first OOM class; the 40x replica corpus emits ~1e9
+    # pairs and killed the context that way). Dups of a pair carry
+    # identical (cosine, cnd), so each cnd occupies <= N_EMB_BANDS
+    # adjacent ranks and the top K*N_EMB_BANDS ranked rows are
+    # guaranteed to contain the top-K distinct cnds (pigeonhole).
+    # row_number <= const is WindowGroupLimit-pushed: each mapper
+    # pre-prunes to <= K*bands rows per vec_id BEFORE the exchange,
+    # so the shuffle is |V|-scale however big the pair stream is.
     scored = (
-        directed.groupBy("vec_id", "cnd")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .drop("_dup")
-        .join(F.broadcast(ea), "vec_id")
+        directed.join(F.broadcast(ea), "vec_id")
         .join(F.broadcast(eb), "cnd")
         .select(
             "vec_id",
@@ -2289,16 +2292,36 @@ def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cnd")
-    knn = (
+    top = (
         scored.select(
-            "vec_id", "cnd", F.row_number().over(wr).alias("rn")
+            "vec_id", "cnd", "cosine", F.row_number().over(wr).alias("rn")
         )
+        .where(F.col("rn") <= KNN_GRAPH_K * N_EMB_BANDS)
+        .groupBy("vec_id", "cnd")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cnd")
+    return (
+        top.select("vec_id", "cnd", F.row_number().over(wk).alias("rn"))
         .where(F.col("rn") <= KNN_GRAPH_K)
         .select("vec_id", "cnd")
-        # the mutuality probe self-joins this frame — checkpoint the
-        # K|V| id-only list or the banded pass replays per side
-        .localCheckpoint(eager=True)
     )
+
+
+@register("embeddings_knn_graph_stats", oracle=_knn_graph_oracle())
+def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector out-degree and mutual-edge count in the bucketed
+    k=3 kNN graph (see note above). Vectors with no bucket-mates
+    emit nothing (the ann_self_join residue note).
+
+    Scale shape: one banded candidate pass (never all-pairs); the
+    pair stream carries only ids + one rounded double and is pruned
+    to ≤K·bands rows per vector BY THE MAPPERS (WindowGroupLimit,
+    plan-pinned) before any exchange — dedup happens after, on the
+    |V|-scale survivors; vectors broadcast into the cosine join (the
+    ann_self_join OOM lesson); the mutuality probe is a self-join of
+    the checkpointed ≤K-per-vector kNN list — K·|V|-sized, id-only."""
+    knn = _knn_graph_topk(spark, sf_dir).localCheckpoint(eager=True)
     rev = knn.select(
         F.col("cnd").alias("vec_id"),
         F.col("vec_id").alias("cnd"),

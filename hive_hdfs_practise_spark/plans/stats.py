@@ -475,7 +475,11 @@ _BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
         SELECT digit, count(*) AS n FROM c GROUP BY digit
     ),
     t AS (SELECT sum(n) AS tot FROM m),
-    b(digit, p) AS (VALUES {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())})
+    b AS (
+        SELECT digit, CAST(p AS DOUBLE) AS p
+        FROM (VALUES {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())})
+             v(digit, p)
+    )
     SELECT b.digit,
            CAST(coalesce(m.n, 0) AS BIGINT) AS n,
            round(CAST(coalesce(m.n, 0) AS DOUBLE) / t.tot, 6) AS observed,

@@ -1159,3 +1159,32 @@ class TestMinhashIndexed:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(band" not in plan.lower()
         assert rows
+
+
+class TestKnnGraphStats:
+    """r9: embeddings_knn_graph_stats — the rank must run on the
+    duplicate-bearing pair stream with a map-side WindowGroupLimit
+    (a groupBy-dedup first shuffles the full candidate mass and
+    killed the 40x context), and the output invariants must hold."""
+
+    def test_window_group_limit_pushdown(self, spark):
+        from hive_hdfs_practise_spark.plans.dedup import _knn_graph_topk
+
+        plan = (
+            _knn_graph_topk(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+        # both the map-side (Partial) and post-shuffle (Final) limits
+        assert "row_number(), 12, Partial" in plan
+        assert "row_number(), 12, Final" in plan
+
+    def test_output_invariants(self, spark):
+        rows = plans.QUERIES["embeddings_knn_graph_stats"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        assert all(0 <= r.n_mutual <= r.out_deg <= 3 for r in rows)
+        assert sum(r.n_mutual for r in rows) % 2 == 0
