@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "embeddings_jl_projection_audit",
     "embeddings_cluster_topics",
     "lineitem_benford_audit",
+    "dedup_minhash_j_spectrum",
 ]
 
 

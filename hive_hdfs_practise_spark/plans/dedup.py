@@ -2337,3 +2337,101 @@ def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_mutual"),
         )
     )
+
+
+# Near-dup SIMILARITY SPECTRUM (r9): the threshold-calibration curve
+# a dedup rollout reads before picking tau — how much pair mass does
+# the CURRENT banding detect in each exact-Jaccard band? Same
+# lang-blocked signature+candidate machinery as dedup_minhash_lsh
+# (so the spectrum describes exactly what that pipeline would see),
+# verified WITHOUT a threshold; the band index is pure integer
+# arithmetic ((20·inter) div union = floor(20·J) exactly — never
+# trunc(J·20) on doubles, whose representation error straddles the
+# k/20 boundaries). Low bands are honest: they count the accidental
+# collisions the banding lets through, which is precisely the
+# precision cost a tau choice must price in. Recall caveat: bands
+# detect low-J pairs with probability < 1 (1-(1-J^r)^b), so low
+# bands UNDERCOUNT the corpus — the spectrum is a property of the
+# (pipeline, corpus) pair, not the corpus alone (the knn_recall /
+# langid_confusion honesty contract).
+J_SPECTRUM_BANDS = 20
+
+
+@register(
+    "dedup_minhash_j_spectrum",
+    oracle=f"""
+    WITH {_minhash_cand_ctes("documents", 1, True)},
+    jsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                      for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ),
+    jv AS (
+        SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                   AS ni,
+               CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))
+                    AS BIGINT) AS nu
+        FROM mh_cand c
+        JOIN jsh a ON a.doc_id = c.doc_a
+        JOIN jsh b ON b.doc_id = c.doc_b
+    )
+    SELECT CAST((ni * {J_SPECTRUM_BANDS}) // nu AS INT) AS j_band,
+           count(*) AS n_pairs
+    FROM jv WHERE nu > 0
+    GROUP BY 1
+    """,
+)
+def dedup_minhash_j_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard band histogram of the LSH pipeline's candidate
+    pairs (see note above): j_band = floor(20·J), one row per
+    non-empty band with the detected pair count.
+
+    Scale shape: identical to dedup_minhash_lsh up to the verify
+    (checkpointed signatures, banded candidates — never all-pairs),
+    then ONE integer aggregate over the candidate stream; output is
+    ≤21 rows. Builder runs jobs at plan time (signature checkpoint):
+    BUILD_EXECUTES."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents")
+    sigs = mh.minhash_signature_from_text(
+        d.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"],
+        "text",
+        SHINGLE_K,
+        N_PERM,
+        family=family,
+    ).localCheckpoint(eager=True)
+    cand = mh.lsh_candidate_pairs(
+        sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
+    )
+    shingled = d.select(
+        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    ni = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    v = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            ni.cast("bigint").alias("ni"),
+            (F.size("sh_a") + F.size("sh_b") - ni).cast("bigint").alias("nu"),
+        )
+        .filter(F.col("nu") > 0)
+    )
+    return (
+        v.select(
+            F.expr(f"CAST(ni * {J_SPECTRUM_BANDS} div nu AS INT)").alias(
+                "j_band"
+            )
+        )
+        .groupBy("j_band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

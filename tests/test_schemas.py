@@ -51,6 +51,8 @@ BUILD_EXECUTES = {
     "embeddings_knn_graph_stats",
     # r9: shared quantizer kmeans checkpoints (cluster topics)
     "embeddings_cluster_topics",
+    # r9: signature/shingle checkpoints (J spectrum)
+    "dedup_minhash_j_spectrum",
     "q15_top_supplier",
     "q11_important_parts",
     "dedup_simhash_bucketed",
