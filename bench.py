@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "embeddings_cluster_topics",
     "lineitem_benford_audit",
     "dedup_minhash_j_spectrum",
+    "orders_cohort_ltv",
 ]
 
 

@@ -1222,3 +1222,100 @@ def orders_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_h1", "decile_h2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# Cohort LTV triangle (r9): cumulative revenue per acquisition
+# cohort by month age — the revenue twin of events_retention_cohorts
+# (that one counts weekly ACTIVITY from events; this one accumulates
+# ORDER REVENUE by first-purchase month). Months are the integer
+# y·12+m index (no date-type cross-engine pitfalls); revenue is
+# exact integer cents; the cumulative window runs over the
+# metadata-scale (cohort × age) grid, and per-customer LTV is the
+# truncating integer division cum div cohort_size on both engines.
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT)
+                   AS mix
+        FROM orders
+    ),
+    c AS (SELECT o_custkey, min(mix) AS cohort_mix FROM o GROUP BY 1),
+    coh AS (
+        SELECT cohort_mix, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM c GROUP BY 1
+    ),
+    a AS (
+        SELECT c.cohort_mix, o.mix - c.cohort_mix AS age,
+               CAST(sum(o.cents) AS BIGINT) AS rev,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        FROM o JOIN c USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT CAST((a.cohort_mix - 1) // 12 AS INT) AS cohort_year,
+           CAST((a.cohort_mix - 1) % 12 + 1 AS INT) AS cohort_month,
+           CAST(a.age AS INT) AS age,
+           a.n_active,
+           CAST(sum(a.rev) OVER (PARTITION BY a.cohort_mix ORDER BY a.age
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_revenue_cents,
+           CAST(CAST(sum(a.rev) OVER (PARTITION BY a.cohort_mix
+                                      ORDER BY a.age
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                // coh.cohort_size AS BIGINT) AS ltv_cents
+    FROM a JOIN coh ON coh.cohort_mix = a.cohort_mix
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-revenue LTV triangle (see note above): per
+    (acquisition cohort, month age), active buyers, cumulative
+    cohort revenue, and per-customer LTV in cents.
+
+    Scale shape: one order scan → per-customer min-month aggregate →
+    one (cohort, age) grouped aggregate; the cumulative window and
+    the cohort-size broadcast join run on the metadata-scale grid.
+    Integer cents end to end; the LTV division truncates identically
+    (Spark div / DuckDB //)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        )
+        .cast("int")
+        .alias("mix"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("mix").alias("cohort_mix"))
+    coh = c.groupBy("cohort_mix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    a = (
+        o.join(c, "o_custkey")
+        .groupBy(
+            "cohort_mix", (F.col("mix") - F.col("cohort_mix")).alias("age")
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_mix")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev").over(w).cast("bigint")
+    return a.join(F.broadcast(coh), "cohort_mix").select(
+        F.expr("CAST((cohort_mix - 1) div 12 AS INT)").alias("cohort_year"),
+        ((F.col("cohort_mix") - 1) % 12 + 1).cast("int").alias("cohort_month"),
+        F.col("age").cast("int").alias("age"),
+        "n_active",
+        cum.alias("cum_revenue_cents"),
+        F.expr(
+            "CAST(CAST(sum(rev) OVER (PARTITION BY cohort_mix ORDER BY age"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " div cohort_size AS BIGINT)"
+        ).alias("ltv_cents"),
+    )
