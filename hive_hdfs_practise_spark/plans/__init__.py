@@ -65,6 +65,8 @@ _FRONT = [
     "lineitem_benford_audit",
     "stream_filter_cascade",
     "stream_transition_matrix",
+    "orders_cohort_ltv",
+    "dedup_minhash_j_spectrum",
     "knn_lsh_multiprobe",
     "dedup_embedding_lsh",
     "distinct_counts",
@@ -91,8 +93,6 @@ _FRONT = [
     "order_detail_flat",
     "order_value_percentiles",
     "order_value_percentiles_approx",
-    "order_value_histogram",
-    "lineitem_moments",
 ]
 
 
