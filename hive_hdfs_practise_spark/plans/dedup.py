@@ -1058,15 +1058,15 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs_full_shingles(spark, sf_dir, cand)
 
 
-def _verify_pairs_full_shingles(
+def _candidate_jaccard(
     spark: SparkSession, sf_dir: str, cand: DataFrame
 ) -> DataFrame:
-    """Exact-Jaccard verify of (doc_a, doc_b) candidates against a
+    """(doc_a, doc_b, ni, nu) for every candidate pair, against a
     CHECKPOINTED full-corpus shingle table — the downsample=1
-    family's verify (its candidate stream is wide enough that the
-    one-pass shingle materialization beats per-candidate shingling);
-    shared by the inline pair front end and dedup_survivors_indexed
-    so the two cannot drift."""
+    family's verify input (its candidate stream is wide enough that
+    the one-pass shingle materialization beats per-candidate
+    shingling). Shared by the thresholded verify AND the J-band
+    spectrum so the two cannot drift (r9 review catch)."""
     d = wide_table(spark, sf_dir, "documents")
     shingled = d.select(
         "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
@@ -1078,12 +1078,29 @@ def _verify_pairs_full_shingles(
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .filter(
-            (n_union > 0)
-            & (F.round(n_inter.cast("double") / n_union, 6) >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("bigint").alias("ni"),
+            n_union.cast("bigint").alias("nu"),
         )
-        .select("doc_a", "doc_b")
     )
+
+
+def _verify_pairs_full_shingles(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidates (see
+    ``_candidate_jaccard``); shared by the inline pair front end and
+    dedup_survivors_indexed so the two cannot drift."""
+    v = _candidate_jaccard(spark, sf_dir, cand)
+    return v.filter(
+        (F.col("nu") > 0)
+        & (
+            F.round(F.col("ni").cast("double") / F.col("nu"), 6)
+            >= JACCARD_THRESHOLD
+        )
+    ).select("doc_a", "doc_b")
 
 
 # Banded hyperplane LSH for the UNBLOCKED embedding near-dup path:
@@ -2407,25 +2424,7 @@ def dedup_minhash_j_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = mh.lsh_candidate_pairs(
         sigs, N_BANDS, ROWS_PER_BAND, block_cols=("lang",), family=family
     )
-    shingled = d.select(
-        "doc_id", tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
-    ).localCheckpoint(eager=True)
-    sh_a = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sh_b = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    ni = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    v = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select(
-            ni.cast("bigint").alias("ni"),
-            (F.size("sh_a") + F.size("sh_b") - ni).cast("bigint").alias("nu"),
-        )
-        .filter(F.col("nu") > 0)
-    )
+    v = _candidate_jaccard(spark, sf_dir, cand).filter(F.col("nu") > 0)
     return (
         v.select(
             F.expr(f"CAST(ni * {J_SPECTRUM_BANDS} div nu AS INT)").alias(

@@ -1474,10 +1474,14 @@ def documents_range_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat global window — fine for the oracle, not for the engine."""
     from ..operators.prefix_sum import sharded_cumsum
 
+    # DECIMAL(38,0) composite key: a BIGINT n_chars·2^40 + doc_id
+    # overflows for any document over ~8.4M chars (legal in a
+    # pretraining corpus) and would ANSI-raise — decimal keeps the
+    # same ordering with ~1e38 headroom (r9 review catch)
     d = table(spark, sf_dir, "documents").select(
         "n_chars",
         (
-            F.col("n_chars").cast("bigint") * F.lit(1 << 40)
+            F.col("n_chars").cast("decimal(38,0)") * F.lit(1 << 40)
             + F.col("doc_id")
         ).alias("key"),
         F.lit(1).alias("one"),

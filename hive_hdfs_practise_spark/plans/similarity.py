@@ -446,7 +446,7 @@ def _recall_audit_oracle() -> str:
             SELECT q.qvec, f.vec_id,
                    row_number() OVER (
                        PARTITION BY q.qvec
-                       ORDER BY round(list_cosine_similarity(f.v, q.qv), 6)
+                       ORDER BY round(CASE WHEN list_sum(list_transform(f.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(f.v, q.qv) ELSE 0.0 END, 6)
                                 DESC, f.vec_id) AS rn
             FROM probe p
             JOIN af f ON f.cid = p.cid
@@ -459,7 +459,7 @@ def _recall_audit_oracle() -> str:
             SELECT q.qvec, e.vec_id,
                    row_number() OVER (
                        PARTITION BY q.qvec
-                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                       ORDER BY round(CASE WHEN list_sum(list_transform(e.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(e.v, q.qv) ELSE 0.0 END, 6)
                                 DESC, e.vec_id) AS rn
             FROM e, q WHERE e.vec_id <> q.qvec
         ) WHERE rn <= {TOP_K}
@@ -2718,6 +2718,10 @@ def _nprobe_sweep_oracle() -> str:
     ids = ", ".join(str(v) for v in AUDIT_QVECS)
     lvls = ", ".join(f"({n})" for n in NPROBE_LEVELS)
     cfinal = f"c{IVF_ITERS}"
+    # zero-norm-guarded cosine on the ranking axis (the r8 rule:
+    # raw list_cosine_similarity NaNs sort FIRST under DESC)
+    gc_f = _DDB_GUARDED_COS.format(a="f.v", b="q.qv")
+    gc_e = _DDB_GUARDED_COS.format(a="e.v", b="q.qv")
     return f"""
     {kmeans_unrolled_cte(IVF_NLIST, IVF_ITERS)},
     q AS (SELECT vec_id AS qvec, v AS qv FROM e WHERE vec_id IN ({ids})),
@@ -2735,7 +2739,7 @@ def _nprobe_sweep_oracle() -> str:
     ),
     cand AS MATERIALIZED (
         SELECT p.np, p.qvec, f.vec_id,
-               round(list_cosine_similarity(f.v, q.qv), 6) AS s
+               round({gc_f}, 6) AS s
         FROM probe p
         JOIN af f ON f.cid = p.cid
         JOIN q ON q.qvec = p.qvec
@@ -2754,13 +2758,14 @@ def _nprobe_sweep_oracle() -> str:
             SELECT q.qvec, e.vec_id,
                    row_number() OVER (
                        PARTITION BY q.qvec
-                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                       ORDER BY round({gc_e}, 6)
                                 DESC, e.vec_id) AS rn
             FROM e, q WHERE e.vec_id <> q.qvec
         ) WHERE rn <= {TOP_K}
     ),
     hits AS (
-        SELECT v.np, CAST(count(i.vec_id) AS BIGINT) AS n_hits
+        SELECT v.np, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_truth
         FROM brute b
         CROSS JOIN (VALUES {lvls}) v(np)
         LEFT JOIN ivf i ON i.np = v.np AND i.qvec = b.qvec
@@ -2772,8 +2777,7 @@ def _nprobe_sweep_oracle() -> str:
         FROM cand GROUP BY np
     )
     SELECT h.np AS nprobe, c.scanned_rows, h.n_hits,
-           round(CAST(h.n_hits AS DOUBLE)
-                 / ({len(AUDIT_QVECS)} * {TOP_K}), 6) AS mean_recall
+           round(CAST(h.n_hits AS DOUBLE) / h.n_truth, 6) AS mean_recall
     FROM hits h JOIN cost c ON c.np = h.np
     """
 
@@ -2814,11 +2818,16 @@ def knn_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         vec.cosine(vec.as_double(F.col("embedding")), F.col("qv")), 6
     )
+    # persisted: both the per-level ranking and the cost aggregate
+    # consume this corpus-scale stream, and AQE does not dedupe
+    # identical heavy subtrees (the r6 association-rules lesson);
+    # the gate/bench clearCache between queries
     cand = (
         assigned.join(F.broadcast(probe), "cluster_id")
         .join(F.broadcast(q), "qvec")
         .where(F.col("vec_id") != F.col("qvec"))
         .select("np", "qvec", "vec_id", score.alias("_s"))
+        .persist()
     )
     wr = Window.partitionBy("np", "qvec").orderBy(F.desc("_s"), "vec_id")
     ivf = (
@@ -2839,19 +2848,28 @@ def knn_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute.crossJoin(F.broadcast(lvls))
         .join(ivf, ["np", "qvec", "bvec"], "left")
         .groupBy("np")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            # denominator = ACTUAL ground-truth rows, not the panel
+            # constant: on a corpus where some AUDIT_QVECS ids are
+            # absent (or have < K neighbors) the constant would
+            # silently deflate recall and break the np = nlist
+            # recall-1.0 anchor
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        )
     )
     cost = cand.groupBy("np").agg(
         F.count(F.lit(1)).cast("bigint").alias("scanned_rows")
     )
-    denom = len(AUDIT_QVECS) * TOP_K
     return hits.join(cost, "np").select(
         F.col("np").alias("nprobe"),
         "scanned_rows",
         "n_hits",
-        F.round(F.col("n_hits").cast("double") / denom, 6).alias(
-            "mean_recall"
-        ),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_truth"), 6
+        ).alias("mean_recall"),
     )
 
 
@@ -3116,8 +3134,12 @@ def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_in = toks.groupBy("cluster_id", "tk").agg(
         F.count(F.lit(1)).cast("bigint").alias("d_in")
     )
-    df_all = toks.groupBy("tk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d_all")
+    # every doc is in exactly one cluster, so the corpus df is the
+    # sum of the per-cluster dfs — a vocabulary-scale aggregate, not
+    # a second corpus explode (AQE does not dedupe identical heavy
+    # subtrees; r9 review catch)
+    df_all = df_in.groupBy("tk").agg(
+        F.sum("d_in").cast("bigint").alias("d_all")
     )
     lift = (
         df_in.join(df_all, "tk")
