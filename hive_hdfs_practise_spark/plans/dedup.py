@@ -891,9 +891,9 @@ COSINE_THRESHOLD = 0.4
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           round(CASE WHEN list_sum(list_transform(a.v, x -> x * x)) > 0 AND list_sum(list_transform(b.v, x -> x * x)) > 0 THEN list_cosine_similarity(a.v, b.v) ELSE 0.0 END, 6) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COSINE_THRESHOLD}
+    WHERE round(CASE WHEN list_sum(list_transform(a.v, x -> x * x)) > 0 AND list_sum(list_transform(b.v, x -> x * x)) > 0 THEN list_cosine_similarity(a.v, b.v) ELSE 0.0 END, 6) >= {COSINE_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,11 +1161,11 @@ def _emb_lsh_oracle(
     return f"""
     WITH {_emb_lsh_cand_sql(n_bands, ppb)}
     SELECT c.vec_a, c.vec_b,
-           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+           round(CASE WHEN list_sum(list_transform(ea.v, x -> x * x)) > 0 AND list_sum(list_transform(eb.v, x -> x * x)) > 0 THEN list_cosine_similarity(ea.v, eb.v) ELSE 0.0 END, 6) AS cosine
     FROM cand AS c
     JOIN e AS ea ON ea.vec_id = c.vec_a
     JOIN e AS eb ON eb.vec_id = c.vec_b
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    WHERE round(CASE WHEN list_sum(list_transform(ea.v, x -> x * x)) > 0 AND list_sum(list_transform(eb.v, x -> x * x)) > 0 THEN list_cosine_similarity(ea.v, eb.v) ELSE 0.0 END, 6) >= {threshold}
     """
 
 
@@ -1316,7 +1316,7 @@ def _ann_self_join_oracle() -> str:
     ),
     scored AS (
         SELECT d.vec_id, d.cnd,
-               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+               round(CASE WHEN list_sum(list_transform(ea.v, x -> x * x)) > 0 AND list_sum(list_transform(eb.v, x -> x * x)) > 0 THEN list_cosine_similarity(ea.v, eb.v) ELSE 0.0 END, 6) AS cosine
         FROM directed AS d
         JOIN e AS ea ON ea.vec_id = d.vec_id
         JOIN e AS eb ON eb.vec_id = d.cnd

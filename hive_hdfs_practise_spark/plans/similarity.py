@@ -33,7 +33,7 @@ IVF_ITERS = 3
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                WHERE vec_id = {QUERY_VEC_ID}),
          scored AS (
-           SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+           SELECT e.vec_id, round(CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) ELSE 0.0 END, 6) AS cosine
            FROM embeddings e, q
            WHERE e.vec_id <> {QUERY_VEC_ID}
          )
@@ -73,7 +73,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                WHERE vec_id = {QUERY_VEC_ID}),
          scored AS (
-           SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+           SELECT e.vec_id, round(CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) ELSE 0.0 END, 6) AS cosine
            FROM embeddings e, q
            WHERE e.vec_id <> {QUERY_VEC_ID}
          )
@@ -208,7 +208,7 @@ def _lsh_bucket_ctes() -> str:
     "knn_lsh_bucketed",
     oracle=_lsh_bucket_ctes()
     + f"""
-    SELECT b.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    SELECT b.vec_id, round(CASE WHEN list_sum(list_transform(e.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(e.v, q.qv) ELSE 0.0 END, 6) AS cosine
     FROM buckets AS b JOIN e USING (vec_id), q
     WHERE b.vec_id <> {QUERY_VEC_ID} AND b.bucket = q.qb
     ORDER BY cosine DESC, b.vec_id
@@ -357,7 +357,7 @@ def _ivf_oracle(
     return (
         ",\n    ".join(parts)
         + f"""
-    SELECT f.vec_id, round(list_cosine_similarity(f.v, q.qv), 6) AS cosine
+    SELECT f.vec_id, round(CASE WHEN list_sum(list_transform(f.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(f.v, q.qv) ELSE 0.0 END, 6) AS cosine
     FROM a{final} AS f{label_join}, probe, q
     WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}{label_pred}
     ORDER BY cosine DESC, f.vec_id
@@ -591,7 +591,7 @@ _MULTIPROBE_SET = ", ".join(
     oracle=_lsh_bucket_ctes()
     + f""",
     probes AS (SELECT unnest([{_MULTIPROBE_SET}]) AS pb FROM q)
-    SELECT b.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    SELECT b.vec_id, round(CASE WHEN list_sum(list_transform(e.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(e.v, q.qv) ELSE 0.0 END, 6) AS cosine
     FROM buckets AS b JOIN e USING (vec_id) JOIN probes ON b.bucket = probes.pb, q
     WHERE b.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, b.vec_id
@@ -686,7 +686,7 @@ HARD_NEG_K = 5
           FROM e WHERE vec_id < {N_ANCHORS}),
     scored AS (
         SELECT a.anchor_id, e.vec_id,
-               round(list_cosine_similarity(a.av, e.v), 6) AS cosine
+               round(CASE WHEN list_sum(list_transform(a.av, x -> x * x)) > 0 AND list_sum(list_transform(e.v, x -> x * x)) > 0 THEN list_cosine_similarity(a.av, e.v) ELSE 0.0 END, 6) AS cosine
         FROM a JOIN e ON e.label <> a.anchor_label
     ),
     ranked AS (
@@ -1808,8 +1808,7 @@ def _mrl_oracle() -> str:
         WHERE e.vec_id <> qs.qid
         QUALIFY row_number() OVER (
             PARTITION BY qs.qid
-            ORDER BY round(list_cosine_similarity({vexpr},
-                           qs.qv[1:len({vexpr})]), 6) DESC, e.vec_id
+            ORDER BY round(CASE WHEN list_sum(list_transform({vexpr}, x -> x * x)) > 0 AND list_sum(list_transform(qs.qv[1:len({vexpr})], x -> x * x)) > 0 THEN list_cosine_similarity({vexpr}, qs.qv[1:len({vexpr})]) ELSE 0.0 END, 6) DESC, e.vec_id
         ) <= {TOP_K}
     )"""
 

@@ -456,3 +456,38 @@ def test_r9_jl_audit_duplicate_vector_cross_engine(spark, r9_jl_dup_dir):
         ).fetchall()
     }
     assert got == oracle and len(got) == 3
+
+
+def test_r9_embedding_cosine_zero_vector_cross_engine(
+    spark, r8_adversarial_dir
+):
+    """The threshold family must agree across engines WITH a zero
+    vector present: unguarded DuckDB list_cosine_similarity yields
+    NaN, and DuckDB's total order makes NaN >= tau TRUE — the pair
+    would pass the oracle's threshold while Spark's guarded cosine
+    scores it 0.0 (r9 review class; all raw oracle sites are now
+    guarded). Full row-set equality pins it."""
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in plans.QUERIES["dedup_embedding_cosine"](
+            spark, r8_adversarial_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{r8_adversarial_dir}/embeddings.parquet')"
+    )
+    oracle = {
+        (int(a), int(b), float(c))
+        for a, b, c in con.execute(
+            plans.ORACLES["dedup_embedding_cosine"]
+        ).fetchall()
+    }
+    assert got == oracle
+    # the zero vector (vec_id 5) must never appear in a pair
+    assert not any(5 in (a, b) for a, b, _ in got)
