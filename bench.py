@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "lineitem_benford_audit",
     "dedup_minhash_j_spectrum",
     "orders_cohort_ltv",
+    "supplier_hhi_concentration",
 ]
 
 

@@ -67,6 +67,7 @@ _FRONT = [
     "stream_transition_matrix",
     "orders_cohort_ltv",
     "dedup_minhash_j_spectrum",
+    "supplier_hhi_concentration",
     "knn_lsh_multiprobe",
     "dedup_embedding_lsh",
     "distinct_counts",
@@ -92,7 +93,6 @@ _FRONT = [
     "recommend_top15",
     "order_detail_flat",
     "order_value_percentiles",
-    "order_value_percentiles_approx",
 ]
 
 

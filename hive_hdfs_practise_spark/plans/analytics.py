@@ -1319,3 +1319,82 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div cohort_size AS BIGINT)"
         ).alias("ltv_cents"),
     )
+
+
+# Herfindahl–Hirschman market-concentration index (r9): per nation,
+# HHI = Σ_i share_i² over its suppliers' revenue shares — the
+# antitrust/market-structure statistic, and (unlike the Gini, which
+# this repo computes over customers) a SUM OF SQUARES of exact
+# integers: hhi_fp = (Σ cents_i²) · 1e6 div (Σ cents_i)², computed
+# entirely in DECIMAL(38,0)/HUGEINT (cents² ≈ 1e18 per supplier and
+# the squared total overflow int64 at scale; the ×1e6 quotient is
+# the truncating integer division on both engines). 1e6/n ≤ hhi_fp
+# ≤ 1e6 by construction.
+@register(
+    "supplier_hhi_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT s.s_nationkey, s.s_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, s.s_suppkey
+    ),
+    m AS (
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               sum(CAST(cents AS HUGEINT) * cents) AS sumsq
+        FROM r GROUP BY s_nationkey
+    )
+    SELECT n.n_name, m.n_suppliers, m.revenue_cents,
+           CAST((CAST(m.sumsq AS HUGEINT) * 1000000)
+                // (CAST(m.revenue_cents AS HUGEINT) * m.revenue_cents)
+                AS BIGINT) AS hhi_fp
+    FROM m JOIN nation n ON n.n_nationkey = m.s_nationkey
+    WHERE m.revenue_cents > 0
+    """,
+)
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue concentration (see note above):
+    supplier count, total revenue cents, and the ×1e6 fixed-point
+    HHI.
+
+    Scale shape: one lineitem scan reduced map-side to (nation,
+    supplier) cents, a supplier-cardinality squared-sum aggregate in
+    exact decimals, and a broadcast nation-name join. The
+    revenue_cents > 0 guard keeps the division total (an all-refund
+    nation is legal; predicates reorder, so the guard is in the
+    WHERE on both sides identically)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    m = r.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sumsq"),
+    )
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        m.filter(F.col("revenue_cents") > 0)
+        .join(F.broadcast(na), m.s_nationkey == na.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            "revenue_cents",
+            F.expr(
+                "CAST(CAST(sumsq AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(revenue_cents AS DECIMAL(38,0))"
+                " * revenue_cents) AS BIGINT)"
+            ).alias("hhi_fp"),
+        )
+    )
