@@ -1306,18 +1306,16 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("age")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("rev").over(w).cast("bigint")
-    return a.join(F.broadcast(coh), "cohort_mix").select(
+    cum = a.withColumn("cum_revenue_cents", F.sum("rev").over(w).cast("bigint"))
+    return cum.join(F.broadcast(coh), "cohort_mix").select(
         F.expr("CAST((cohort_mix - 1) div 12 AS INT)").alias("cohort_year"),
         ((F.col("cohort_mix") - 1) % 12 + 1).cast("int").alias("cohort_month"),
         F.col("age").cast("int").alias("age"),
         "n_active",
-        cum.alias("cum_revenue_cents"),
-        F.expr(
-            "CAST(CAST(sum(rev) OVER (PARTITION BY cohort_mix ORDER BY age"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
-            " div cohort_size AS BIGINT)"
-        ).alias("ltv_cents"),
+        "cum_revenue_cents",
+        F.expr("CAST(cum_revenue_cents div cohort_size AS BIGINT)").alias(
+            "ltv_cents"
+        ),
     )
 
 

@@ -472,7 +472,7 @@ _BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
         FROM lineitem WHERE l_extendedprice > 0
     ),
     m AS (
-        SELECT digit, count(*) AS n FROM c GROUP BY digit
+        SELECT digit, count(*) AS n FROM c WHERE digit >= 1 GROUP BY digit
     ),
     t AS (SELECT sum(n) AS tot FROM m),
     b AS (
@@ -511,7 +511,13 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    m = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # rows whose cents round to 0 (0 < price < 0.005) have digit 0:
+    # excluded from the total too, so observed shares sum to 1
+    m = (
+        c.filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     t = m.agg(F.sum("n").alias("tot"))
     b = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"

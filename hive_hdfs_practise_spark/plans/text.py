@@ -2579,12 +2579,23 @@ def documents_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     end."""
     from ..operators.prefix_sum import sharded_cumsum
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(tx.tokens(F.col("text")), F.lower)
-        ).alias("toks"),
-        F.size(tx.tokens(F.col("text"))).alias("n_toks"),
+    # explode(array(..)) materializes the token split as a Generate
+    # output attribute (always exactly one row per doc), so the regex
+    # split runs ONCE per row — CollapseProject would otherwise inline
+    # it into both downstream references (r7 semdedup lesson).
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array(tx.tokens(F.col("text")))).alias("raw_toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("raw_toks"), F.lower)
+            ).alias("toks"),
+            F.size(F.col("raw_toks")).alias("n_toks"),
+        )
     )
     r = sharded_cumsum(
         d.withColumn("one", F.lit(1)),

@@ -48,9 +48,25 @@ def _transitions(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    last_type = state.get[2] if state.exists else None
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    last_ts_us, last_event_id, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
+    frames = list(pdfs)
+    rows = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if not rows.shape[0]:
+        # total even if a future timeoutConf invokes keys without data
+        return
     rows = rows.sort_values(["ts", "event_id"])
+    if last_ts_us is not None:
+        head = rows.iloc[0]
+        head_key = (int(head["ts"].value // 1000), int(head["event_id"]))
+        if head_key < (last_ts_us, last_event_id):
+            # the in-order contract (docstring) was violated: chaining
+            # would silently emit a backwards (from, to) pair — fail loudly
+            raise ValueError(
+                f"out-of-order micro-batch for user {user_id}: "
+                f"incoming {head_key} < carried ({last_ts_us}, {last_event_id})"
+            )
     # vectorized chaining: within the batch, from = shift(to); the
     # carried state fills the first slot (the per-row python loop it
     # replaced measured 58 s vs 24 s at the 40x corpus)
