@@ -253,6 +253,9 @@ BENCH_QUERIES = [
     "dedup_minhash_j_spectrum",
     "orders_cohort_ltv",
     "supplier_hhi_concentration",
+    # r10 additions
+    "dedup_cross_source_indexed",
+    "dedup_minhash_index_append",
 ]
 
 

@@ -469,3 +469,58 @@ def write_minhash_index(
         ["band", "band_key"],
         n_buckets=n_buckets,
     )
+
+
+def append_minhash_index(
+    spark,
+    docs: DataFrame,
+    table_prefix: str,
+    k: int = 5,
+    n_perm: int = _N_PERM_DEFAULT,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    downsample: int = 1,
+    family: str = "md5",
+    n_buckets: int = 32,
+    extra_cols: tuple[str, ...] = (),
+) -> None:
+    """Append a delta batch's rows to an ALREADY-WRITTEN MinHash
+    index (``write_minhash_index``) — the index-MAINTENANCE half of
+    the ingestion loop (``probe_minhash_index`` is the detection
+    half): signatures and band rows are computed for the DELTA ONLY
+    and appended; nothing already in the index is read or rewritten.
+
+    The bucketed layout is what makes the bands table
+    append-friendly: a bucketed append writes its own set of
+    per-bucket files next to the existing ones (bucket id is encoded
+    in the file name), readers merge them, and every file of bucket N
+    still holds only keys that hash to N — so the exchange-free
+    candidate grouping survives any number of appends. Parameters
+    MUST match the original build (signatures/bands are per-doc
+    deterministic, so appended-index == from-scratch-rebuild row for
+    row — pinned by dedup_minhash_index_append's oracle and the
+    untouched-files test)."""
+    # delta signatures are tiny (batch × n_perm longs) and feed both
+    # the sigs append and the banding — checkpoint so the delta text
+    # is scanned once
+    dsigs = minhash_signature_from_text(
+        docs, ["doc_id", *extra_cols], "text", k, n_perm,
+        downsample=downsample, family=family,
+    ).localCheckpoint(eager=True)
+    dsigs.write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_sigs"
+    )
+    banded = dsigs.select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode(
+            lsh_bands(F.col("sig"), n_bands, rows_per_band, family)
+        ).alias("band", "band_key"),
+    )
+    (
+        banded.select("band", "band_key", "doc_id", *extra_cols)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "band_key")
+        .saveAsTable(f"{table_prefix}_bands")
+    )

@@ -537,6 +537,70 @@ def probe_minhash_index(
     )
 
 
+@register("dedup_minhash_index_append", oracle=_minhash_lsh_oracle())
+def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE — the ingestion half the delta probe left
+    open (the r9 verdict's item 4): build the band index from the
+    corpus shard (the md5-nibble split dedup_minhash_probe_delta
+    established), APPEND the delta batch's signature and band rows
+    (``append_minhash_index``: delta-only signatures; the bucketed
+    layout makes the bands table append-friendly — a bucketed append
+    adds per-bucket files next to the existing ones and never touches
+    them), then run the full indexed pipeline over the APPENDED
+    index. Signatures/bands are per-doc deterministic, so the
+    appended index equals a from-scratch build row for row — which is
+    exactly what the oracle certifies: the output must equal the
+    full-corpus dedup_minhash_lsh pair set (the existing indexed
+    restatement), and it can only do so if the append produced the
+    complete, correct index. With probe (detect) + append (ingest)
+    the dedup index now supports the full service loop. The
+    untouched-files pin and the append≪rebuild measurement live in
+    test_dedup / SCALING.md. Builder writes + appends at plan time:
+    BUILD_EXECUTES."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(_probe_delta_col())
+    corpus = d.filter(~_probe_delta_col())
+    mh.write_minhash_index(
+        spark,
+        corpus,
+        "minhash_append_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    mh.append_minhash_index(
+        spark,
+        delta,
+        "minhash_append_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    from ..operators.confscope import build_with_conf
+
+    def _probe() -> DataFrame:
+        banded = spark.table("minhash_append_idx_bands")
+        cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
+        sigs = spark.table("minhash_append_idx_sigs")
+        pre = _est_prefilter(cand, sigs)
+        docs = wide_table(spark, sf_dir, "documents")
+        return exact_jaccard_pairs(pre, docs)
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
+    )
+
+
 @register(
     "dedup_recall_audit",
     oracle=f"""
@@ -645,9 +709,11 @@ def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cross_source_matrix",
-    oracle=f"""
+def _cross_source_oracle() -> str:
+    """SQL restatement of the cross-source rollup over the
+    dedup_minhash_lsh pair set — shared by the inline matrix and its
+    indexed rider so the two oracles cannot drift."""
+    return f"""
     WITH pairs AS (SELECT * FROM ({_minhash_lsh_oracle()}))
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
@@ -656,8 +722,32 @@ def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     JOIN documents da ON da.doc_id = p.doc_a
     JOIN documents db ON db.doc_id = p.doc_b
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+def _cross_source_rollup(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """(doc_a, doc_b) pairs → triangular per-(source_a, source_b)
+    count matrix: two broadcast-sized doc→source joins + one tiny
+    aggregate. Shared by dedup_cross_source_matrix and
+    dedup_cross_source_indexed so the rollup cannot drift."""
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("dedup_cross_source_matrix", oracle=_cross_source_oracle())
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-SOURCE near-duplication matrix: the dedup_minhash_lsh
     pair set rolled up by the (unordered) source pair — the report
@@ -672,18 +762,60 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds two broadcast-sized doc→source joins and one tiny
     aggregate."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    d = wide_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.least("src_a", "src_b").alias("source_a"),
-            F.greatest("src_a", "src_b").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    return _cross_source_rollup(spark, sf_dir, pairs)
+
+
+@register("dedup_cross_source_indexed", oracle=_cross_source_oracle())
+def dedup_cross_source_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cross_source_matrix riding the MATERIALIZED band index
+    instead of recomputing signatures — the SECOND rider on the
+    banded-index lever SCALING.md round-9 measured at 2.4× (the r9
+    verdict's item 2; ``dedup_survivors_indexed`` was the first).
+    The probe is exactly ``dedup_minhash_indexed``'s (bucketed-table
+    groupBy, exchange-free by layout; shared ``_est_prefilter`` +
+    ``exact_jaccard_pairs``), then the shared ``_cross_source_rollup``.
+
+    Index choice: this rides ``minhash_doc_idx`` (UNBLOCKED,
+    downsample=4 — the index ``dedup_minhash_indexed`` writes), NOT
+    the lang-blocked downsample=1 ``minhash_fam_idx``: the inline
+    matrix rolls up the dedup_minhash_lsh pair set, and parity with
+    that twin (plus the shared oracle) demands the identical
+    signature parameters. Writing under the same table name is the
+    point — a session that has already built the index for ANY rider
+    reuses the files; the registered form still pays the write
+    inside by the standalone-query convention (the green row
+    certifies the written index). Builder writes the index at plan
+    time: BUILD_EXECUTES. Parity with the inline matrix is pinned in
+    test_dedup."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh.write_minhash_index(
+        spark,
+        d,
+        "minhash_doc_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    from ..operators.confscope import build_with_conf
+
+    def _probe() -> DataFrame:
+        banded = spark.table("minhash_doc_idx_bands")
+        cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
+        sigs = spark.table("minhash_doc_idx_sigs")
+        pre = _est_prefilter(cand, sigs)
+        docs = wide_table(spark, sf_dir, "documents")
+        pairs = exact_jaccard_pairs(pre, docs).select("doc_a", "doc_b")
+        return _cross_source_rollup(spark, sf_dir, pairs)
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
     )
 
 

@@ -1141,6 +1141,120 @@ class TestMinhashIndexed:
                 "true",
             )
 
+    def test_cross_source_indexed_parity_and_no_exchange(self, spark):
+        """r10: dedup_cross_source_indexed must equal the inline
+        dedup_cross_source_matrix row-for-row (same oracle, same
+        rollup helper — only the pair front end rides the written
+        minhash_doc_idx bands table), and the candidate groupBy over
+        the bucketed index must be exchange-free."""
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+
+        sf = "/root/testdata/sf0.001"
+        df = P.QUERIES["dedup_cross_source_indexed"](spark, sf)
+        got = {(r.source_a, r.source_b): r.n_pairs for r in df.collect()}
+        base = {
+            (r.source_a, r.source_b): r.n_pairs
+            for r in P.QUERIES["dedup_cross_source_matrix"](
+                spark, sf
+            ).collect()
+        }
+        assert got == base and got
+        # exchange pin on the index the query wrote
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            banded = spark.table("minhash_doc_idx_bands")
+            cand = mh.pairs_within_buckets(
+                banded, "doc_id", ["band", "band_key"]
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+
+    def test_index_append_untouched_files_and_parity(self, spark):
+        """r10: append_minhash_index must (a) never rewrite existing
+        index files — the append adds per-bucket files next to them,
+        (b) write ONLY delta-derived rows into the new files, and
+        (c) produce an index equal row-for-row to a from-scratch
+        build over the union corpus (signatures/bands are per-doc
+        deterministic)."""
+        import hashlib
+        import os
+        from urllib.parse import urlparse
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.plans.dedup import (
+            PROBE_DELTA_NIBBLE,
+            _probe_delta_col,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        delta = d.filter(_probe_delta_col())
+        corpus = d.filter(~_probe_delta_col())
+        mh.write_minhash_index(
+            spark, corpus, "minhash_append_test_idx", downsample=4,
+            family="md5",
+        )
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+        def snap(suffix):
+            root = f"{wh}/minhash_append_test_idx{suffix}"
+            return {
+                os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(root)
+                for f in fs
+                if f.endswith(".parquet")
+            }
+
+        before_bands, before_sigs = snap("_bands"), snap("_sigs")
+        mh.append_minhash_index(
+            spark, delta, "minhash_append_test_idx", downsample=4,
+            family="md5",
+        )
+        after_bands, after_sigs = snap("_bands"), snap("_sigs")
+        # (a) every pre-existing file survives byte-for-byte in size
+        for pre, post in ((before_bands, after_bands), (before_sigs, after_sigs)):
+            for path, size in pre.items():
+                assert post.get(path) == size, path
+        # (b) the new band files hold ONLY delta doc_ids
+        new_files = sorted(set(after_bands) - set(before_bands))
+        assert new_files
+        new_ids = {
+            r.doc_id
+            for r in spark.read.parquet(*new_files)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert new_ids and all(
+            hashlib.md5(str(i).encode()).hexdigest()[0] == PROBE_DELTA_NIBBLE
+            for i in new_ids
+        )
+        # (c) appended index == from-scratch build over the union
+        mh.write_minhash_index(
+            spark, d, "minhash_append_full_idx", downsample=4, family="md5"
+        )
+        got = {
+            tuple(r)
+            for r in spark.table("minhash_append_test_idx_bands").collect()
+        }
+        want = {
+            tuple(r)
+            for r in spark.table("minhash_append_full_idx_bands").collect()
+        }
+        assert got == want and got
+
     def test_auto_bucketed_scan_conf_restored(self, spark):
         """r9 advice fix: the indexed query pins autoBucketedScan=false
         for ITS plan only — build_with_conf forces the physical plan

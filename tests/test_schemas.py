@@ -145,6 +145,10 @@ BUILD_EXECUTES = {
     "dedup_recall_audit",
     # r9: writes the lang-blocked family band index at plan time
     "dedup_survivors_indexed",
+    # r10: writes the doc band index at plan time (second rider)
+    "dedup_cross_source_indexed",
+    # r10: writes the corpus index + appends the delta at plan time
+    "dedup_minhash_index_append",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time

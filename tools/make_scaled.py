@@ -5,7 +5,22 @@ dimensions stay fixed (as they would at scale). Document text and
 embeddings are perturbed per replica so the dedup/similarity
 operators don't see 10 exact copies of everything.
 
-    python tools/make_scaled.py [factor] [out_dir]
+    python tools/make_scaled.py [factor] [out_dir] [perturb]
+
+Embedding modes (the r9 verdict's item 3):
+
+- default (replica mode): each replica adds a tiny deterministic
+  per-dimension offset — replicas of one original stay MUTUAL
+  NEAR-DUPS, so the true near-dup pair set grows ~factor² and LSH
+  buckets go ~factor deep. Keep for answer-mass-bound tests (the
+  operators must survive a pathological corpus).
+- ``perturb``: md5-derived per-(vec, replica, dim) jitter sized to
+  the component std (σ≈0.125 ⇒ uniform ±3σ·√(1/12)·√12/2 ≈ ±0.22,
+  noise variance ≈ signal variance ⇒ expected cross-replica cosine
+  ≈ 0.5, well under every near-dup threshold). Replica 0 is
+  UNTOUCHED, so 1× results stay embedded in the scaled corpus. This
+  is the realistic-regime corpus: scale grows the corpus, not the
+  per-item duplicate count.
 """
 
 from __future__ import annotations
@@ -38,9 +53,43 @@ def _translated_text(factor: int):
     return expr
 
 
+def _jitter(i):
+    """md5-derived per-(vec, replica, dim) uniform jitter in ±0.22
+    (≈ ±1.76σ for component σ≈0.125 ⇒ noise variance a²/12 ≈ σ² —
+    the signal-sized noise that pushes expected cross-replica cosine
+    to ≈0.5)."""
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("vec_id").cast("string"),
+                    F.col("rep").cast("string"),
+                    i.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (u32 / F.lit(float(2**32)) - 0.5) * F.lit(0.44)
+
+
+def _perturbed_embedding():
+    """Realistic-regime embedding scale-up: replica 0 untouched,
+    every other replica gets signal-sized md5 jitter per dimension."""
+    return F.transform(
+        "embedding",
+        lambda x, i: F.when(F.col("rep") == 0, x).otherwise(x + _jitter(i)),
+    ).cast("array<float>")
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/testdata/sfx{factor}"
+    perturb = "perturb" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     spark = get_spark("make-scaled")
     rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
@@ -109,7 +158,9 @@ def main() -> None:
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * max_v)
         .withColumn(
             "embedding",
-            F.transform(
+            _perturbed_embedding()
+            if perturb
+            else F.transform(
                 "embedding", lambda x, i: x + (F.col("rep") * (i + 1) % 7) * 0.01
             ).cast("array<float>"),
         )
