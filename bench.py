@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     # r10 additions
     "dedup_cross_source_indexed",
     "dedup_minhash_index_append",
+    "documents_dedup_cost_report",
 ]
 
 

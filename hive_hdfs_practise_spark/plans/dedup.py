@@ -601,6 +601,189 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_cost_oracle() -> str:
+    """Full SQL restatement of documents_dedup_cost_report: every
+    stage count of the downsample=4 LSH pipeline, incl. the bucket
+    pair-mass sum and the verified-pair connected components."""
+    est = _est_agreement_sql()
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes("documents", downsample=4, lang=False)},
+    bux AS (
+        SELECT band, band_key, count(*) AS m
+        FROM mh_bands GROUP BY band, band_key
+    ),
+    bstats AS (
+        SELECT count(*) AS n_buckets,
+               sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END)
+                   AS n_colliding_buckets,
+               max(m) AS max_bucket,
+               sum((m * (m - 1)) // 2) AS pair_mass
+        FROM bux
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    ns AS (SELECT count(*) AS n_docs_signed FROM mh_sigs),
+    ncd AS (SELECT count(*) AS n_candidates FROM mh_cand),
+    pre AS (
+        SELECT c.doc_a, c.doc_b
+        FROM mh_cand c
+        JOIN mh_sigs sa ON sa.doc_id = c.doc_a
+        JOIN mh_sigs sb ON sb.doc_id = c.doc_b
+        WHERE {est} >= {EST_MIN_MATCHES}
+    ),
+    np AS (SELECT count(*) AS n_prefilter FROM pre),
+    fsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ),
+    ver AS (
+        SELECT e.doc_a, e.doc_b
+        FROM pre e
+        JOIN fsh a ON a.doc_id = e.doc_a
+        JOIN fsh b ON b.doc_id = e.doc_b
+        WHERE len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    ),
+    nv AS (SELECT count(*) AS n_verified FROM ver),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM ver
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM ver
+    ),
+    walk(u, m) AS (
+        SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.m FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    cl AS (SELECT u, min(m) AS cid FROM walk GROUP BY u),
+    cstats AS (
+        SELECT count(*) AS n_dup_docs, count(DISTINCT cid) AS n_clusters
+        FROM cl
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs_signed AS BIGINT) AS n_docs_signed,
+           CAST(n_docs_signed * {N_BANDS} AS BIGINT) AS n_band_rows,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_colliding_buckets AS BIGINT) AS n_colliding_buckets,
+           CAST(max_bucket AS BIGINT) AS max_bucket,
+           CAST(pair_mass AS BIGINT) AS pair_mass,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_prefilter AS BIGINT) AS n_prefilter,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs - n_dup_docs + n_clusters AS BIGINT) AS n_survivors
+    FROM nd, ns, bstats, ncd, np, nv, cstats
+    """
+
+
+@register("documents_dedup_cost_report", oracle=_dedup_cost_oracle())
+def documents_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning report for the MinHash-LSH dedup pipeline —
+    the numbers a 100 TB run is sized from (the r9 verdict's item 6):
+    per-stage volumes of the downsample=4 pipeline in ONE row:
+
+      corpus (n_docs, n_docs_signed — docs with ≥1 kept shingle;
+      empty/winnowed-out docs carry sentinel signatures the pipeline
+      skips, matching the stream twin's sentinel skip) → banding
+      (n_band_rows) → buckets (n_buckets, n_colliding_buckets,
+      max_bucket — the skew indicator, and pair_mass = Σ m(m−1)/2 —
+      the quadratic expansion work the bucket join must do, THE
+      number that decides whether a corpus needs sharded banding) →
+      candidates (n_candidates, distinct) → agreement prefilter
+      (n_prefilter) → exact verify (n_verified) → components
+      (n_dup_docs, n_clusters, n_survivors = n_docs − n_dup_docs +
+      n_clusters).
+
+    Every count is an exact integer; the oracle restates the whole
+    pipeline incl. the recursive-CTE closure. Scale shape: the
+    signature/banding scans are the pipeline's own; every stat is a
+    metadata-scale aggregate crossJoined into the single output row.
+    Iterative CC checkpoints per round: BUILD_EXECUTES."""
+    from ..dedup.clusters import connected_components
+    from ..dedup.minhash import P32
+
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = mh.minhash_signature_from_text(
+        d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4, family=family
+    ).localCheckpoint(eager=True)
+    # non-sentinel docs: a kept shingle exists ⇔ slot 0 < P32
+    live = sigs.filter(F.element_at("sig", 1) != P32)
+    bands = live.select(
+        "doc_id",
+        F.posexplode(
+            mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND, family)
+        ).alias("band", "band_key"),
+    )
+    bux = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bstats = bux.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("m") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_colliding_buckets"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("(m * (m - 1)) div 2")).cast("bigint").alias("pair_mass"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ns = live.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_signed")
+    )
+    cand = mh.pairs_within_buckets(
+        bands, "doc_id", ["band", "band_key"]
+    ).localCheckpoint(eager=True)
+    ncd = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    pre = _est_prefilter(cand, sigs).localCheckpoint(eager=True)
+    np_ = pre.agg(F.count(F.lit(1)).cast("bigint").alias("n_prefilter"))
+    docs = wide_table(spark, sf_dir, "documents")
+    ver = (
+        exact_jaccard_pairs(pre, docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    nv = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    cl = connected_components(ver)
+    cstats = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    return (
+        nd.crossJoin(ns)
+        .crossJoin(bstats)
+        .crossJoin(ncd)
+        .crossJoin(np_)
+        .crossJoin(nv)
+        .crossJoin(cstats)
+        .select(
+            "n_docs",
+            "n_docs_signed",
+            (F.col("n_docs_signed") * N_BANDS)
+            .cast("bigint")
+            .alias("n_band_rows"),
+            "n_buckets",
+            "n_colliding_buckets",
+            "max_bucket",
+            "pair_mass",
+            "n_candidates",
+            "n_prefilter",
+            "n_verified",
+            "n_dup_docs",
+            "n_clusters",
+            (F.col("n_docs") - F.col("n_dup_docs") + F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+    )
+
+
 @register(
     "dedup_recall_audit",
     oracle=f"""

@@ -149,6 +149,8 @@ BUILD_EXECUTES = {
     "dedup_cross_source_indexed",
     # r10: writes the corpus index + appends the delta at plan time
     "dedup_minhash_index_append",
+    # r10: signature/pair checkpoints + iterative CC at plan time
+    "documents_dedup_cost_report",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time

@@ -54,10 +54,14 @@ def _translated_text(factor: int):
 
 
 def _jitter(i):
-    """md5-derived per-(vec, replica, dim) uniform jitter in ±0.22
-    (≈ ±1.76σ for component σ≈0.125 ⇒ noise variance a²/12 ≈ σ² —
-    the signal-sized noise that pushes expected cross-replica cosine
-    to ≈0.5)."""
+    """md5-derived per-(vec, replica, dim) uniform jitter in ±1.25
+    (σ_n≈0.72 vs component σ_s≈0.125). Replica 0 is noiseless, so the
+    binding case is the ONE-SIDED cosine cos(v, v+n) = √(σ_v²/(σ_v²+σ_n²)),
+    and per-vector norms vary ~2×: at this scale the max-norm
+    original's one-sided cosine lands ≈0.35, below the 0.4 dedup
+    threshold (smaller scales measured: ±0.22 → max 0.81, ±0.45 →
+    max 0.71 — the √ makes one-sided pairs stubborn). Measured on the
+    40× build: see SCALING.md round-10."""
     u32 = F.conv(
         F.substring(
             F.md5(
@@ -74,7 +78,7 @@ def _jitter(i):
         16,
         10,
     ).cast("double")
-    return (u32 / F.lit(float(2**32)) - 0.5) * F.lit(0.44)
+    return (u32 / F.lit(float(2**32)) - 0.5) * F.lit(2.50)
 
 
 def _perturbed_embedding():
