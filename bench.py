@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "dedup_cross_source_indexed",
     "dedup_minhash_index_append",
     "documents_dedup_cost_report",
+    "stream_gopher_rules",
 ]
 
 

@@ -607,3 +607,78 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+def _stream_gopher_oracle() -> str:
+    from .text import _gopher_oracle
+
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+    ]
+    sums = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {r} THEN 0 ELSE 1 END) AS BIGINT)"
+        f" AS n_fail_{r[2:]}"
+        for r in rules
+    )
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {sums},
+           CAST(sum(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+    FROM ({_gopher_oracle()})
+    """
+
+
+@register("stream_gopher_rules", oracle=_stream_gopher_oracle())
+def stream_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Gopher-rule monitor — the 15th value-checked stream
+    twin: per-rule failure counts over arriving documents, the
+    one-row quality dashboard an ingestion pipeline keeps live. Every
+    rule flag is the SAME stateless per-row column expression as the
+    batch twin (shared ``gopher_flags`` — the twins cannot drift);
+    the only stateful operator is one global integer-sum aggregate
+    (complete mode), exact across micro-batches by integer addition,
+    so on bounded input the counts EQUAL an aggregate over
+    documents_gopher_rules — which is exactly what the oracle
+    restates."""
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    agg = gopher_rule_counts(stream)
+    return run_available_now(agg, "stream_gopher_rules", "complete")
+
+
+def gopher_rule_counts(stream: DataFrame) -> DataFrame:
+    """Per-row gopher flags + the single global count aggregate over
+    a (doc_id, text) stream — the whole stateful surface of
+    stream_gopher_rules, factored so the multi-trigger test can
+    drive it on a custom 2-file source (the cascade_flag_counts
+    precedent)."""
+    from .text import gopher_flags
+
+    flags = gopher_flags(stream)
+    fail = [
+        ("r_word_count", "n_fail_word_count"),
+        ("r_mean_word_len", "n_fail_mean_word_len"),
+        ("r_symbol_ratio", "n_fail_symbol_ratio"),
+        ("r_bullet_lines", "n_fail_bullet_lines"),
+        ("r_ellipsis_lines", "n_fail_ellipsis_lines"),
+        ("r_alpha_words", "n_fail_alpha_words"),
+        ("r_stopwords", "n_fail_stopwords"),
+    ]
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(r), 0).otherwise(1))
+            .cast("bigint")
+            .alias(out)
+            for r, out in fail
+        ],
+        F.sum(F.when(F.col("n_failed") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )

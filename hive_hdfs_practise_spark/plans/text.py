@@ -2448,7 +2448,15 @@ def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over the doc's own tokens/lines (no explode, no
     shuffle — output is doc-cardinality with integer features), and
     every threshold is an integer comparison."""
-    d = wide_table(spark, sf_dir, "documents")
+    return gopher_flags(wide_table(spark, sf_dir, "documents"))
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """The per-row Gopher rule flags over a (doc_id, text) frame —
+    every feature a stateless column expression, so the SAME helper
+    scores a batch table and an arriving stream
+    (documents_gopher_rules / stream_gopher_rules — the twins cannot
+    drift)."""
     toks = tx.tokens(F.col("text"))
     ls = F.filter(
         F.split(F.col("text"), "\n"), lambda x: x != F.lit("")

@@ -151,6 +151,8 @@ BUILD_EXECUTES = {
     "dedup_minhash_index_append",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
+    # r10: streaming query executes at build (availableNow sink)
+    "stream_gopher_rules",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time

@@ -891,3 +891,82 @@ class TestStreamTransitionMatrix:
             .collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestStreamGopherRules:
+    """r10: stream_gopher_rules — the 15th value-checked stream twin.
+    The per-row flags are the batch twin's shared gopher_flags
+    helper; the single global integer-sum aggregate must merge across
+    a forced multi-trigger split."""
+
+    def test_equals_batch_twin_aggregate(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans
+
+        sf = "/root/testdata/sf0.001"
+        got = plans.QUERIES["stream_gopher_rules"](spark, sf).collect()
+        assert len(got) == 1
+        flags = plans.QUERIES["documents_gopher_rules"](spark, sf)
+        want = flags.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("r_word_count"), 0).otherwise(1)).alias(
+                "n_fail_word_count"
+            ),
+            F.sum(
+                F.when(F.col("n_failed") == 0, 1).otherwise(0)
+            ).alias("n_pass_all"),
+        ).head()
+        row = got[0]
+        assert row.n_docs == want.n_docs
+        assert row.n_fail_word_count == want.n_fail_word_count
+        assert row.n_pass_all == want.n_pass_all
+
+    def test_multi_trigger_split_merges_counts(self, spark, tmp_path):
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            gopher_rule_counts,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        docs = table(spark, sf, "documents").select("doc_id", "text")
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).head()[0]
+        src = tmp_path / "gopher_stream"
+        src.mkdir()
+        for idx, half in enumerate(
+            [
+                docs.filter(F.col("doc_id") <= mid),
+                docs.filter(F.col("doc_id") > mid),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"ghalf{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            gopher_rule_counts(stream)
+            .writeStream.format("memory")
+            .queryName("gopher_split_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress["batchId"] >= 1  # proves >1 trigger ran
+        got = spark.table("gopher_split_test").collect()[-1]
+        want = gopher_rule_counts(docs).head()
+        assert tuple(got) == tuple(want)
