@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "dedup_minhash_index_append",
     "documents_dedup_cost_report",
     "stream_gopher_rules",
+    "embeddings_knn_graph_ivf",
 ]
 
 

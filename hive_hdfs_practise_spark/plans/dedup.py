@@ -1766,22 +1766,14 @@ def _semdedup_oracle() -> str:
     )
 
 
-@register("dedup_semdedup", oracle=_semdedup_oracle())
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs, SemDeDup-style (see note above):
-    integer-domain k-means with corpus-derived nlist, then exact
-    quantized cosine >= tau within each cluster only.
-
-    Scale shape: every training round and the final assignment is
-    ONE Arrow scan (GEMM per batch, bounded partials — the
-    treeAggregate shape); the codebook is driver-state like IVF's
-    centroid table (nlist × 64 ints, nlist = n/{SEM_TARGET_CLUSTER});
-    the pair stage is quadratic per CLUSTER with cluster size pinned
-    near {SEM_TARGET_CLUSTER} by construction, so pair mass grows
-    LINEARLY with the corpus. The assignment table (carrying each
-    row's quantized vector + squared norm, computed once per ROW in
-    the scan) persists before feeding both sides of the pair join.
-    Builder collects the codebook at plan time: BUILD_EXECUTES."""
+def _vq_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-VQ front end shared by dedup_semdedup and
+    embeddings_knn_graph_ivf (the r8 shared-scorer rule — two riders
+    of one quantizer cannot drift): corpus-derived nlist
+    (max({SEM_MIN_NLIST}, n // {SEM_TARGET_CLUSTER})), lowest-id
+    seeds, {SEM_ITERS} integer-GEMM Lloyd rounds, one assignment
+    scan. Returns the PERSISTED (vec_id, xi, nrm, cid) table —
+    quantized vector, exact squared norm, cell id."""
     import numpy as np
 
     from ..similarity.pq import (
@@ -1821,6 +1813,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     assigned = vq_assign_pass(e, cents[0])
     assigned.persist()
+    return assigned
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-style (see note above):
+    integer-domain k-means with corpus-derived nlist, then exact
+    quantized cosine >= tau within each cluster only.
+
+    Scale shape: every training round and the final assignment is
+    ONE Arrow scan (GEMM per batch, bounded partials — the
+    treeAggregate shape); the codebook is driver-state like IVF's
+    centroid table (nlist × 64 ints, nlist = n/{SEM_TARGET_CLUSTER});
+    the pair stage is quadratic per CLUSTER with cluster size pinned
+    near {SEM_TARGET_CLUSTER} by construction, so pair mass grows
+    LINEARLY with the corpus. The assignment table (carrying each
+    row's quantized vector + squared norm, computed once per ROW in
+    the scan) persists before feeding both sides of the pair join.
+    Builder collects the codebook at plan time: BUILD_EXECUTES."""
+    assigned = _vq_assigned(spark, sf_dir)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
@@ -2654,6 +2666,146 @@ def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_self_join OOM lesson); the mutuality probe is a self-join of
     the checkpointed ≤K-per-vector kNN list — K·|V|-sized, id-only."""
     knn = _knn_graph_topk(spark, sf_dir).localCheckpoint(eager=True)
+    rev = knn.select(
+        F.col("cnd").alias("vec_id"),
+        F.col("vec_id").alias("cnd"),
+        F.lit(1).alias("_m"),
+    )
+    return (
+        knn.join(rev, ["vec_id", "cnd"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("out_deg"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            .cast("int")
+            .alias("n_mutual"),
+        )
+    )
+
+
+def _knn_graph_ivf_oracle() -> str:
+    from ..similarity.pq import vq_kmeans_unrolled_cte
+
+    nlist_sql = (
+        f"greatest({SEM_MIN_NLIST}, "
+        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
+    )
+    return (
+        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        + f""",
+    upairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(range(1, 65),
+                        i -> a.xi[i] * b.xi[i])) AS dot,
+               a.nrm AS na, b.nrm AS nb
+        FROM af AS a JOIN af AS b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    directed AS (
+        SELECT vec_a AS vec_id, vec_b AS cnd, dot, na, nb FROM upairs
+        UNION ALL
+        SELECT vec_b, vec_a, dot, nb, na FROM upairs
+    ),
+    scored AS (
+        SELECT vec_id, cnd,
+               round(CASE WHEN na > 0 AND nb > 0
+                          THEN dot / (sqrt(na) * sqrt(nb))
+                          ELSE 0.0 END, 6) AS cosine
+        FROM directed
+    ),
+    knn AS MATERIALIZED (
+        SELECT vec_id, cnd FROM (
+            SELECT vec_id, cnd,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, cnd) AS rn
+            FROM scored
+        ) WHERE rn <= {KNN_GRAPH_K}
+    )
+    SELECT a.vec_id,
+           CAST(count(*) AS INT) AS out_deg,
+           CAST(count(m.vec_id) AS INT) AS n_mutual
+    FROM knn a
+    LEFT JOIN knn m ON m.vec_id = a.cnd AND m.cnd = a.vec_id
+    GROUP BY a.vec_id
+    """
+    )
+
+
+@register("embeddings_knn_graph_ivf", oracle=_knn_graph_ivf_oracle())
+def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph statistics over IVF (k-means) cells — the
+    SCALE PATH the banded twin lacks (r10 finding, SCALING.md): with
+    4-bit band keys the hyperplane LSH has only 16 buckets/band, so
+    its candidate mass is Θ(n²/32) on ANY corpus — the perturbed 10×
+    corpus still read 246 s, refuting the r9 hypothesis that the
+    replica artifact was the cost. Blocking by the integer-VQ
+    quantizer instead (shared ``_vq_assigned`` — corpus-derived
+    nlist = n/{SEM_TARGET_CLUSTER} pins cell size near the TARGET,
+    so pair mass grows LINEARLY with the corpus; the standard
+    IVF/Faiss kNN-graph construction). Same output shape as
+    embeddings_knn_graph_stats (vec_id, out_deg, n_mutual over the
+    k={KNN_GRAPH_K} graph); candidates differ by design — cell-mates
+    instead of band-mates — and the recall trade is the classic one:
+    IVF misses cross-cell neighbors, LSH misses low-cosine ones.
+    Cosine = integer dot / (sqrt·sqrt of exact integer norms) — every
+    input exact, every op IEEE-deterministic, zero-norm CASE-guarded
+    (the r8/r9 repo-wide rule), rounded 6dp before the rank on both
+    sides. Quantizer collects at plan time: BUILD_EXECUTES."""
+    assigned = _vq_assigned(spark, sf_dir)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    upairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        # Generate-node materialization of the interpreted fold: the
+        # two directed orientations below would otherwise inline and
+        # re-run the 64-element dot per reference (the semdedup
+        # lesson)
+        F.explode(F.array(dot)).alias("dot"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
+    )
+    directed = upairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("cnd"),
+        "dot",
+        "na",
+        "nb",
+    ).unionByName(
+        upairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("cnd"),
+            "dot",
+            F.col("nb").alias("na"),
+            F.col("na").alias("nb"),
+        )
+    )
+    cosine = F.round(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.col("dot")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = directed.select("vec_id", "cnd", cosine.alias("cosine"))
+    wr = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cnd")
+    knn = (
+        scored.select(
+            "vec_id", "cnd", F.row_number().over(wr).alias("rn")
+        )
+        .where(F.col("rn") <= KNN_GRAPH_K)
+        .select("vec_id", "cnd")
+        .localCheckpoint(eager=True)
+    )
     rev = knn.select(
         F.col("cnd").alias("vec_id"),
         F.col("vec_id").alias("cnd"),

@@ -153,6 +153,8 @@ BUILD_EXECUTES = {
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)
     "stream_gopher_rules",
+    # r10: VQ quantizer collects + kNN-list checkpoint at plan time
+    "embeddings_knn_graph_ivf",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
