@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "documents_dedup_cost_report",
     "stream_gopher_rules",
     "embeddings_knn_graph_ivf",
+    "embeddings_ivf_cell_stats",
+    "knn_ivf_index_append",
 ]
 
 

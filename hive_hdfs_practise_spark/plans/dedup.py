@@ -2823,6 +2823,75 @@ def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cell_stats_oracle() -> str:
+    from ..similarity.pq import vq_kmeans_unrolled_cte
+
+    nlist_sql = (
+        f"greatest({SEM_MIN_NLIST}, "
+        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
+    )
+    return (
+        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        + f""",
+    cells AS (SELECT cid, count(*) AS m FROM af GROUP BY cid),
+    s AS (
+        SELECT count(*) AS n_cells_used,
+               min(m) AS min_cell,
+               max(m) AS max_cell,
+               sum(m) AS n_vecs,
+               sum((m * (m - 1)) // 2) AS pair_mass
+        FROM cells
+    )
+    SELECT CAST(({nlist_sql}) AS BIGINT) AS nlist_cfg,
+           CAST(n_cells_used AS BIGINT) AS n_cells_used,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(min_cell AS BIGINT) AS min_cell,
+           CAST(max_cell AS BIGINT) AS max_cell,
+           CAST((n_vecs * 1000000) // n_cells_used AS BIGINT)
+               AS avg_cell_micro,
+           CAST((max_cell * n_cells_used * 1000000) // n_vecs AS BIGINT)
+               AS imbalance_micro,
+           CAST(pair_mass AS BIGINT) AS pair_mass
+    FROM s
+    """
+    )
+
+
+@register("embeddings_ivf_cell_stats", oracle=_ivf_cell_stats_oracle())
+def embeddings_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer health report — the capacity-planning companion
+    of embeddings_knn_graph_ivf / dedup_semdedup (the
+    documents_dedup_cost_report idea applied to the ANN family):
+    one row of cell statistics for the shared integer-VQ quantizer —
+    configured vs used cell count, min/max cell size, ×1e6
+    fixed-point average and imbalance factor (max/avg — the number
+    that predicts the straggler task), and the in-cell pair mass
+    Σ m(m−1)/2 that prices every cell-blocked pair operator
+    (semdedup, knn_graph_ivf). All exact integers (truncating div on
+    both sides — Spark `div`, DuckDB `//` on BIGINT). Quantizer
+    collects at plan time: BUILD_EXECUTES."""
+    assigned = _vq_assigned(spark, sf_dir)
+    n = wide_table(spark, sf_dir, "embeddings").count()
+    nlist_cfg = max(SEM_MIN_NLIST, n // SEM_TARGET_CLUSTER)
+    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
+    return cells.agg(
+        F.lit(nlist_cfg).cast("bigint").alias("nlist_cfg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+        F.sum("m").cast("bigint").alias("n_vecs"),
+        F.min("m").cast("bigint").alias("min_cell"),
+        F.max("m").cast("bigint").alias("max_cell"),
+        F.expr(
+            "CAST((sum(m) * 1000000) div count(*) AS BIGINT)"
+        ).alias("avg_cell_micro"),
+        F.expr(
+            "CAST((max(m) * count(*) * 1000000) div sum(m) AS BIGINT)"
+        ).alias("imbalance_micro"),
+        F.sum(F.expr("(m * (m - 1)) div 2")).cast("bigint").alias(
+            "pair_mass"
+        ),
+    )
+
+
 # Near-dup SIMILARITY SPECTRUM (r9): the threshold-calibration curve
 # a dedup rollout reads before picking tau — how much pair mass does
 # the CURRENT banding detect in each exact-Jaccard band? Same

@@ -288,13 +288,21 @@ def _ivf_oracle(
     nprobe: int = IVF_NPROBE,
     iters: int = IVF_ITERS,
     label: int | None = None,
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB restatement of the ENTIRE IVF pipeline — deterministic
     k-means (lowest-id seeding, argmin ties to the lower cluster id,
     centroid components rounded to 9 dp exactly as
     similarity/knn.py does) unrolled over ``iters`` Lloyd steps,
     then the nprobe-list probe and exact cosine top-k. sqrt is
-    omitted from argmin distances (monotone, ordering-equivalent)."""
+    omitted from argmin distances (monotone, ordering-equivalent).
+
+    ``train_pred``: optional SQL predicate on ``e`` restricting the
+    TRAINING set (seeds + Lloyd rounds) to a subset — the frozen-
+    centroid append regime (knn_ivf_index_append): the quantizer is
+    fit on the corpus shard while the final assignment, probe, and
+    top-k run over ALL vectors. None keeps the original text
+    (training set == e)."""
 
     def dist(a: str, b: str) -> str:
         return (
@@ -302,13 +310,18 @@ def _ivf_oracle(
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
         )
 
+    te = "e" if train_pred is None else "te"
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    ]
+    if train_pred is not None:
+        parts.append(f"te AS (SELECT * FROM e WHERE {train_pred})")
+    parts.append(
         f"""seed AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-        FROM e ORDER BY vec_id LIMIT {nlist}
-    )""",
-    ]
+        FROM {te} ORDER BY vec_id LIMIT {nlist}
+    )"""
+    )
     prev = "seed"
     for k in range(1, iters + 1):
         parts.append(
@@ -316,7 +329,7 @@ def _ivf_oracle(
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {dist('e.v', 'c.c')}, c.cid) AS rn
-        FROM e, {prev} AS c
+        FROM {te} AS e, {prev} AS c
     )"""
         )
         parts.append(
@@ -405,6 +418,51 @@ def knn_ivf_indexed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_index(spark, e, "ivf_query_idx", nlist=IVF_NLIST, iters=IVF_ITERS)
     return knn_ivf_indexed(
         spark, "ivf_query_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+# The delta shard for the IVF append: md5-nibble-0 vec_ids (~1/16 of
+# the corpus) play the just-ingested vectors; QUERY_VEC_ID=0 hashes
+# to 'c', so the query row is corpus-side and seeds stay corpus-only.
+IVF_APPEND_DELTA_SQL = "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'"
+
+
+@register(
+    "knn_ivf_index_append",
+    oracle=_ivf_oracle(train_pred=IVF_APPEND_DELTA_SQL),
+)
+def knn_ivf_index_append_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the ANN-family twin of
+    dedup_minhash_index_append, completing the vector-ingestion
+    loop: build the IVF index from the corpus shard (md5-nibble
+    split), APPEND the delta batch assigned against the FROZEN
+    centroid table (``append_ivf_index`` — no retrain, the
+    production regime between periodic rebuilds; the bucketed append
+    adds per-bucket files and never rewrites existing ones, so
+    bucket pruning survives), then probe the appended index. The
+    oracle is ``_ivf_oracle`` with the quantizer TRAINED on the
+    corpus shard only (``train_pred``) while assignment, probe, and
+    top-k run over ALL vectors — exactly the frozen-centroid
+    semantics; a green row certifies that the appended index holds
+    the complete, correctly-assigned union. Untouched-files pin in
+    test_similarity. Builder writes + appends at plan time:
+    BUILD_EXECUTES."""
+    from ..similarity.knn import (
+        append_ivf_index,
+        knn_ivf_indexed,
+        write_ivf_index,
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    corpus = e.filter(nib != "0")
+    delta = e.filter(nib == "0")
+    write_ivf_index(
+        spark, corpus, "ivf_append_idx", nlist=IVF_NLIST, iters=IVF_ITERS
+    )
+    append_ivf_index(spark, delta, "ivf_append_idx", nlist=IVF_NLIST)
+    return knn_ivf_indexed(
+        spark, "ivf_append_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
     )
 
 

@@ -154,6 +154,34 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark,
+    emb: DataFrame,
+    table_prefix: str,
+    nlist: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a delta batch to an ALREADY-WRITTEN IVF index — the
+    index-maintenance half of the ANN ingestion loop (the
+    ``append_minhash_index`` pattern): the delta is assigned against
+    the FROZEN centroid table (read back from the index — centroids
+    are NOT retrained, which is exactly what a production IVF
+    deployment does between periodic rebuilds) and appended to the
+    bucketed assignment table. A bucketed append writes its own
+    per-bucket files next to the existing ones (never rewriting
+    them), and every file of bucket N still holds only cluster_ids
+    hashing to N — bucket PRUNING survives any number of appends.
+    ``nlist`` must match the original build's bucket count."""
+    centroids = spark.table(f"{table_prefix}_centroids")
+    (
+        assign_clusters(emb, centroids, vec_col)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(nlist, "cluster_id")
+        .saveAsTable(f"{table_prefix}_assign")
+    )
+
+
 def knn_ivf_indexed(
     spark,
     table_prefix: str,

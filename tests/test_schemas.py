@@ -155,6 +155,10 @@ BUILD_EXECUTES = {
     "stream_gopher_rules",
     # r10: VQ quantizer collects + kNN-list checkpoint at plan time
     "embeddings_knn_graph_ivf",
+    # r10: VQ quantizer collects at plan time
+    "embeddings_ivf_cell_stats",
+    # r10: writes the IVF index + appends the delta at plan time
+    "knn_ivf_index_append",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time

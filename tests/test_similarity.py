@@ -836,3 +836,72 @@ class TestOutlierAudit:
             ).collect()
         }
         assert got == want and got
+
+
+class TestIvfIndexAppend:
+    """r10: append_ivf_index — frozen-centroid delta append. Existing
+    index files must survive byte-for-byte, new files hold only
+    delta vec_ids, and the appended assignment equals assigning the
+    union against the same frozen centroids."""
+
+    def test_append_untouched_files_and_parity(self, spark):
+        import hashlib
+        import os
+        from urllib.parse import urlparse
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.similarity.knn import (
+            append_ivf_index,
+            assign_clusters,
+            write_ivf_index,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        e = wide_table(spark, sf, "embeddings")
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        corpus, delta = e.filter(nib != "0"), e.filter(nib == "0")
+        assert delta.count() > 0
+        write_ivf_index(spark, corpus, "ivf_append_test_idx", nlist=8)
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+        def snap():
+            root = f"{wh}/ivf_append_test_idx_assign"
+            return {
+                os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(root)
+                for f in fs
+                if f.endswith(".parquet")
+            }
+
+        before = snap()
+        append_ivf_index(spark, delta, "ivf_append_test_idx", nlist=8)
+        after = snap()
+        for path, size in before.items():
+            assert after.get(path) == size, path
+        new_files = sorted(set(after) - set(before))
+        assert new_files
+        new_ids = {
+            r.vec_id
+            for r in spark.read.parquet(*new_files)
+            .select("vec_id")
+            .distinct()
+            .collect()
+        }
+        assert new_ids and all(
+            hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+            for i in new_ids
+        )
+        # appended == union assigned against the SAME frozen centroids
+        cents = spark.table("ivf_append_test_idx_centroids")
+        want = {
+            r.vec_id: r.cluster_id
+            for r in assign_clusters(e, cents).collect()
+        }
+        got = {
+            r.vec_id: r.cluster_id
+            for r in spark.table("ivf_append_test_idx_assign").collect()
+        }
+        assert got == want and got
