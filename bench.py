@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "embeddings_knn_graph_ivf",
     "embeddings_ivf_cell_stats",
     "knn_ivf_index_append",
+    "graph_clustering_coefficient",
 ]
 
 

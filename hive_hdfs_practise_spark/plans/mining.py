@@ -340,10 +340,11 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_SUP = 2
 
 
-@register(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def _tri_oracle_ctes() -> str:
+    """The degree-ordered triangle-enumeration CTE chain (through
+    ``tcount``) — shared by graph_triangle_count and
+    graph_clustering_coefficient so the enumeration cannot drift."""
+    return f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM items a JOIN items b
@@ -372,8 +373,17 @@ TRI_MIN_SUP = 2
         SELECT a AS part_id FROM tris
         UNION ALL SELECT b FROM tris
         UNION ALL SELECT c FROM tris
-    )
-    SELECT part_id, count(*) AS n_triangles FROM nodes GROUP BY part_id
+    ),
+    tcount AS (
+        SELECT part_id, count(*) AS n_triangles FROM nodes GROUP BY part_id
+    )"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_tri_oracle_ctes()}
+    SELECT part_id, n_triangles FROM tcount
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,10 +412,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation, checkpointed — consumed by deg (twice, via the
     # direction union) and the orientation join
     edges = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
+    return _triangle_counts(_edge_degrees(edges), edges)
+
+
+def _edge_degrees(edges: DataFrame) -> DataFrame:
+    """(v, deg) over an undirected (pa < pb) edge list — shared by
+    graph_triangle_count and graph_clustering_coefficient."""
     und = undirected(edges, src="pa", dst="pb").select(
         F.col("pa").alias("v")
     )
-    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    return und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def _triangle_counts(deg: DataFrame, edges: DataFrame) -> DataFrame:
+    """(part_id, n_triangles) by degree-ordered wedge enumeration —
+    the body of graph_triangle_count, factored so the clustering
+    coefficient rides the identical triangle machinery."""
     da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("dega"))
     db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("degb"))
     ed = edges.join(da, "pa").join(db, "pb")
@@ -447,6 +469,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tris.select(F.col("c").alias("part_id")))
     )
     return nodes.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_tri_oracle_ctes()}
+    SELECT d.v AS part_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2 * coalesce(t.n_triangles, 0) * 1000000)
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro
+    FROM deg d LEFT JOIN tcount t ON t.part_id = d.v
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the part
+    co-purchase graph — how clique-like each node's neighborhood is
+    (c_v = 2·T_v / (deg_v·(deg_v−1)), the standard small-world /
+    community-structure statistic, and the per-node companion of
+    graph_triangle_count): degree, triangle count, and the
+    coefficient as a ×1e6 fixed-point integer quotient (truncating
+    div both sides — the LP_SCALE idiom; no float ever enters the
+    check). Nodes with degree < 2 are excluded on both sides (the
+    denominator deg·(deg−1) would be 0 — the CASE-guard rule, here
+    as a structural filter).
+
+    Scale shape: rides the SAME checkpointed edge build, degree
+    aggregate, and degree-ordered wedge enumeration as
+    graph_triangle_count (shared ``_edge_degrees`` /
+    ``_triangle_counts`` — O(m^1.5) wedge mass, the hub defense);
+    the coefficient itself is one broadcast-sized left join over the
+    node table. Edge build checkpoints: BUILD_EXECUTES."""
+    edges = copurchase_edges(spark, sf_dir, TRI_MIN_SUP)
+    deg = _edge_degrees(edges)
+    tri = _triangle_counts(deg, edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, deg.v == tri.part_id, "left")
+        .select(
+            F.col("v").alias("part_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.expr(
+                "CAST((2 * coalesce(n_triangles, 0) * 1000000)"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_micro"),
+        )
+    )
 
 
 @register(

@@ -159,6 +159,8 @@ BUILD_EXECUTES = {
     "embeddings_ivf_cell_stats",
     # r10: writes the IVF index + appends the delta at plan time
     "knn_ivf_index_append",
+    # r10: rides the checkpointed co-purchase edge build
+    "graph_clustering_coefficient",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
