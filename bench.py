@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "embeddings_ivf_cell_stats",
     "knn_ivf_index_append",
     "graph_clustering_coefficient",
+    "documents_cdc_dedup",
 ]
 
 

@@ -2892,6 +2892,157 @@ def embeddings_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking dedup (r10) — the STORAGE-dedup primitive
+# (rsync/LBFS/backup-dedup lineage, and the text-side complement of
+# the fixed-gram span family): cut each document where the rolling
+# window's hash hits 0 mod CDC_MOD, so chunk boundaries are
+# CONTENT-ANCHORED — an insertion shifts at most the chunks it
+# touches, unlike fixed-size chunking where one inserted byte
+# re-hashes the whole tail. Duplicate chunk mass across the corpus is
+# then what a chunk store would save. Boundary rule kept exactly
+# SQL-restatable (no min/max chunk bounds): cut after char i+K−1
+# whenever u32(md5(text[i..i+K−1])) ≡ 0 (mod CDC_MOD), end-of-doc
+# cuts dropped (no-ops). Expected chunk ≈ CDC_MOD chars.
+CDC_K = 8
+CDC_MOD = 32
+
+
+def _cdc_oracle() -> str:
+    from .similarity import _md5_u32_sql
+
+    u32 = _md5_u32_sql(f"substring(text, x, {CDC_K})")
+    return f"""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    segs AS (
+        SELECT doc_id, text, n,
+               [x + {CDC_K - 1}
+                for x in generate_series(1, greatest(n - {CDC_K - 1}, 0))
+                if ({u32}) % {CDC_MOD} = 0 AND x + {CDC_K - 1} < n]
+                   AS ends
+        FROM d
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest([substring(text,
+                         CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                         (CASE WHEN j = len(ends) + 1 THEN n
+                               ELSE ends[j] END)
+                         - (CASE WHEN j = 1 THEN 0
+                                 ELSE ends[j - 1] END))
+                       for j in generate_series(1, len(ends) + 1)]) AS chunk
+        FROM segs
+    ),
+    g AS (
+        SELECT md5(chunk) AS h, len(chunk) AS L, count(*) AS m
+        FROM chunks GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n_docs, sum(n) AS total_chars FROM d)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(sum(m) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum((m - 1) * L) AS BIGINT) AS dup_chunk_mass,
+           CAST(sum((m - 1) * L) * 1000000 // total_chars AS BIGINT)
+               AS saved_ratio_micro,
+           CAST(total_chars * 1000000 // sum(m) AS BIGINT)
+               AS avg_chunk_micro
+    FROM g, tot
+    GROUP BY n_docs, total_chars
+    """
+
+
+@register("documents_cdc_dedup", oracle=_cdc_oracle())
+def documents_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report (see note above): one
+    row — docs, char mass, chunk/unique-chunk counts, duplicate chunk
+    mass (Σ (m−1)·L over distinct chunks — what a content-addressed
+    chunk store saves), and ×1e6 fixed-point saved ratio / average
+    chunk size (truncating div both sides).
+
+    Scale shape: the rolling-hash scan is the span family's
+    irreducible Θ(chars) gram pass (one md5 per position, codegen'd
+    after one explode); cut lists collapse to ~chars/{CDC_MOD} rows,
+    chunk texts materialize once per chunk, and the dedup is a
+    map-side-combining (hash, len) aggregate. All outputs exact
+    integers."""
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    grams = d.filter(F.col("n") >= CDC_K).select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"explode(transform(sequence(1, n - {CDC_K - 1}),"
+            f" i -> struct(i AS i, substring(text, i, {CDC_K}) AS g)))"
+        ).alias("pg"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("pg.g")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    cuts = (
+        grams.withColumn("e", F.col("pg.i") + (CDC_K - 1))
+        .filter((u32 % CDC_MOD == 0) & (F.col("e") < F.col("n")))
+        .select("doc_id", "e")
+    )
+    ends = cuts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("e")).alias("ends")
+    )
+    segs = d.join(ends, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "n",
+        F.coalesce(F.col("ends"), F.expr("array()").cast("array<int>")).alias(
+            "ends"
+        ),
+    )
+    chunks = segs.select(
+        "text",
+        "n",
+        "ends",
+        F.explode(F.expr("sequence(1, size(ends) + 1)")).alias("j"),
+    ).select(
+        F.expr(
+            """substring(text,
+                 CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,
+                 (CASE WHEN j = size(ends) + 1 THEN n
+                       ELSE element_at(ends, j) END)
+                 - (CASE WHEN j = 1 THEN 0
+                         ELSE element_at(ends, j - 1) END))"""
+        ).alias("chunk")
+    )
+    g = chunks.groupBy(
+        F.md5("chunk").alias("h"), F.length("chunk").alias("L")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_chars"),
+    )
+    return g.crossJoin(F.broadcast(tot)).groupBy(
+        "n_docs", "total_chars"
+    ).agg(
+        F.sum("m").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        F.sum((F.col("m") - 1) * F.col("L")).cast("bigint").alias(
+            "dup_chunk_mass"
+        ),
+        F.expr(
+            "CAST(sum((m - 1) * L) * 1000000 div first(total_chars)"
+            " AS BIGINT)"
+        ).alias("saved_ratio_micro"),
+        F.expr(
+            "CAST(first(total_chars) * 1000000 div sum(m) AS BIGINT)"
+        ).alias("avg_chunk_micro"),
+    ).select(
+        "n_docs",
+        "total_chars",
+        "n_chunks",
+        "n_unique_chunks",
+        "dup_chunk_mass",
+        "saved_ratio_micro",
+        "avg_chunk_micro",
+    )
+
+
 # Near-dup SIMILARITY SPECTRUM (r9): the threshold-calibration curve
 # a dedup rollout reads before picking tau — how much pair mass does
 # the CURRENT banding detect in each exact-Jaccard band? Same
