@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "knn_ivf_index_append",
     "graph_clustering_coefficient",
     "documents_cdc_dedup",
+    "stream_ivf_assign",
 ]
 
 

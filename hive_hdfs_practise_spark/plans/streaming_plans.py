@@ -682,3 +682,90 @@ def gopher_rule_counts(stream: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_pass_all"),
     )
+
+
+def _stream_ivf_assign_oracle() -> str:
+    from ..similarity.knn import kmeans_unrolled_cte
+    from .similarity import IVF_ITERS, IVF_NLIST
+
+    return (
+        kmeans_unrolled_cte(IVF_NLIST, IVF_ITERS)
+        + """
+    SELECT CAST(cid AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM af GROUP BY cid
+    """
+    )
+
+
+@register("stream_ivf_assign", oracle=_stream_ivf_assign_oracle())
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingestion — the 16th value-checked stream
+    twin, and the arrival half of the IVF service loop
+    (knn_ivf_index_append is the storage half): arriving vectors are
+    assigned to the FROZEN coarse quantizer per row (the centroid
+    table collects at plan time — nlist tiny rows — and becomes a
+    literal argmin expression, so assignment is STATELESS; min of an
+    array<struct<dist, cid>> picks by (squared distance, cid),
+    exactly the oracle's ordering), and the only stateful operator
+    is the per-cell running count (complete mode, exact integer
+    merge). On bounded input the counts equal the unrolled-k-means
+    assignment — the oracle. Quantizer collects at plan time:
+    BUILD_EXECUTES."""
+    agg = ivf_assign_counts(
+        _embeddings_stream(spark, sf_dir), spark, sf_dir
+    )
+    return run_available_now(agg, "stream_ivf_assign", "complete")
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a bounded file stream (the
+    _documents_stream staging dance)."""
+    src = _stage_stream_dir(sf_dir, "embeddings", suffix="_embeddings")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def ivf_assign_counts(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row frozen-centroid assignment + the per-cell count
+    aggregate over an embeddings stream — the whole stateful surface
+    of stream_ivf_assign, factored so the multi-trigger test can
+    drive it on a custom 2-file source."""
+    from ..functions import vectors as vec
+    from ..similarity.knn import kmeans_centroids
+    from ..sources.catalog import wide_table
+    from .similarity import IVF_ITERS, IVF_NLIST
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (r.cluster_id, list(r.centroid))
+        for r in kmeans_centroids(e, IVF_NLIST, IVF_ITERS).collect()
+    )
+    v = vec.as_double(F.col("embedding"))
+
+    def sqdist(arr):
+        lit = F.array(*[F.lit(float(x)) for x in arr])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    pick = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    sqdist(arr).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, arr in cents
+            ]
+        )
+    )["cid"]
+    return (
+        stream.select(pick.alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )

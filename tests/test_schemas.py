@@ -161,6 +161,8 @@ BUILD_EXECUTES = {
     "knn_ivf_index_append",
     # r10: rides the checkpointed co-purchase edge build
     "graph_clustering_coefficient",
+    # r10: quantizer collects + streaming sink at plan time
+    "stream_ivf_assign",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time

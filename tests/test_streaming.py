@@ -970,3 +970,85 @@ class TestStreamGopherRules:
         got = spark.table("gopher_split_test").collect()[-1]
         want = gopher_rule_counts(docs).head()
         assert tuple(got) == tuple(want)
+
+
+class TestStreamIvfAssign:
+    """r10: stream_ivf_assign — the 16th value-checked stream twin.
+    The per-row argmin is stateless (literal frozen centroids); the
+    per-cell count aggregate must merge across a forced multi-trigger
+    split."""
+
+    def test_equals_batch_pick(self, spark):
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            ivf_assign_counts,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.cluster_id: r.n_vecs
+            for r in plans.QUERIES["stream_ivf_assign"](spark, sf).collect()
+        }
+        e = wide_table(spark, sf, "embeddings")
+        want = {
+            r.cluster_id: r.n_vecs
+            for r in ivf_assign_counts(e, spark, sf).collect()
+        }
+        assert got == want and got
+        assert sum(got.values()) == e.count()
+
+    def test_multi_trigger_split_merges_counts(self, spark, tmp_path):
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            ivf_assign_counts,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        e = wide_table(spark, sf, "embeddings")
+        mid = e.agg(F.expr("percentile_approx(vec_id, 0.5)")).head()[0]
+        src = tmp_path / "ivf_stream"
+        src.mkdir()
+        for idx, half in enumerate(
+            [
+                e.filter(F.col("vec_id") <= mid),
+                e.filter(F.col("vec_id") > mid),
+            ]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"ihalf{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            ivf_assign_counts(stream, spark, sf)
+            .writeStream.format("memory")
+            .queryName("ivf_assign_split_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress["batchId"] >= 1
+        got = {
+            r.cluster_id: r.n_vecs
+            for r in spark.table("ivf_assign_split_test").collect()
+        }
+        want = {
+            r.cluster_id: r.n_vecs
+            for r in ivf_assign_counts(e, spark, sf).collect()
+        }
+        assert got == want and got
