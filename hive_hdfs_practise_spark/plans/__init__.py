@@ -41,58 +41,56 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    # round-9 additions (never driver-sampled; tools/derive_front.py
-    # rotation), then the stalest r01-r03-era greens — 50 slots
-    "orders_decile_migration",
-    "dedup_minhash_probe_delta",
-    "dedup_recall_audit",
-    "knn_mmr_rerank",
-    "embeddings_outlier_audit",
-    "knn_ivf_nprobe_sweep",
-    "embeddings_jl_projection_audit",
-    "embeddings_cluster_topics",
-    "embeddings_knn_graph_stats",
-    "documents_vocab_drift",
-    "graph_kcore_peel",
-    "dedup_survivors_indexed",
-    "documents_perplexity_buckets",
-    "documents_gopher_rules",
-    "documents_heaps_vocab_growth",
-    "documents_langid_confusion",
-    "documents_ngram_novelty",
-    "documents_shard_rendezvous",
-    "documents_range_shard_plan",
-    "lineitem_benford_audit",
-    "stream_filter_cascade",
-    "stream_transition_matrix",
-    "orders_cohort_ltv",
-    "dedup_minhash_j_spectrum",
-    "supplier_hhi_concentration",
-    "knn_lsh_multiprobe",
-    "dedup_embedding_lsh",
-    "distinct_counts",
-    "events_kmv_distinct_users",
-    "distinct_counts_approx",
-    "events_theta_setops",
-    "text_token_stats",
-    "text_token_counts_bpe",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "word_freq_topk",
-    "text_repetition_stats",
-    "text_char_bigram_logprob",
-    "text_sentences_udtf",
-    "word_freq_cms_topk",
-    "word_freq_countsketch_topk",
-    "documents_pack_sequences",
-    "documents_chunk_overlap",
-    "pipeline_training_data",
-    "part_list_search",
-    "order_list_time_filtered",
-    "recommend_top15",
-    "order_detail_flat",
-    "order_value_percentiles",
+    "dedup_minhash_index_append",  # never sampled
+    "documents_dedup_cost_report",  # never sampled
+    "dedup_cross_source_indexed",  # never sampled
+    "knn_ivf_index_append",  # never sampled
+    "embeddings_knn_graph_ivf",  # never sampled
+    "embeddings_ivf_cell_stats",  # never sampled
+    "documents_cdc_dedup",  # never sampled
+    "graph_clustering_coefficient",  # never sampled
+    "stream_gopher_rules",  # never sampled
+    "stream_ivf_assign",  # never sampled
+    "order_value_percentiles_approx",  # green ['r03']
+    "order_value_histogram",  # green ['r02', 'r03']
+    "lineitem_moments",  # green ['r02', 'r03']
+    "customer_deciles_scalable",  # green ['r02', 'r03']
+    "stream_hourly_tumbling",  # green ['r03']
+    "stream_liveness_transitions",  # green ['r03']
+    "stream_dedup_keys",  # green ['r03']
+    "stream_click_purchase_join",  # green ['r03']
+    "stream_enriched_nation",  # green ['r03']
+    "stream_upsert_latest",  # green ['r03']
+    "lineitem_weighted_median",  # green ['r04']
+    "documents_source_entropy",  # green ['r04']
+    "lineitem_winsorized_stats",  # green ['r04']
+    "lineitem_chi2_flag_status",  # green ['r04']
+    "orders_ks_statistic",  # green ['r04']
+    "customer_spend_gini",  # green ['r04']
+    "orders_psi_value_drift",  # green ['r04']
+    "lineitem_jackknife_mean_se",  # green ['r04']
+    "events_hourly_tumbling",  # green ['r01', 'r04']
+    "heartbeat_liveness",  # green ['r01', 'r04']
+    "events_sessionize",  # green ['r01', 'r04']
+    "events_dedup_latest",  # green ['r01', 'r04']
+    "events_sliding_rate",  # green ['r01', 'r04']
+    "events_click_purchase_join",  # green ['r01', 'r04']
+    "events_enriched_nation",  # green ['r01', 'r04']
+    "events_salted_join",  # green ['r01', 'r04']
+    "events_ohlc_hourly",  # green ['r01', 'r04']
+    "lineitem_bloom_semi_join",  # green ['r01', 'r04']
+    "lineitem_quality_report",  # green ['r01', 'r04']
+    "referential_integrity_audit",  # green ['r01', 'r04']
+    "events_moving_median",  # green ['r04']
+    "events_funnel_conversion",  # green ['r04']
+    "events_retention_cohorts",  # green ['r04']
+    "events_anomaly_mad",  # green ['r04']
+    "events_anomaly_mad_hist",  # green ['r04']
+    "events_transition_matrix",  # green ['r04']
+    "events_gap_fill",  # green ['r04']
+    "events_scd2_intervals",  # green ['r04']
+    "events_rate_cusum",  # green ['r04']
+    "events_time_weighted_avg",  # green ['r04']
 ]
 
 

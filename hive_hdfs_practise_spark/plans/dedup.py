@@ -308,6 +308,36 @@ def _est_prefilter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
+def _indexed_pairs(spark, sf_dir, table_prefix, post=None):
+    """Verified (doc_a, doc_b, jaccard) pairs probed from a WRITTEN
+    unblocked band index — the ONE probe implementation shared by
+    dedup_minhash_indexed, dedup_minhash_index_append, and
+    dedup_cross_source_indexed (r10 review dedup — three copies had
+    started to drift-risk): bucketed exchange-free candidate
+    grouping under a scoped autoBucketedScan=false, shared
+    agreement prefilter + exact-Jaccard verify. ``post`` runs INSIDE
+    the conf scope (a transform applied after build_with_conf would
+    recompile the plan under the restored conf and lose the
+    bucketed-scan pin)."""
+    from ..operators.confscope import build_with_conf
+
+    def _probe() -> DataFrame:
+        banded = spark.table(f"{table_prefix}_bands")
+        cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
+        sigs = spark.table(f"{table_prefix}_sigs")
+        pre = _est_prefilter(cand, sigs)
+        docs = wide_table(spark, sf_dir, "documents")
+        pairs = exact_jaccard_pairs(pre, docs)
+        return post(pairs) if post is not None else pairs
+
+    return build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
+    )
+
+
 @register("dedup_minhash_indexed", oracle=_minhash_lsh_oracle())
 def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH pipeline run off a MATERIALIZED band index —
@@ -335,31 +365,9 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         downsample=4,
         family=family,
     )
-    # bucket-aware reads: the auto heuristic would silently drop the
-    # bucketed layout here (no join needs the distribution), and with
-    # it the exchange-free grouping that is this index's point.
-    # build_with_conf scopes the flip to THIS plan (forces the
-    # physical plan, then restores the session conf) so later
-    # bucketed-table queries in a shared bench/sweep session are
-    # unaffected (r8 advice item).
-    from ..operators.confscope import build_with_conf
-
-    def _probe() -> DataFrame:
-        banded = spark.table("minhash_doc_idx_bands")
-        cand = mh.pairs_within_buckets(
-            banded, "doc_id", ["band", "band_key"]
-        )
-        sigs = spark.table("minhash_doc_idx_sigs")
-        pre = _est_prefilter(cand, sigs)
-        docs = wide_table(spark, sf_dir, "documents")
-        return exact_jaccard_pairs(pre, docs)
-
-    return build_with_conf(
-        spark,
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false",
-        _probe,
-    )
+    # bucket-aware reads pinned inside _indexed_pairs (scoped
+    # autoBucketedScan=false; r8 advice item).
+    return _indexed_pairs(spark, sf_dir, "minhash_doc_idx")
 
 
 # The delta-probe's "new batch": the md5(doc_id) nibble-0 shard
@@ -583,28 +591,16 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         downsample=4,
         family=family,
     )
-    from ..operators.confscope import build_with_conf
-
-    def _probe() -> DataFrame:
-        banded = spark.table("minhash_append_idx_bands")
-        cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
-        sigs = spark.table("minhash_append_idx_sigs")
-        pre = _est_prefilter(cand, sigs)
-        docs = wide_table(spark, sf_dir, "documents")
-        return exact_jaccard_pairs(pre, docs)
-
-    return build_with_conf(
-        spark,
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false",
-        _probe,
-    )
+    return _indexed_pairs(spark, sf_dir, "minhash_append_idx")
 
 
 def _dedup_cost_oracle() -> str:
     """Full SQL restatement of documents_dedup_cost_report: every
     stage count of the downsample=4 LSH pipeline, incl. the bucket
-    pair-mass sum and the verified-pair connected components."""
+    pair-mass sum and the verified-pair connected components. The
+    verify stanza is the shared verified_pairs_ctes (r10 review)."""
+    from .minhash_sql import verified_pairs_ctes
+
     est = _est_agreement_sql()
     return f"""
     WITH RECURSIVE {_minhash_cand_ctes("documents", downsample=4, lang=False)},
@@ -631,30 +627,12 @@ def _dedup_cost_oracle() -> str:
         WHERE {est} >= {EST_MIN_MATCHES}
     ),
     np AS (SELECT count(*) AS n_prefilter FROM pre),
-    fsh AS (
-        SELECT doc_id,
-               list_distinct([substring(text, x, {SHINGLE_K})
-                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
-               AS shingles
-        FROM documents
-    ),
-    ver AS (
-        SELECT e.doc_a, e.doc_b
-        FROM pre e
-        JOIN fsh a ON a.doc_id = e.doc_a
-        JOIN fsh b ON b.doc_id = e.doc_b
-        WHERE len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles)) > 0
-          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                    / (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles))), 6)
-              >= {JACCARD_THRESHOLD}
-    ),
-    nv AS (SELECT count(*) AS n_verified FROM ver),
+    {verified_pairs_ctes("pre")},
+    nv AS (SELECT count(*) AS n_verified FROM pairs),
     edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM ver
+        SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
-        SELECT doc_b AS u, doc_a AS v FROM ver
+        SELECT doc_b AS u, doc_a AS v FROM pairs
     ),
     walk(u, m) AS (
         SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges)
@@ -963,13 +941,15 @@ def dedup_cross_source_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lang-blocked downsample=1 ``minhash_fam_idx``: the inline
     matrix rolls up the dedup_minhash_lsh pair set, and parity with
     that twin (plus the shared oracle) demands the identical
-    signature parameters. Writing under the same table name is the
-    point — a session that has already built the index for ANY rider
-    reuses the files; the registered form still pays the write
-    inside by the standalone-query convention (the green row
-    certifies the written index). Builder writes the index at plan
-    time: BUILD_EXECUTES. Parity with the inline matrix is pinned in
-    test_dedup."""
+    signature parameters. The registered form pays a FULL index
+    (re)build inside by the standalone-query convention
+    (write_minhash_index drops and rewrites — the green row
+    certifies the written index); the amortized 4.3× economics
+    (SCALING.md round-10: probe-only 7.7 s vs inline 33.1 s at 40×)
+    apply to a deployment that builds once and runs the probe per
+    rider, not to back-to-back registered forms. Builder writes the
+    index at plan time: BUILD_EXECUTES. Parity with the inline
+    matrix is pinned in test_dedup."""
     family = mh.minhash_family(sf_dir)
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
     mh.write_minhash_index(
@@ -983,22 +963,13 @@ def dedup_cross_source_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         downsample=4,
         family=family,
     )
-    from ..operators.confscope import build_with_conf
-
-    def _probe() -> DataFrame:
-        banded = spark.table("minhash_doc_idx_bands")
-        cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
-        sigs = spark.table("minhash_doc_idx_sigs")
-        pre = _est_prefilter(cand, sigs)
-        docs = wide_table(spark, sf_dir, "documents")
-        pairs = exact_jaccard_pairs(pre, docs).select("doc_a", "doc_b")
-        return _cross_source_rollup(spark, sf_dir, pairs)
-
-    return build_with_conf(
+    return _indexed_pairs(
         spark,
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false",
-        _probe,
+        sf_dir,
+        "minhash_doc_idx",
+        post=lambda pairs: _cross_source_rollup(
+            spark, sf_dir, pairs.select("doc_a", "doc_b")
+        ),
     )
 
 
@@ -1288,25 +1259,10 @@ def _clusters_walk_body() -> str:
     dedup_survivors_quality (plans/text.py) so the cluster semantics
     cannot drift. Callers prepend WITH RECURSIVE and select from
     ``walk``."""
+    from .minhash_sql import verified_pairs_ctes
+
     return f"""{_minhash_cand_ctes("documents", downsample=1, lang=True)},
-    fsh AS (
-        SELECT doc_id,
-               list_distinct([substring(text, x, {SHINGLE_K})
-                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
-               AS shingles
-        FROM documents
-    ),
-    pairs AS (
-        SELECT c.doc_a, c.doc_b
-        FROM mh_cand c
-        JOIN fsh a ON a.doc_id = c.doc_a
-        JOIN fsh b ON b.doc_id = c.doc_b
-        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
-          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                    / (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles))), 6)
-              >= {JACCARD_THRESHOLD}
-    ),
+    {verified_pairs_ctes("mh_cand")},
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
@@ -1766,14 +1722,18 @@ def _semdedup_oracle() -> str:
     )
 
 
-def _vq_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The integer-VQ front end shared by dedup_semdedup and
-    embeddings_knn_graph_ivf (the r8 shared-scorer rule — two riders
-    of one quantizer cannot drift): corpus-derived nlist
-    (max({SEM_MIN_NLIST}, n // {SEM_TARGET_CLUSTER})), lowest-id
-    seeds, {SEM_ITERS} integer-GEMM Lloyd rounds, one assignment
-    scan. Returns the PERSISTED (vec_id, xi, nrm, cid) table —
-    quantized vector, exact squared norm, cell id."""
+def _vq_assigned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, int]:
+    """The integer-VQ front end shared by dedup_semdedup,
+    embeddings_knn_graph_ivf, and embeddings_ivf_cell_stats (the r8
+    shared-scorer rule — riders of one quantizer cannot drift):
+    corpus-derived nlist (max({SEM_MIN_NLIST},
+    n // {SEM_TARGET_CLUSTER})), lowest-id seeds, {SEM_ITERS}
+    integer-GEMM Lloyd rounds, one assignment scan. Returns
+    (assigned, n, nlist): the PERSISTED (vec_id, xi, nrm, cid)
+    table plus the corpus count and derived nlist, so riders never
+    rescan the table or re-derive the formula (r10 review)."""
     import numpy as np
 
     from ..similarity.pq import (
@@ -1813,7 +1773,7 @@ def _vq_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     assigned = vq_assign_pass(e, cents[0])
     assigned.persist()
-    return assigned
+    return assigned, n, nlist
 
 
 @register("dedup_semdedup", oracle=_semdedup_oracle())
@@ -1832,7 +1792,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's quantized vector + squared norm, computed once per ROW in
     the scan) persists before feeding both sides of the pair join.
     Builder collects the codebook at plan time: BUILD_EXECUTES."""
-    assigned = _vq_assigned(spark, sf_dir)
+    assigned, _, _ = _vq_assigned(spark, sf_dir)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
@@ -2751,7 +2711,7 @@ def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     input exact, every op IEEE-deterministic, zero-norm CASE-guarded
     (the r8/r9 repo-wide rule), rounded 6dp before the rank on both
     sides. Quantizer collects at plan time: BUILD_EXECUTES."""
-    assigned = _vq_assigned(spark, sf_dir)
+    assigned, _, _ = _vq_assigned(spark, sf_dir)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
@@ -2870,9 +2830,7 @@ def embeddings_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (semdedup, knn_graph_ivf). All exact integers (truncating div on
     both sides — Spark `div`, DuckDB `//` on BIGINT). Quantizer
     collects at plan time: BUILD_EXECUTES."""
-    assigned = _vq_assigned(spark, sf_dir)
-    n = wide_table(spark, sf_dir, "embeddings").count()
-    nlist_cfg = max(SEM_MIN_NLIST, n // SEM_TARGET_CLUSTER)
+    assigned, _n, nlist_cfg = _vq_assigned(spark, sf_dir)
     cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
     return cells.agg(
         F.lit(nlist_cfg).cast("bigint").alias("nlist_cfg"),

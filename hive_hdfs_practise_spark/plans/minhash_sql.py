@@ -8,7 +8,13 @@ as it does to constants)."""
 from __future__ import annotations
 
 from ..dedup import minhash as mh
-from .constants import N_BANDS, N_PERM, ROWS_PER_BAND, SHINGLE_K
+from .constants import (
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_PERM,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+)
 
 
 def minhash_cand_ctes(
@@ -77,3 +83,30 @@ def minhash_cand_ctes(
          AND a.doc_id < b.doc_id
     )"""
     )
+
+
+def verified_pairs_ctes(cand: str) -> str:
+    """``fsh`` + ``pairs`` CTE pair: exact shingle-Jaccard
+    verification (union>0 guard, 6dp round, >= JACCARD_THRESHOLD) of
+    a (doc_a, doc_b) candidate CTE ``cand`` — the verify stanza
+    shared by _clusters_walk_body and _dedup_cost_oracle so the
+    formula cannot drift (the r9 _candidate_jaccard rule, SQL
+    side)."""
+    return f"""fsh AS (
+        SELECT doc_id,
+               list_distinct([substring(text, x, {SHINGLE_K})
+                              for x in generate_series(1, greatest(len(text) - {SHINGLE_K - 1}, 0))])
+               AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM {cand} c
+        JOIN fsh a ON a.doc_id = c.doc_a
+        JOIN fsh b ON b.doc_id = c.doc_b
+        WHERE len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+          AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6)
+              >= {JACCARD_THRESHOLD}
+    )"""

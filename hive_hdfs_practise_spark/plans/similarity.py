@@ -421,15 +421,16 @@ def knn_ivf_indexed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The delta shard for the IVF append: md5-nibble-0 vec_ids (~1/16 of
-# the corpus) play the just-ingested vectors; QUERY_VEC_ID=0 hashes
-# to 'c', so the query row is corpus-side and seeds stay corpus-only.
-IVF_APPEND_DELTA_SQL = "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'"
+# The TRAIN/corpus predicate for the IVF append (its negation is the
+# delta): md5-nibble-0 vec_ids (~1/16 of the corpus) play the
+# just-ingested vectors; QUERY_VEC_ID=0 hashes to 'c', so the query
+# row is corpus-side and seeds stay corpus-only.
+IVF_APPEND_TRAIN_SQL = "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'"
 
 
 @register(
     "knn_ivf_index_append",
-    oracle=_ivf_oracle(train_pred=IVF_APPEND_DELTA_SQL),
+    oracle=_ivf_oracle(train_pred=IVF_APPEND_TRAIN_SQL),
 )
 def knn_ivf_index_append_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index MAINTENANCE — the ANN-family twin of

@@ -1210,12 +1210,14 @@ class TestMinhashIndexed:
 
         def snap(suffix):
             root = f"{wh}/minhash_append_test_idx{suffix}"
-            return {
-                os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(root)
-                for f in fs
-                if f.endswith(".parquet")
-            }
+            out = {}
+            for dp, _, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        path = os.path.join(dp, f)
+                        with open(path, "rb") as fh:
+                            out[path] = hashlib.md5(fh.read()).hexdigest()
+            return out
 
         before_bands, before_sigs = snap("_bands"), snap("_sigs")
         mh.append_minhash_index(
@@ -1223,10 +1225,10 @@ class TestMinhashIndexed:
             family="md5",
         )
         after_bands, after_sigs = snap("_bands"), snap("_sigs")
-        # (a) every pre-existing file survives byte-for-byte in size
+        # (a) every pre-existing file survives byte-for-byte
         for pre, post in ((before_bands, after_bands), (before_sigs, after_sigs)):
-            for path, size in pre.items():
-                assert post.get(path) == size, path
+            for path, digest in pre.items():
+                assert post.get(path) == digest, path
         # (b) the new band files hold ONLY delta doc_ids
         new_files = sorted(set(after_bands) - set(before_bands))
         assert new_files

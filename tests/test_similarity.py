@@ -869,18 +869,20 @@ class TestIvfIndexAppend:
 
         def snap():
             root = f"{wh}/ivf_append_test_idx_assign"
-            return {
-                os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(root)
-                for f in fs
-                if f.endswith(".parquet")
-            }
+            out = {}
+            for dp, _, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        path = os.path.join(dp, f)
+                        with open(path, "rb") as fh:
+                            out[path] = hashlib.md5(fh.read()).hexdigest()
+            return out
 
         before = snap()
         append_ivf_index(spark, delta, "ivf_append_test_idx", nlist=8)
         after = snap()
-        for path, size in before.items():
-            assert after.get(path) == size, path
+        for path, digest in before.items():
+            assert after.get(path) == digest, path
         new_files = sorted(set(after) - set(before))
         assert new_files
         new_ids = {
