@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "graph_clustering_coefficient",
     "documents_cdc_dedup",
     "stream_ivf_assign",
+    "events_markov_stationary",
 ]
 
 

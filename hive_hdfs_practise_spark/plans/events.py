@@ -1774,3 +1774,135 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_PATHS_K)
         .select("path", "n_sessions")
     )
+
+
+# Stationary distribution of the event-type Markov chain (r10) —
+# where a user's long-run attention settles (the steady state the
+# transition matrix implies; the session-mix planning number). The
+# pagerank lesson applies verbatim: an ITERATIVE aggregate is
+# cross-engine bit-exact only in integer arithmetic — mass is a
+# ×1e12 fixed-point integer vector, each step distributes
+# (v_i · n_ij) div row_i per EDGE (truncating div; products reach
+# SCALE·n ≈ 1e20 at 40×, so DECIMAL(38,0)/HUGEINT, never int64),
+# and dangling states (appear as a to_type but never transition out)
+# get an explicit self-loop so no mass leaks. MARKOV_ROUNDS fixed
+# rounds unrolled in the oracle (MATERIALIZED round CTEs — the
+# doubly-referenced-CTE rule).
+MARKOV_SCALE = 10**12
+MARKOV_ROUNDS = 20
+
+
+def _markov_stationary_oracle() -> str:
+    parts = [
+        """
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM ev
+    ),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    states AS (
+        SELECT from_type AS t FROM c
+        UNION
+        SELECT to_type FROM c
+    ),
+    outs AS (
+        SELECT s.t, coalesce(sum(c.n), 0) AS row_n
+        FROM states s LEFT JOIN c ON c.from_type = s.t GROUP BY s.t
+    ),
+    edges AS MATERIALIZED (
+        SELECT from_type, to_type, CAST(n AS HUGEINT) AS n FROM c
+        UNION ALL
+        SELECT t, t, CAST(1 AS HUGEINT) FROM outs WHERE row_n = 0
+    ),
+    rows_ AS (
+        SELECT from_type, sum(n) AS rn FROM edges GROUP BY from_type
+    ),
+    v0 AS (
+        SELECT t,
+               CAST({scale} AS HUGEINT)
+                   // (SELECT count(*) FROM states) AS v
+        FROM states
+    )""".format(scale=MARKOV_SCALE)
+    ]
+    for k in range(1, MARKOV_ROUNDS + 1):
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT s.t,
+               coalesce(sum((v.v * e.n) // r.rn), 0) AS v
+        FROM states s
+        LEFT JOIN edges e ON e.to_type = s.t
+        LEFT JOIN v{k - 1} v ON v.t = e.from_type
+        LEFT JOIN rows_ r ON r.from_type = e.from_type
+        GROUP BY s.t
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT t AS event_type, CAST(v AS BIGINT) AS stationary_fp
+    FROM v{MARKOV_ROUNDS}
+    """
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type transition chain
+    (see note above): per event type, the ×1e12 fixed-point long-run
+    mass after {MARKOV_ROUNDS} integer power-iteration rounds.
+
+    Scale shape: the ONLY corpus-sized work is the per-user lead()
+    chain build (one exchange on user_id) reduced to the ≤|types|²
+    count matrix, which is collected (metadata-scale — the MMR
+    bounded-collect precedent) and iterated driver-side on exact
+    Python ints (non-negative values make // == engine trunc div; a
+    DataFrame loop measured ~4 s of pure per-round job overhead on a
+    25-cell matrix). Integer arithmetic end to end. Collects at plan
+    time: BUILD_EXECUTES."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # the count matrix is metadata-scale (≤ |types|² rows) — the
+    # iteration runs driver-side on exact Python ints (the MMR
+    # bounded-collect precedent; 20 tiny Spark jobs measured ~4 s of
+    # pure scheduling overhead). Every value is non-negative, so
+    # Python's flooring // equals the engines' truncating div.
+    counts = {(r.from_type, r.to_type): int(r.n) for r in c.collect()}
+    states = sorted(
+        {t for ft, tt in counts for t in (ft, tt)}
+    )
+    row_n = {t: 0 for t in states}
+    for (ft, _), n in counts.items():
+        row_n[ft] += n
+    for t in states:
+        if row_n[t] == 0:
+            counts[(t, t)] = 1
+            row_n[t] = 1
+    v = {t: MARKOV_SCALE // len(states) for t in states} if states else {}
+    for _ in range(MARKOV_ROUNDS):
+        nv = {t: 0 for t in states}
+        for (ft, tt), n in counts.items():
+            nv[tt] += (v[ft] * n) // row_n[ft]
+        v = nv
+    out = [(t, v[t]) for t in states]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_fp long"
+    )

@@ -163,6 +163,8 @@ BUILD_EXECUTES = {
     "graph_clustering_coefficient",
     # r10: quantizer collects + streaming sink at plan time
     "stream_ivf_assign",
+    # r10: collects the metadata-scale count matrix at plan time
+    "events_markov_stationary",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
