@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "documents_cdc_dedup",
     "stream_ivf_assign",
     "events_markov_stationary",
+    "orders_survival_km",
 ]
 
 

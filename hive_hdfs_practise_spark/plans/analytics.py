@@ -1396,3 +1396,121 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_fp"),
         )
     )
+
+
+# Kaplan–Meier repeat-purchase survival (r10) — the time-to-second-
+# order curve a retention team reads (the survival-analysis
+# workhorse, with right-censoring done properly instead of dropping
+# non-converters): per customer, t = days from first to second order
+# (event) or to the corpus's last order date (censored). S(t) =
+# Π_{u≤t} (n_u − d_u)/n_u over event days. Cross-engine exactness:
+# every factor divides two exact integers (IEEE-identical), and the
+# cumulative product is a genuinely SEQUENTIAL left fold on both
+# sides — DuckDB `list_reduce` over the t-ordered factor list vs a
+# Python left fold on the driver (the r9 temperature_mix idiom:
+# list_reduce is bit-equal to a Python left fold; multiplication is
+# as deterministic as addition) — so the raw double needs NO
+# rounding. The at-risk counts ride a DESC-ordered integer window
+# sum (integers are combine-order-proof).
+def _survival_km_oracle() -> str:
+    return """
+    WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey FROM orders),
+    r AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM o
+    ),
+    f AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+               min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+        FROM r GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(o_orderdate) AS dmax FROM o),
+    obs AS (
+        SELECT CASE WHEN d2 IS NOT NULL
+                    THEN datediff('day', d1, d2)
+                    ELSE datediff('day', d1, dmax) END AS t,
+               (d2 IS NOT NULL) AS ev
+        FROM f, mx
+    ),
+    byday AS (
+        SELECT t, count(*) AS n_obs,
+               sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d
+        FROM obs GROUP BY t
+    ),
+    wd AS (
+        SELECT t, d,
+               sum(n_obs) OVER (ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM byday
+    ),
+    fac AS (
+        SELECT t, d, n_risk,
+               CAST(n_risk - d AS DOUBLE) / n_risk AS f
+        FROM wd WHERE d > 0
+    ),
+    allf AS (
+        SELECT list(f ORDER BY t) AS fs, list(t ORDER BY t) AS ts
+        FROM fac
+    )
+    SELECT fac.t AS t_days,
+           CAST(fac.n_risk AS BIGINT) AS n_at_risk,
+           CAST(fac.d AS BIGINT) AS n_events,
+           list_reduce(fs[1:list_position(ts, fac.t)],
+                       (x, y) -> x * y) AS survival
+    FROM fac, allf
+    """
+
+
+@register("orders_survival_km", oracle=_survival_km_oracle())
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-repeat-purchase curve (see note above):
+    per event day, the at-risk count, events, and the survival
+    probability S(t).
+
+    Scale shape: one orders scan → per-customer 2-row window pick →
+    per-day aggregate, which is metadata-scale (≤ corpus date-range
+    days); the at-risk cumsum and the sequential product run
+    driver-side on the collected day table (the MMR bounded-collect
+    precedent). Collects at plan time: BUILD_EXECUTES."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select("o_custkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+    f = r.filter(F.col("rn") <= 2).groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    obs = f.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("dmax", "d1"))
+        .alias("t"),
+        F.col("d2").isNotNull().alias("ev"),
+    )
+    byday = (
+        obs.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+        )
+        .collect()
+    )
+    days = sorted(byday, key=lambda x: x.t)
+    total = sum(x.n_obs for x in days)
+    out, seen, surv = [], 0, None
+    for x in days:
+        n_risk = total - seen
+        seen += x.n_obs
+        if x.d > 0:
+            fct = float(n_risk - x.d) / float(n_risk)
+            surv = fct if surv is None else surv * fct
+            out.append((int(x.t), int(n_risk), int(x.d), surv))
+    return spark.createDataFrame(
+        out, "t_days int, n_at_risk long, n_events long, survival double"
+    )

@@ -165,6 +165,8 @@ BUILD_EXECUTES = {
     "stream_ivf_assign",
     # r10: collects the metadata-scale count matrix at plan time
     "events_markov_stationary",
+    # r10: collects the per-day KM table at plan time
+    "orders_survival_km",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
