@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "stream_ivf_assign",
     "events_markov_stationary",
     "orders_survival_km",
+    "dedup_detector_agreement",
 ]
 
 

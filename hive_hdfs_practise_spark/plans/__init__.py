@@ -41,6 +41,7 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
+    "dedup_detector_agreement",  # never sampled (r10 late)
     "orders_survival_km",  # never sampled (r10 late)
     "events_markov_stationary",  # never sampled (r10 late)
     "dedup_minhash_index_append",  # never sampled
@@ -90,7 +91,6 @@ _FRONT = [
     "events_anomaly_mad_hist",  # green ['r04']
     "events_transition_matrix",  # green ['r04']
     "events_gap_fill",  # green ['r04']
-    "events_scd2_intervals",  # green ['r04']
 ]
 
 

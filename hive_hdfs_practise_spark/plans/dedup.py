@@ -1023,9 +1023,10 @@ def _simhash_signatures(d: DataFrame, bits: int, family: str = "md5") -> DataFra
     return counters.select("doc_id", "lang", simhash.alias("simhash"))
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+def _simhash_pairs_oracle() -> str:
+    """SQL restatement of dedup_simhash's full output — factored so
+    the detector-agreement audit nests the identical text."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, lang, {sh.tokens_expr('duckdb')} AS tokens FROM documents
     ), sigs AS (
@@ -1037,8 +1038,10 @@ def _simhash_signatures(d: DataFrame, bits: int, family: str = "md5") -> DataFra
            CAST({sh.hamming_expr('duckdb', 'a.simhash', 'b.simhash')} AS INTEGER) AS hamming
     FROM hashes a JOIN hashes b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE {sh.hamming_expr('duckdb', 'a.simhash', 'b.simhash')} <= {HAMMING_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_pairs_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit md5-nibble simhash (see
     ``functions/simhash.py`` — one generator emits both dialects, so
@@ -2998,6 +3001,75 @@ def documents_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_chunk_mass",
         "saved_ratio_micro",
         "avg_chunk_micro",
+    )
+
+
+@register(
+    "dedup_detector_agreement",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ),
+    s AS (
+        SELECT doc_a, doc_b FROM ({_simhash_pairs_oracle()})
+    ),
+    nm AS (SELECT count(*) AS n_minhash FROM m),
+    ns AS (SELECT count(*) AS n_simhash FROM s),
+    nb AS (SELECT count(*) AS n_both FROM m JOIN s USING (doc_a, doc_b))
+    SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+           CAST(n_simhash AS BIGINT) AS n_simhash,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_minhash - n_both AS BIGINT) AS n_only_minhash,
+           CAST(n_simhash - n_both AS BIGINT) AS n_only_simhash,
+           CASE WHEN n_minhash + n_simhash - n_both > 0
+                THEN CAST(n_both * 1000000
+                          // (n_minhash + n_simhash - n_both) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS agreement_micro
+    FROM nm, ns, nb
+    """,
+)
+def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DETECTOR agreement audit — how much do the two lexical
+    near-dup detectors overlap on this corpus? MinHash-LSH (char-5
+    Jaccard ≥ {JACCARD_THRESHOLD}, unblocked) vs SimHash (32-bit
+    token simhash, Hamming ≤ {HAMMING_THRESHOLD}, lang-blocked):
+    pair counts, intersection, each side's exclusives, and the
+    detector-Jaccard as a ×1e6 truncating-div integer (zero-guarded
+    union). The dedup_recall_audit honesty contract extended
+    sideways: the two detectors target different similarity notions
+    (set overlap vs weighted token profile), and a curation rollout
+    reads THIS number before assuming one can replace the other.
+
+    Scale shape: both pipelines' own (banded LSH; explode+32-sum
+    simhash with pigeonhole pairs at scale); the comparison joins
+    pair-id sets — output-mass-sized. All exact integers."""
+    m = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sp = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    nm = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_minhash"))
+    ns = sp.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
+    nb = m.join(sp, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    return (
+        nm.crossJoin(ns)
+        .crossJoin(nb)
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            (F.col("n_minhash") - F.col("n_both"))
+            .cast("bigint")
+            .alias("n_only_minhash"),
+            (F.col("n_simhash") - F.col("n_both"))
+            .cast("bigint")
+            .alias("n_only_simhash"),
+            F.expr(
+                "CASE WHEN n_minhash + n_simhash - n_both > 0"
+                " THEN CAST(n_both * 1000000"
+                " div (n_minhash + n_simhash - n_both) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("agreement_micro"),
+        )
     )
 
 

@@ -167,6 +167,8 @@ BUILD_EXECUTES = {
     "events_markov_stationary",
     # r10: collects the per-day KM table at plan time
     "orders_survival_km",
+    # r10: rides dedup_minhash_lsh's signature checkpoint
+    "dedup_detector_agreement",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
