@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "events_markov_stationary",
     "orders_survival_km",
     "dedup_detector_agreement",
+    "lineitem_rank_auc",
 ]
 
 

@@ -41,6 +41,7 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
+    "lineitem_rank_auc",  # never sampled (r10 late)
     "dedup_detector_agreement",  # never sampled (r10 late)
     "orders_survival_km",  # never sampled (r10 late)
     "events_markov_stationary",  # never sampled (r10 late)
@@ -90,7 +91,6 @@ _FRONT = [
     "events_anomaly_mad",  # green ['r04']
     "events_anomaly_mad_hist",  # green ['r04']
     "events_transition_matrix",  # green ['r04']
-    "events_gap_fill",  # green ['r04']
 ]
 
 

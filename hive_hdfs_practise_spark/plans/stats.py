@@ -542,3 +542,94 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+# Rank-based group separation (r10): the Mann–Whitney U statistic
+# and its effect size AUC = U/(n1·n2) — "if I draw one returned and
+# one kept line at random, how often is the returned one pricier?"
+# (the rank/AUC complement of the KS distance and chi2 already here;
+# also exactly a binary classifier's ROC-AUC with the price as the
+# score). Exactness: prices reduce to exact integer CENTS; ranks
+# come from a cumulative count over the value axis — a WIDE-domain
+# axis, so it rides operators/prefix_sum.sharded_cumsum (the
+# lineitem_weighted_median rule, never a 1-partition window) — and
+# ties use average ranks kept integral as rank×2 = 2C(v) − c(v) + 1.
+# U×2 and the ×1e6 AUC are DECIMAL(38,0)/HUGEINT products
+# (U×2·1e6 ≈ 4e19 at sf0.1 — int64 overflows), truncating div both
+# sides. Group 1 = returned lines (l_returnflag = 'R').
+@register(
+    "lineitem_rank_auc",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+        FROM lineitem
+    ),
+    v AS (
+        SELECT cents, count(*) AS c, sum(g1) AS c1
+        FROM c GROUP BY cents
+    ),
+    w AS (
+        SELECT cents, c, c1,
+               sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM v
+    ),
+    r AS (
+        SELECT CAST(sum(c1 * (2 * cum - c + 1)) AS HUGEINT) AS r1_x2,
+               CAST(sum(c1) AS HUGEINT) AS n1,
+               CAST(sum(c - c1) AS HUGEINT) AS n2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_x2 AS BIGINT) AS r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2)
+                AS BIGINT) AS auc_micro
+    FROM r
+    """,
+)
+def lineitem_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U / ROC-AUC of price vs returned-flag (see note
+    above): one row — group sizes, the ×2 integer rank sum and U
+    statistic, and AUC as a ×1e6 truncating-div integer.
+
+    Scale shape: one scan reduced map-side to the distinct-cents
+    grid; the rank cumsum is the two-level sharded prefix sum
+    (parallelism grows with the grid, never a 1-partition window);
+    the final statistics are one metadata-scale aggregate."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    c = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    v = c.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("g1").alias("c1")
+    )
+    w = sharded_cumsum(
+        v,
+        [],
+        "cents",
+        "c",
+        shard=F.expr("cents div 100000"),
+    )
+    r = w.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cum") - F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_x2"),
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("decimal(38,0)").alias("n2"),
+    )
+    return r.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("r1_x2").cast("bigint").alias("r1_x2"),
+        F.expr("CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT)").alias("u1_x2"),
+        F.expr(
+            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
+            " div (2 * n1 * n2) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
