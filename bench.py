@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "orders_survival_km",
     "dedup_detector_agreement",
     "lineitem_rank_auc",
+    "dedup_simhash_spectrum",
+    "lineitem_spearman_corr",
 ]
 
 

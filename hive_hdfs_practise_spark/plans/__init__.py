@@ -41,6 +41,8 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
+    "dedup_simhash_spectrum",  # never sampled (r10 late)
+    "lineitem_spearman_corr",  # never sampled (r10 late)
     "lineitem_rank_auc",  # never sampled (r10 late)
     "dedup_detector_agreement",  # never sampled (r10 late)
     "orders_survival_km",  # never sampled (r10 late)
@@ -89,8 +91,6 @@ _FRONT = [
     "events_funnel_conversion",  # green ['r04']
     "events_retention_cohorts",  # green ['r04']
     "events_anomaly_mad",  # green ['r04']
-    "events_anomaly_mad_hist",  # green ['r04']
-    "events_transition_matrix",  # green ['r04']
 ]
 
 

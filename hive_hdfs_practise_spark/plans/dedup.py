@@ -1079,6 +1079,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_spectrum",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {sh.tokens_expr('duckdb')} AS tokens FROM documents
+    ), sigs AS (
+        SELECT doc_id, lang, {sh.token_sigs_expr('duckdb', 'tokens')} AS tok_sigs FROM toks
+    ), hashes AS (
+        SELECT doc_id, lang, {sh.simhash_expr('duckdb', 'tok_sigs')} AS simhash FROM sigs
+    ),
+    h AS (
+        SELECT CAST({sh.hamming_expr('duckdb', 'a.simhash', 'b.simhash')}
+                    AS INTEGER) AS hamming
+        FROM hashes a JOIN hashes b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM h GROUP BY hamming
+    """,
+)
+def dedup_simhash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold-calibration SPECTRUM — the
+    dedup_minhash_j_spectrum idea for the Hamming detector: the full
+    lang-blocked pair-distance histogram (hamming 0..{sh.BITS},
+    UNthresholded), the curve a rollout reads before picking
+    HAMMING_THRESHOLD (where does the near-dup mode separate from the
+    random-pair binomial bulk?). Hamming distances are exact integers
+    (md5-nibble signatures — engine-identical), so every histogram
+    cell is value-checked.
+
+    Scale shape: the same checkpointed signature table as
+    dedup_simhash; the pair stage is the blocked brute join (wins
+    below ~10k docs/block — the settled crossover study), reduced
+    map-side to ≤{sh.BITS + 1} histogram cells. At the bucketed
+    scale regime the spectrum above the pigeonhole threshold is
+    unobservable by construction — this registered form is the
+    calibration tool, same corpus contract as the recall audit.
+    Signature checkpoint at plan time: BUILD_EXECUTES."""
+    d = wide_table(spark, sf_dir, "documents")
+    hashes = _simhash_signatures(d, sh.BITS).localCheckpoint(eager=True)
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    hamming = F.expr(sh.hamming_expr("spark", "a.simhash", "b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(hamming.cast("int").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 # Scale form of the SimHash pair stage: a WIDER signature (60 bits —
 # 15 md5 nibbles, the most that fits signed-64) split into
 # HAMMING_THRESHOLD+1 chunks. Pigeonhole: ≤6 differing bits cannot

@@ -633,3 +633,118 @@ def lineitem_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n1 * n2) AS BIGINT)"
         ).alias("auc_micro"),
     )
+
+
+# Spearman rank correlation (r10) — the monotone-association
+# complement of lineitem_moments' Pearson (robust to the price
+# distribution's skew): per return flag, Pearson over the two
+# columns' AVERAGE ranks. Exactness stack: values reduce to exact
+# integers (cents, unit quantities); per-group rank grids ride the
+# sharded prefix sum with ties kept integral as rank×2 = 2C(v)−c(v)+1
+# (the lineitem_rank_auc idiom, per-group); co-moments are exact
+# DECIMAL(38,0)/HUGEINT integer sums (n·Σxy−ΣxΣy ≈ 4n⁴ ≈ 1e30 at
+# 40× — the lineitem_correlation_matrix class), and both engines
+# cast the SAME exact integers to double before the one sqrt/divide
+# (IEEE-deterministic), rounded 6dp. Zero-variance groups are
+# CASE-guarded to 0.0 on both sides (the ANSI/NaN rule).
+@register(
+    "lineitem_spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    gx AS (SELECT g, x, count(*) AS c FROM r GROUP BY g, x),
+    wx AS (
+        SELECT g, x,
+               2 * sum(c) OVER (PARTITION BY g ORDER BY x
+                                ROWS UNBOUNDED PRECEDING) - c + 1 AS r2x
+        FROM gx
+    ),
+    gy AS (SELECT g, y, count(*) AS c FROM r GROUP BY g, y),
+    wy AS (
+        SELECT g, y,
+               2 * sum(c) OVER (PARTITION BY g ORDER BY y
+                                ROWS UNBOUNDED PRECEDING) - c + 1 AS r2y
+        FROM gy
+    ),
+    j AS (
+        SELECT r.g, CAST(wx.r2x AS HUGEINT) AS r2x,
+               CAST(wy.r2y AS HUGEINT) AS r2y
+        FROM r
+        JOIN wx ON wx.g = r.g AND wx.x = r.x
+        JOIN wy ON wy.g = r.g AND wy.y = r.y
+    ),
+    s AS (
+        SELECT g, CAST(count(*) AS HUGEINT) AS n,
+               sum(r2x) AS sx, sum(r2y) AS sy,
+               sum(r2x * r2y) AS sxy,
+               sum(r2x * r2x) AS sxx,
+               sum(r2y * r2y) AS syy
+        FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                ELSE 0.0 END AS spearman_rho
+    FROM s
+    """,
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs quantity per return
+    flag (see note above): group size and ρ rounded 6dp.
+
+    Scale shape: two distinct-value-grid aggregates, each ranked by
+    the per-group sharded prefix sum (never a |groups|-partition
+    window); two grid joins back to rows (one exchange each); one
+    DECIMAL co-moment aggregate per group. No float is ever summed —
+    doubles appear only in the final per-group scalar expression."""
+    from ..operators.prefix_sum import sharded_cumsum
+
+    r = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+    )
+    gx = r.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    wx = sharded_cumsum(
+        gx, ["g"], "x", "c", shard=F.expr("x div 100000")
+    ).select("g", "x", (2 * F.col("cum") - F.col("c") + 1).alias("r2x"))
+    gy = r.groupBy("g", "y").agg(F.count(F.lit(1)).alias("c"))
+    wy = sharded_cumsum(
+        gy, ["g"], "y", "c", shard=F.expr("y div 8")
+    ).select("g", "y", (2 * F.col("cum") - F.col("c") + 1).alias("r2y"))
+    j = r.join(wx, ["g", "x"]).join(wy, ["g", "y"]).select(
+        "g",
+        F.col("r2x").cast("decimal(38,0)").alias("r2x"),
+        F.col("r2y").cast("decimal(38,0)").alias("r2y"),
+    )
+    s = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("r2x").cast("decimal(38,0)").alias("sx"),
+        F.sum("r2y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (denx > 0) & (deny > 0),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        rho.alias("spearman_rho"),
+    )

@@ -169,6 +169,8 @@ BUILD_EXECUTES = {
     "orders_survival_km",
     # r10: rides dedup_minhash_lsh's signature checkpoint
     "dedup_detector_agreement",
+    # r10: simhash signature checkpoint at plan time
+    "dedup_simhash_spectrum",
     # r9: streaming query executes at build (availableNow sink)
     "stream_filter_cascade",
     # r9: stateful transition chaining sinks at plan time
