@@ -647,7 +647,10 @@ def sales_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sales_seasonal_decomposition",
     oracle="""
     WITH m AS (
-        SELECT date_trunc('month', o_orderdate) AS month,
+        -- TIMESTAMP (not DATE) so both engines materialize
+        -- datetime64 through pandas — the r10 dtype-grain warn
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS month,
                CAST(month(o_orderdate) AS INTEGER) AS moy,
                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         FROM orders GROUP BY 1, 2
@@ -705,7 +708,7 @@ def sales_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     m = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         F.month("o_orderdate").alias("moy"),
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")

@@ -268,7 +268,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mh.minhash_signature_from_text(
         d, ["doc_id"], "text", SHINGLE_K, N_PERM, downsample=4, family=family
     ).localCheckpoint(eager=True)
-    cand = mh.lsh_candidate_pairs(sigs, N_BANDS, ROWS_PER_BAND, family=family)
+    # skip sentinel (all-P32) signatures before banding (r11 advice):
+    # empty/fully-winnowed docs would collide in EVERY band — pure
+    # candidate expansion with no output effect (their 0/0-guarded
+    # Jaccard can never pass the threshold, and the SQL oracle's
+    # verify already omits them). This also makes the stream twin's
+    # sentinel skip and documents_dedup_cost_report's n_docs_signed
+    # faithful to this pipeline.
+    live = sigs.filter(F.element_at("sig", 1) != mh.P32)
+    cand = mh.lsh_candidate_pairs(live, N_BANDS, ROWS_PER_BAND, family=family)
     # estimate-prefilter: signature agreement ≈ Jaccard (σ≈1/√128).
     # Candidates whose estimate is far below threshold skip exact
     # verification entirely — band collisions admit many mid-Jaccard
@@ -669,7 +677,9 @@ def documents_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       corpus (n_docs, n_docs_signed — docs with ≥1 kept shingle;
       empty/winnowed-out docs carry sentinel signatures the pipeline
-      skips, matching the stream twin's sentinel skip) → banding
+      skips BEFORE banding — as do the stream twin and, since r11,
+      dedup_minhash_lsh itself, so the report prices exactly what
+      the registered pipeline pays) → banding
       (n_band_rows) → buckets (n_buckets, n_colliding_buckets,
       max_bucket — the skew indicator, and pair_mass = Σ m(m−1)/2 —
       the quadratic expansion work the bucket join must do, THE
@@ -1727,12 +1737,14 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quadratic stage and catch near-duplicates that share no label
 # or bucket.
 #
-# Scale design (r6 rework): the quantizer runs in the 1e6-scaled
-# INTEGER domain on the similarity/pq.py Arrow passes — training is
-# one mapInPandas scan per Lloyd round emitting bounded partials,
-# assignment is one GEMM scan — and nlist DERIVES FROM THE CORPUS
-# (max(8, n // SEM_TARGET_CLUSTER)), so cluster sizes, and with them
-# the quadratic per-cluster pair mass, stay bounded at any scale.
+# Scale design (r6 rework; r11 driver-state bound below): the
+# quantizer runs in the 1e6-scaled INTEGER domain on the
+# similarity/pq.py Arrow passes — training is one mapInPandas scan
+# per Lloyd round emitting bounded partials, assignment is one GEMM
+# scan — and nlist DERIVES FROM THE CORPUS (min(max(8,
+# n // SEM_TARGET_CLUSTER), SEM_MAX_NLIST)); cluster sizes, and with
+# them the quadratic per-block pair mass, stay bounded at any scale
+# via the in-cell shard split once the nlist cap binds.
 # The float-k-means first cut paid an interpreted per-(row,centroid)
 # l2 fold AND was stuck at nlist=8 (68 s at the 10x corpus,
 # SCALING.md). Exactness: distances/argmin/updates are exact
@@ -1745,6 +1757,31 @@ def embeddings_ann_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_ITERS = 2
 SEM_MIN_NLIST = 8
 SEM_TARGET_CLUSTER = 640
+# Driver-state bound (r11, the r10 verdict's one named scale-killer):
+# uncapped, nlist = n/640 made the per-Lloyd-round centroid collect
+# and the task-closure centroid matrix grow LINEARLY with the corpus
+# (~1e8 ints through the driver at 1e9 vectors). nlist is now capped
+# at SEM_MAX_NLIST, so driver state is <= 4096 x 64 int64 (~2 MB) and
+# the per-round partial collect is <= nlist x 64 rows — INDEPENDENT
+# OF n. Once the cap binds (n > SEM_MAX_NLIST*SEM_TARGET_CLUSTER
+# ~ 2.6M vectors), cells grow as n/4096, so the pair stages re-pin
+# their quadratic mass with a SECOND in-cell md5-shard split: block =
+# (cid, shard), shard = (row_number within cid ordered by
+# md5(vec_id)) div SEM_SHARD_CAP. The cap is 4x the target cell size
+# — observed imbalance is ~1.15x (embeddings_ivf_cell_stats), so on
+# non-pathological corpora every cell is one shard and outputs are
+# bit-identical to the unsharded form; the split engages exactly when
+# a cell would otherwise go quadratic. md5-derived and restated in
+# SQL, so the oracles stay exact on ANY corpus (the shard-path
+# cross-engine pin lives in tests/test_prefix_sum.py).
+SEM_MAX_NLIST = 4096
+SEM_SHARD_CAP = 4 * SEM_TARGET_CLUSTER
+# nlist formula shared by all three riders' oracles (the r8
+# shared-helper rule — riders of one quantizer cannot drift)
+SEM_NLIST_SQL = (
+    f"least(greatest({SEM_MIN_NLIST}, "
+    f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER}), {SEM_MAX_NLIST})"
+)
 # tau = 0.4 (this corpus's near-dup level; deployments run ~0.95+,
 # exercised by dedup_embedding_lsh_strict) as the exact rational
 # tau^2 = SEM_TAU2_NUM / SEM_TAU2_DEN
@@ -1756,12 +1793,10 @@ assert abs(SEM_TAU2_NUM / SEM_TAU2_DEN - COSINE_THRESHOLD**2) < 1e-12
 def _semdedup_oracle() -> str:
     from ..similarity.pq import vq_kmeans_unrolled_cte
 
-    nlist_sql = (
-        f"greatest({SEM_MIN_NLIST}, "
-        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
-    )
     return (
-        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        vq_kmeans_unrolled_cte(
+            SEM_ITERS, SEM_NLIST_SQL, shard_cap=SEM_SHARD_CAP
+        )
         + f""",
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
@@ -1769,7 +1804,8 @@ def _semdedup_oracle() -> str:
                         i -> a.xi[i] * b.xi[i])) AS dot,
                a.nrm AS na, b.nrm AS nb
         FROM af AS a JOIN af AS b
-          ON a.cid = b.cid AND a.vec_id < b.vec_id
+          ON a.cid = b.cid AND a.shard = b.shard
+         AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, CAST(cid AS INTEGER) AS cluster_id,
            round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
@@ -1786,12 +1822,16 @@ def _vq_assigned(
     """The integer-VQ front end shared by dedup_semdedup,
     embeddings_knn_graph_ivf, and embeddings_ivf_cell_stats (the r8
     shared-scorer rule — riders of one quantizer cannot drift):
-    corpus-derived nlist (max({SEM_MIN_NLIST},
-    n // {SEM_TARGET_CLUSTER})), lowest-id seeds, {SEM_ITERS}
-    integer-GEMM Lloyd rounds, one assignment scan. Returns
-    (assigned, n, nlist): the PERSISTED (vec_id, xi, nrm, cid)
-    table plus the corpus count and derived nlist, so riders never
-    rescan the table or re-derive the formula (r10 review)."""
+    corpus-derived CAPPED nlist (min(max({SEM_MIN_NLIST},
+    n // {SEM_TARGET_CLUSTER}), {SEM_MAX_NLIST})), lowest-id seeds,
+    {SEM_ITERS} integer-GEMM Lloyd rounds, one assignment scan, then
+    the in-cell md5-rank shard split (SEM_SHARD_CAP design note
+    above — driver state is bounded at nlist x 64 int64 ~ 2 MB
+    INDEPENDENT OF n; the shard re-pins per-block pair mass once the
+    cap lets cells grow). Returns (assigned, n, nlist): the PERSISTED
+    (vec_id, xi, nrm, cid, shard) table plus the corpus count and
+    derived nlist, so riders never rescan the table or re-derive the
+    formula (r10 review)."""
     import numpy as np
 
     from ..similarity.pq import (
@@ -1803,7 +1843,7 @@ def _vq_assigned(
 
     e = wide_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
-    nlist = max(SEM_MIN_NLIST, n // SEM_TARGET_CLUSTER)
+    nlist = min(max(SEM_MIN_NLIST, n // SEM_TARGET_CLUSTER), SEM_MAX_NLIST)
     seed_rows = (
         e.select("vec_id", "embedding").orderBy("vec_id").limit(nlist).collect()
     )
@@ -1829,7 +1869,18 @@ def _vq_assigned(
                 ),
             )
         }
-    assigned = vq_assign_pass(e, cents[0])
+    wsh = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    assigned = (
+        vq_assign_pass(e, cents[0])
+        .withColumn("_shrn", F.row_number().over(wsh))
+        .withColumn(
+            "shard",
+            F.expr(f"CAST((_shrn - 1) div {SEM_SHARD_CAP} AS BIGINT)"),
+        )
+        .drop("_shrn")
+    )
     assigned.persist()
     return assigned, n, nlist
 
@@ -1843,13 +1894,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every training round and the final assignment is
     ONE Arrow scan (GEMM per batch, bounded partials — the
     treeAggregate shape); the codebook is driver-state like IVF's
-    centroid table (nlist × 64 ints, nlist = n/{SEM_TARGET_CLUSTER});
-    the pair stage is quadratic per CLUSTER with cluster size pinned
-    near {SEM_TARGET_CLUSTER} by construction, so pair mass grows
-    LINEARLY with the corpus. The assignment table (carrying each
-    row's quantized vector + squared norm, computed once per ROW in
-    the scan) persists before feeding both sides of the pair join.
-    Builder collects the codebook at plan time: BUILD_EXECUTES."""
+    centroid table, bounded at {SEM_MAX_NLIST} × 64 ints (~2 MB)
+    independent of n (r11); the pair stage is quadratic per BLOCK
+    ((cid, shard) — shard is the in-cell md5-rank split at
+    {SEM_SHARD_CAP} that engages once the nlist cap lets cells
+    grow), so pair mass grows LINEARLY with the corpus at ANY n.
+    The assignment table (carrying each row's quantized vector +
+    squared norm, computed once per ROW in the scan) persists before
+    feeding both sides of the pair join. Builder collects the
+    codebook at plan time: BUILD_EXECUTES."""
     assigned, _, _ = _vq_assigned(spark, sf_dir)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
@@ -1861,6 +1914,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.shard") == F.col("b.shard"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -2704,12 +2758,10 @@ def embeddings_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_ivf_oracle() -> str:
     from ..similarity.pq import vq_kmeans_unrolled_cte
 
-    nlist_sql = (
-        f"greatest({SEM_MIN_NLIST}, "
-        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
-    )
     return (
-        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        vq_kmeans_unrolled_cte(
+            SEM_ITERS, SEM_NLIST_SQL, shard_cap=SEM_SHARD_CAP
+        )
         + f""",
     upairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2717,7 +2769,8 @@ def _knn_graph_ivf_oracle() -> str:
                         i -> a.xi[i] * b.xi[i])) AS dot,
                a.nrm AS na, b.nrm AS nb
         FROM af AS a JOIN af AS b
-          ON a.cid = b.cid AND a.vec_id < b.vec_id
+          ON a.cid = b.cid AND a.shard = b.shard
+         AND a.vec_id < b.vec_id
     ),
     directed AS (
         SELECT vec_a AS vec_id, vec_b AS cnd, dot, na, nb FROM upairs
@@ -2760,10 +2813,13 @@ def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer instead (shared ``_vq_assigned`` — corpus-derived
     nlist = n/{SEM_TARGET_CLUSTER} pins cell size near the TARGET,
     so pair mass grows LINEARLY with the corpus; the standard
-    IVF/Faiss kNN-graph construction). Same output shape as
-    embeddings_knn_graph_stats (vec_id, out_deg, n_mutual over the
-    k={KNN_GRAPH_K} graph); candidates differ by design — cell-mates
-    instead of band-mates — and the recall trade is the classic one:
+    IVF/Faiss kNN-graph construction; nlist capped at
+    {SEM_MAX_NLIST} with the in-cell shard split re-pinning block
+    pair mass — r11 driver-state bound, see the SEM_SHARD_CAP note).
+    Same output shape as embeddings_knn_graph_stats (vec_id,
+    out_deg, n_mutual over the k={KNN_GRAPH_K} graph); candidates
+    differ by design — block-mates instead of band-mates — and the
+    recall trade is the classic one:
     IVF misses cross-cell neighbors, LSH misses low-cosine ones.
     Cosine = integer dot / (sqrt·sqrt of exact integer norms) — every
     input exact, every op IEEE-deterministic, zero-norm CASE-guarded
@@ -2779,6 +2835,7 @@ def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     upairs = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.shard") == F.col("b.shard"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
@@ -2844,14 +2901,20 @@ def embeddings_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_cell_stats_oracle() -> str:
     from ..similarity.pq import vq_kmeans_unrolled_cte
 
-    nlist_sql = (
-        f"greatest({SEM_MIN_NLIST}, "
-        f"(SELECT count(*) FROM e) // {SEM_TARGET_CLUSTER})"
-    )
     return (
-        vq_kmeans_unrolled_cte(SEM_ITERS, nlist_sql)
+        vq_kmeans_unrolled_cte(
+            SEM_ITERS, SEM_NLIST_SQL, shard_cap=SEM_SHARD_CAP
+        )
         + f""",
     cells AS (SELECT cid, count(*) AS m FROM af GROUP BY cid),
+    blocks AS (
+        SELECT cid, shard, count(*) AS m FROM af GROUP BY cid, shard
+    ),
+    bs AS (
+        SELECT count(*) AS n_blocks,
+               sum((m * (m - 1)) // 2) AS block_pair_mass
+        FROM blocks
+    ),
     s AS (
         SELECT count(*) AS n_cells_used,
                min(m) AS min_cell,
@@ -2860,7 +2923,7 @@ def _ivf_cell_stats_oracle() -> str:
                sum((m * (m - 1)) // 2) AS pair_mass
         FROM cells
     )
-    SELECT CAST(({nlist_sql}) AS BIGINT) AS nlist_cfg,
+    SELECT CAST(({SEM_NLIST_SQL}) AS BIGINT) AS nlist_cfg,
            CAST(n_cells_used AS BIGINT) AS n_cells_used,
            CAST(n_vecs AS BIGINT) AS n_vecs,
            CAST(min_cell AS BIGINT) AS min_cell,
@@ -2869,8 +2932,10 @@ def _ivf_cell_stats_oracle() -> str:
                AS avg_cell_micro,
            CAST((max_cell * n_cells_used * 1000000) // n_vecs AS BIGINT)
                AS imbalance_micro,
-           CAST(pair_mass AS BIGINT) AS pair_mass
-    FROM s
+           CAST(pair_mass AS BIGINT) AS pair_mass,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(block_pair_mass AS BIGINT) AS block_pair_mass
+    FROM s, bs
     """
     )
 
@@ -2883,13 +2948,27 @@ def embeddings_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row of cell statistics for the shared integer-VQ quantizer —
     configured vs used cell count, min/max cell size, ×1e6
     fixed-point average and imbalance factor (max/avg — the number
-    that predicts the straggler task), and the in-cell pair mass
-    Σ m(m−1)/2 that prices every cell-blocked pair operator
-    (semdedup, knn_graph_ivf). All exact integers (truncating div on
-    both sides — Spark `div`, DuckDB `//` on BIGINT). Quantizer
-    collects at plan time: BUILD_EXECUTES."""
+    that predicts the straggler task), the in-cell pair mass
+    Σ m(m−1)/2, and (r11) the per-(cid, shard) BLOCK count and block
+    pair mass — the mass the pair operators (semdedup,
+    knn_graph_ivf) actually pay now that the in-cell shard split
+    bounds blocks at SEM_SHARD_CAP (block == cell on any corpus
+    whose cells stay under the cap, so the two masses are equal
+    here and diverge exactly when the split engages). All exact
+    integers (truncating div on both sides — Spark `div`, DuckDB
+    `//` on BIGINT). Quantizer collects at plan time:
+    BUILD_EXECUTES."""
     assigned, _n, nlist_cfg = _vq_assigned(spark, sf_dir)
     cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
+    blocks = assigned.groupBy("cid", "shard").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bs = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.expr("(m * (m - 1)) div 2")).cast("bigint").alias(
+            "block_pair_mass"
+        ),
+    )
     return cells.agg(
         F.lit(nlist_cfg).cast("bigint").alias("nlist_cfg"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
@@ -2905,7 +2984,7 @@ def embeddings_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(m * (m - 1)) div 2")).cast("bigint").alias(
             "pair_mass"
         ),
-    )
+    ).crossJoin(bs)
 
 
 # Content-defined chunking dedup (r10) — the STORAGE-dedup primitive

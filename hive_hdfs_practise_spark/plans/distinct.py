@@ -377,7 +377,10 @@ SLIDING_DAYS = 7
                count(*) OVER (PARTITION BY tdd) AS n_merged
         FROM merged
     )
-    SELECT DATE '1970-01-01' + CAST(tdd AS INTEGER) AS window_end,
+    -- TIMESTAMP (not DATE) so both engines materialize datetime64
+    -- through pandas — the r10 dtype-grain warn
+    SELECT CAST(DATE '1970-01-01' + CAST(tdd AS INTEGER) AS TIMESTAMP)
+               AS window_end,
            round(CASE WHEN n_merged >= {KMV_K}
                       THEN ({KMV_K} - 1)
                            / max(CASE WHEN rn = {KMV_K} THEN hv END)
@@ -434,9 +437,9 @@ def events_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("tdd", "n_merged")
         .agg(F.round(est, 4).alias("n_users_kmv"))
         .select(
-            F.date_add(F.lit("1970-01-01").cast("date"), F.col("tdd")).alias(
-                "window_end"
-            ),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("tdd"))
+            .cast("timestamp")
+            .alias("window_end"),
             "n_users_kmv",
         )
     )

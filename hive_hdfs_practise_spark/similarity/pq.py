@@ -286,17 +286,23 @@ def vq_assign_pass(emb: DataFrame, cents: tuple) -> DataFrame:
     )
 
 
-def vq_kmeans_unrolled_cte(iters: int, nlist_sql: str, dim: int = 64) -> str:
+def vq_kmeans_unrolled_cte(
+    iters: int, nlist_sql: str, dim: int = 64, shard_cap: int | None = None
+) -> str:
     """DuckDB CTE chain restating the INTEGER-domain vector
     quantizer exactly (1e6 HALF_UP quantization, exact int squared
     distances, first-min == lowest-cid ties, ``//`` truncating
     centroid updates — the ``pq_update_pass``/``vq_assign_pass``
     semantics). ``nlist_sql``: a SQL scalar expression for the seed
     count, so nlist can DERIVE FROM THE DATA (e.g.
-    ``greatest(8, (SELECT count(*) FROM e) // 640)``) and the same
-    static unroll serves every corpus size. Produces ``e(vec_id,
-    xi)`` and ``af(vec_id, xi, cid, nrm)`` (final assignment +
-    per-row squared norm), af MATERIALIZED."""
+    ``least(greatest(8, (SELECT count(*) FROM e) // 640), 4096)``)
+    and the same static unroll serves every corpus size. Produces
+    ``e(vec_id, xi)`` and ``af(vec_id, xi, cid, nrm)`` (final
+    assignment + per-row squared norm), af MATERIALIZED. With
+    ``shard_cap`` set, af also carries ``shard`` — the in-cell
+    md5-rank sub-split ((rank-1) // cap) that re-pins per-block pair
+    mass once a capped nlist lets cells grow (plans/dedup.py's
+    SEM_SHARD_CAP design note)."""
 
     def dist(a: str, b: str) -> str:
         return (
@@ -338,10 +344,18 @@ def vq_kmeans_unrolled_cte(iters: int, nlist_sql: str, dim: int = 64) -> str:
     )"""
         )
         prev = f"c{k}"
+    shard_col = (
+        f""",
+               (row_number() OVER (PARTITION BY cid
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+                   // {shard_cap} AS shard"""
+        if shard_cap is not None
+        else ""
+    )
     parts.append(
         f"""af AS MATERIALIZED (
         SELECT vec_id, xi, cid,
-               list_sum(list_transform(xi, x -> x * x)) AS nrm
+               list_sum(list_transform(xi, x -> x * x)) AS nrm{shard_col}
         FROM (
             SELECT e.vec_id, e.xi, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id

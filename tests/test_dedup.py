@@ -1256,6 +1256,19 @@ class TestMinhashIndexed:
             for r in spark.table("minhash_append_full_idx_bands").collect()
         }
         assert got == want and got
+        # ... and the _sigs table too (r10 advice): the appended
+        # signature rows feed _indexed_pairs' agreement prefilter, so
+        # a sigs-append bug that still wrote correct bands would
+        # otherwise only surface indirectly through the oracle
+        got_sigs = {
+            (r.doc_id, tuple(r.sig))
+            for r in spark.table("minhash_append_test_idx_sigs").collect()
+        }
+        want_sigs = {
+            (r.doc_id, tuple(r.sig))
+            for r in spark.table("minhash_append_full_idx_sigs").collect()
+        }
+        assert got_sigs == want_sigs and got_sigs
 
     def test_auto_bucketed_scan_conf_restored(self, spark):
         """r9 advice fix: the indexed query pins autoBucketedScan=false

@@ -491,3 +491,61 @@ def test_r9_embedding_cosine_zero_vector_cross_engine(
     assert got == oracle
     # the zero vector (vec_id 5) must never appear in a pair
     assert not any(5 in (a, b) for a, b, _ in got)
+
+
+@pytest.fixture(scope="module")
+def r11_megacell_dir(tmp_path_factory):
+    """r11 adversarial corpus: 2700 IDENTICAL vectors — every row
+    assigns to the single lowest-cid VQ cell (distance ties resolve
+    to the first minimum on both engines), and that cell EXCEEDS
+    SEM_SHARD_CAP (2560), so the in-cell md5-rank shard split — the
+    r11 driver-state-bound machinery that is a no-op on every
+    natural test corpus — must engage identically on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("r11mega")
+    rng = np.random.RandomState(11)
+    base = rng.uniform(-1, 1, 64).astype("float32")
+    n = 2700
+    pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "embedding": [base.tolist()] * n,
+            "label": [i % 3 for i in range(n)],
+        }
+    ).to_parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_r11_vq_shard_split_cross_engine(spark, r11_megacell_dir):
+    """One 2700-row cell -> shards of 2560 + 140: block count, block
+    pair mass, and every other cell-stats column must match the SQL
+    restatement exactly (full-row cross-engine equality), pinning the
+    md5-rank shard window (row_number ordered by md5(vec_id) then
+    vec_id, truncating div by the cap) that the semdedup /
+    knn_graph_ivf pair joins block on."""
+    import duckdb
+
+    from hive_hdfs_practise_spark import plans
+    from hive_hdfs_practise_spark.plans.dedup import SEM_SHARD_CAP
+
+    row = plans.QUERIES["embeddings_ivf_cell_stats"](
+        spark, r11_megacell_dir
+    ).collect()[0]
+    assert row.n_cells_used == 1 and row.max_cell == 2700
+    assert row.n_blocks == 2  # 2700 = 2560 + 140
+    rem = 2700 - SEM_SHARD_CAP
+    assert row.block_pair_mass == (
+        SEM_SHARD_CAP * (SEM_SHARD_CAP - 1) // 2 + rem * (rem - 1) // 2
+    )
+    assert row.pair_mass == 2700 * 2699 // 2
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{r11_megacell_dir}/embeddings.parquet')"
+    )
+    want = con.execute(
+        plans.ORACLES["embeddings_ivf_cell_stats"]
+    ).fetchall()[0]
+    assert tuple(row) == tuple(int(x) for x in want)

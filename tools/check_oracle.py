@@ -133,12 +133,14 @@ def date_grain_warnings(spdf, odf) -> list[str]:
     coercion (advice r6).
 
     Warning, not failure, BY DRIVER EVIDENCE: the three queries that
-    carry this skew today (events_anomaly_mad_hist r04,
-    events_sliding_distinct_kmv r05, sales_seasonal_decomposition
-    r05+r06) are all driver-GREEN with these exact dtypes, so the
-    driver's hash demonstrably tolerates date-grain object-vs-
-    datetime64 — unlike the int-vs-float family skew (r05's real
-    reds), which stays a hard failure."""
+    carried this skew through r10 (events_anomaly_mad_hist,
+    events_sliding_distinct_kmv, sales_seasonal_decomposition) were
+    all driver-GREEN with those dtypes, so the driver's hash
+    demonstrably tolerates date-grain object-vs-datetime64 — unlike
+    the int-vs-float family skew (r05's real reds), which stays a
+    hard failure. All three were cast to TIMESTAMP on both sides in
+    r11 (verdict item 4); the check stays so no new query
+    reintroduces the class."""
     import datetime as _dt
 
     notes = []
