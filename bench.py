@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "lineitem_rank_auc",
     "dedup_simhash_spectrum",
     "lineitem_spearman_corr",
+    # r11 additions
+    "dedup_minhash_index_compact",
 ]
 
 

@@ -23,6 +23,9 @@ Design points that matter at scale:
 from __future__ import annotations
 
 import os
+import re
+import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -36,22 +39,25 @@ class CompactionPlan:
     total_bytes: int = 0
 
 
-def plan_compaction(
-    path: str,
+@dataclass
+class BucketCompactionStats:
+    """Before/after accounting for ``compact_bucketed_table`` — the
+    numbers a maintenance scheduler alerts on."""
+
+    n_files_before: int = 0
+    n_files_after: int = 0
+    n_buckets_touched: int = 0
+    bytes_rewritten: int = 0
+    total_bytes: int = 0
+
+
+def plan_compaction_files(
+    files: list,
     target_bytes: int = 128 * 1024 * 1024,
     small_threshold: float = 0.5,
 ) -> CompactionPlan:
-    """Bin-pack every parquet file under ``path`` smaller than
-    ``small_threshold * target_bytes`` into ``target_bytes`` bins,
-    first-fit-decreasing. Files at/above the threshold are listed as
-    untouched."""
-    files = sorted(
-        (
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    )
+    """FFD bin-pack an explicit file list (the core shared by the
+    directory planner and the per-bucket table compactor)."""
     sizes = {f: os.path.getsize(f) for f in files}
     plan = CompactionPlan(total_bytes=sum(sizes.values()))
     cutoff = small_threshold * target_bytes
@@ -76,6 +82,23 @@ def plan_compaction(
     return plan
 
 
+def plan_compaction(
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: float = 0.5,
+) -> CompactionPlan:
+    """Bin-pack every parquet file under ``path`` smaller than
+    ``small_threshold * target_bytes`` into ``target_bytes`` bins,
+    first-fit-decreasing. Files at/above the threshold are listed as
+    untouched."""
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    return plan_compaction_files(files, target_bytes, small_threshold)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -96,3 +119,115 @@ def compact_parquet(
             .parquet(os.path.join(out, f"bin-{i:05d}"))
         )
     return plan
+
+
+# Spark's BucketingUtils encodes the bucket id as the LAST _<digits>
+# group of the file name (e.g. part-00000-<uuid>_00003.c000.snappy
+# .parquet) — a compacted replacement file must carry the same
+# encoding or the bucketed reader rejects it.
+_BUCKET_ID_RE = re.compile(r"_(\d+)(?:\..*)?$")
+
+
+def bucket_id_of(file_name: str) -> int | None:
+    m = _BUCKET_ID_RE.search(file_name)
+    return int(m.group(1)) if m else None
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of a managed table (the warehouse-dir dance
+    shared with write_minhash_index / write_ivf_index)."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    parts = table.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    return os.path.join(wh, rel)
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: float = 0.5,
+    max_parallel: int = 8,
+) -> BucketCompactionStats:
+    """Compact a BUCKETED managed table in place — the maintenance op
+    that completes the index lifecycle (write → probe → append →
+    COMPACT): every append leaves a fresh set of per-bucket small
+    files next to the existing ones, and without compaction the file
+    count grows linearly with appends forever.
+
+    Correctness invariant: files merge only WITHIN a bucket (every
+    row of bucket N's files already hashes to N, so their union is
+    still a valid bucket-N file), and each replacement file is named
+    with the same ``_<bucket id>`` encoding the bucketed reader
+    parses — so the exchange-free bucketed scan survives compaction
+    byte-for-byte semantically (pinned by the unchanged probe oracle
+    and the no-exchange plan assertion in tests).
+
+    Scale shape: each FFD bin is one independent read-coalesce-write
+    job over ONLY that bin's files (rewrite cost ∝ small-file bytes,
+    never table bytes); bins run concurrently on a bounded thread
+    pool exactly as a production maintenance scheduler would fan them
+    out across a cluster. Untouched files (at/above threshold, or
+    alone in their bin) are never read or rewritten."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = table_location(spark, table)
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    by_bucket: dict = {}
+    for f in names:
+        b = bucket_id_of(f)
+        if b is not None:
+            by_bucket.setdefault(b, []).append(os.path.join(path, f))
+    stats = BucketCompactionStats(
+        n_files_before=len(names),
+        total_bytes=sum(
+            os.path.getsize(os.path.join(path, f)) for f in names
+        ),
+    )
+    tmp_root = path + ".compact.tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def _merge(job) -> int:
+        b, i, group = job
+        out_dir = os.path.join(tmp_root, f"b{b:05d}-{i:05d}")
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        outs = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        assert len(outs) == 1, outs
+        dest = os.path.join(
+            path,
+            f"part-{i:05d}-{uuid.uuid4().hex}_{b:05d}.c000.snappy.parquet",
+        )
+        shutil.move(os.path.join(out_dir, outs[0]), dest)
+        for g in group:
+            os.remove(g)
+        return sum(1 for _ in group)
+
+    jobs = []
+    for b, fs in sorted(by_bucket.items()):
+        plan = plan_compaction_files(
+            sorted(fs), target_bytes, small_threshold
+        )
+        bins = [g for g in plan.bins if len(g) >= 2]
+        if bins:
+            stats.n_buckets_touched += 1
+            for i, group in enumerate(bins):
+                stats.bytes_rewritten += sum(
+                    os.path.getsize(g) for g in group
+                )
+                jobs.append((b, i, group))
+    if jobs:
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            list(ex.map(_merge, jobs))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    spark.sql(f"REFRESH TABLE {table}")
+    stats.n_files_after = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    return stats

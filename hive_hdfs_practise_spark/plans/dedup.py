@@ -602,6 +602,60 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_pairs(spark, sf_dir, "minhash_append_idx")
 
 
+@register("dedup_minhash_index_compact", oracle=_minhash_lsh_oracle())
+def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION — the maintenance op that completes the
+    lifecycle (write → probe → append → COMPACT; the r10 verdict's
+    item 3): every ``append_minhash_index`` leaves a fresh set of
+    per-bucket files next to the existing ones, so the bands table's
+    file count grows linearly with appends forever — the classic
+    small-file death of a 100 TB index. ``compact_bucketed_table``
+    FFD-bin-packs each LSH bucket's files and rewrites each bin as
+    ONE bucket-id-encoded file (merging only WITHIN a bucket keeps
+    every file's rows hashing to its bucket, so the exchange-free
+    bucketed probe survives — plan-pinned in test_dedup), with
+    rewrite cost proportional to small-file bytes only.
+
+    Certification follows the append precedent: build from the corpus
+    shard, append the delta batch, COMPACT, then run the full indexed
+    pipeline over the compacted index — the output must equal the
+    full-corpus dedup_minhash_lsh pair set (same oracle), which it
+    can only do if compaction preserved every row of every bucket.
+    File-count shrink, per-file bucket-id validity, and band-row
+    set parity are pinned in test_dedup::TestIndexCompact. Builder
+    writes + appends + compacts at plan time: BUILD_EXECUTES."""
+    from ..operators.compaction import compact_bucketed_table
+
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(_probe_delta_col())
+    corpus = d.filter(~_probe_delta_col())
+    mh.write_minhash_index(
+        spark,
+        corpus,
+        "minhash_compact_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    mh.append_minhash_index(
+        spark,
+        delta,
+        "minhash_compact_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    compact_bucketed_table(spark, "minhash_compact_idx_bands")
+    return _indexed_pairs(spark, sf_dir, "minhash_compact_idx")
+
+
 def _dedup_cost_oracle() -> str:
     """Full SQL restatement of documents_dedup_cost_report: every
     stage count of the downsample=4 LSH pipeline, incl. the bucket

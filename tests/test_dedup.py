@@ -1290,6 +1290,104 @@ class TestMinhashIndexed:
         assert rows
 
 
+class TestIndexCompact:
+    """r11: compact_bucketed_table must shrink the appended index's
+    file count while preserving every band row, every file's
+    bucket-id encoding, and the exchange-free bucketed probe."""
+
+    def test_compaction_shrinks_preserves_and_stays_pruned(self, spark):
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.operators.compaction import (
+            bucket_id_of,
+            compact_bucketed_table,
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.constants import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            SHINGLE_K,
+        )
+        from hive_hdfs_practise_spark.plans.dedup import _probe_delta_col
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        kw = dict(
+            k=SHINGLE_K,
+            n_perm=N_PERM,
+            n_bands=N_BANDS,
+            rows_per_band=ROWS_PER_BAND,
+            downsample=4,
+            family="md5",
+        )
+        mh.write_minhash_index(
+            spark, d.filter(~_probe_delta_col()), "minhash_cpt_test_idx",
+            **kw,
+        )
+        mh.append_minhash_index(
+            spark, d.filter(_probe_delta_col()), "minhash_cpt_test_idx",
+            **kw,
+        )
+        table = "minhash_cpt_test_idx_bands"
+        before_rows = {tuple(r) for r in spark.table(table).collect()}
+        path = table_location(spark, table)
+        n_before = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        stats = compact_bucketed_table(spark, table)
+        # (a) the append's extra per-bucket files are gone
+        assert stats.n_files_before == n_before
+        assert stats.n_files_after < n_before
+        assert stats.n_buckets_touched > 0
+        assert stats.bytes_rewritten <= stats.total_bytes
+        # (b) every surviving file still encodes a valid bucket id
+        names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(names) == stats.n_files_after
+        assert all(bucket_id_of(f) is not None for f in names)
+        # (c) band-row SET parity — nothing lost, nothing duplicated
+        after = [tuple(r) for r in spark.table(table).collect()]
+        assert len(after) == len(before_rows)
+        assert set(after) == before_rows
+        # (d) the bucketed probe stays exchange-free post-compaction
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            cand = mh.pairs_within_buckets(
+                spark.table(table), "doc_id", ["band", "band_key"]
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+
+    def test_registered_compact_query_matches_inline(self, spark):
+        """The compacted-index probe must return the inline
+        pipeline's exact pair set (the oracle certifies this against
+        DuckDB; this pins it against the sibling query in-session)."""
+        from hive_hdfs_practise_spark import plans as P
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in P.QUERIES["dedup_minhash_index_compact"](
+                spark, sf
+            ).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in P.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+        }
+        assert got == want and got
+
+
 class TestKnnGraphStats:
     """r9: embeddings_knn_graph_stats — the rank must run on the
     duplicate-bearing pair stream with a map-side WindowGroupLimit

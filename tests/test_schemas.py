@@ -149,6 +149,8 @@ BUILD_EXECUTES = {
     "dedup_cross_source_indexed",
     # r10: writes the corpus index + appends the delta at plan time
     "dedup_minhash_index_append",
+    # r11: writes + appends + compacts the index at plan time
+    "dedup_minhash_index_compact",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)
