@@ -1415,3 +1415,101 @@ class TestKnnGraphStats:
         assert rows
         assert all(0 <= r.n_mutual <= r.out_deg <= 3 for r in rows)
         assert sum(r.n_mutual for r in rows) % 2 == 0
+
+
+class TestCalibrationGate:
+    """r11: the count-derived md5 doc-sample gate that bounds the
+    calibration queries' pair mass at scale. On every natural corpus
+    the gate is a no-op (block <= CAP => cutoff >= 2^32); this class
+    pins the ENGAGED gate cross-engine on a 6000-doc corpus."""
+
+    @pytest.fixture(scope="class")
+    def gate_dir(self, tmp_path_factory):
+        import pandas as pd
+
+        d = tmp_path_factory.mktemp("r11gate")
+        n = 6000
+        pd.DataFrame(
+            {
+                "doc_id": list(range(n)),
+                "text": [f"tok{i % 37} tok{i % 11}" for i in range(n)],
+                "lang": ["en"] * n,
+                "source": ["s0"] * n,
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_gate_sample_set_cross_engine(self, spark, gate_dir):
+        """The sampled doc_id SET must match DuckDB's exactly —
+        u32(md5(doc_id)) and the (CAP*2^32) div n cutoff are the
+        whole cross-engine surface of the gate."""
+        import duckdb
+
+        from hive_hdfs_practise_spark.plans.dedup import (
+            SPECTRUM_BLOCK_CAP,
+            _U32_SPAN,
+        )
+        from hive_hdfs_practise_spark.plans.similarity import _md5_u32_sql
+
+        d = spark.read.parquet(f"{gate_dir}/documents.parquet")
+        u32 = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        nn = d.agg(
+            F.expr(
+                f"CAST(({SPECTRUM_BLOCK_CAP} * {_U32_SPAN}) div count(*)"
+                " AS BIGINT)"
+            ).alias("cut")
+        )
+        got = {
+            r.doc_id
+            for r in d.crossJoin(F.broadcast(nn))
+            .where(u32 < F.col("cut"))
+            .select("doc_id")
+            .collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{gate_dir}/documents.parquet')"
+        )
+        u32sql = _md5_u32_sql("CAST(d.doc_id AS VARCHAR)")
+        want = {
+            r[0]
+            for r in con.execute(
+                f"""
+                WITH nn AS (SELECT ({SPECTRUM_BLOCK_CAP} * {_U32_SPAN})
+                                   // count(*) AS cut FROM documents)
+                SELECT d.doc_id FROM documents d, nn
+                WHERE {u32sql} < nn.cut
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # the gate actually ENGAGED: a strict, binomially-safe subset
+        assert 3500 < len(got) < 4700
+
+    def test_spectrum_engaged_gate_cross_engine(self, spark, gate_dir):
+        """Full spectrum query vs its oracle with the gate binding —
+        composition pin (sampling -> lang-blocked pairs -> histogram)."""
+        import duckdb
+
+        rows = plans.QUERIES["dedup_simhash_spectrum"](
+            spark, gate_dir
+        ).collect()
+        got = {(r.hamming, r.n_pairs) for r in rows}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{gate_dir}/documents.parquet')"
+        )
+        want = {
+            (int(h), int(n))
+            for h, n in con.execute(
+                plans.ORACLES["dedup_simhash_spectrum"]
+            ).fetchall()
+        }
+        assert got == want and got
+        # sampled pair mass ~= C(sample, 2), far below C(6000, 2)
+        total = sum(n for _, n in got)
+        assert total < 6000 * 5999 // 2 // 1.5
