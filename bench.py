@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "lineitem_spearman_corr",
     # r11 additions
     "dedup_minhash_index_compact",
+    "stream_decontamination_bloom",
 ]
 
 

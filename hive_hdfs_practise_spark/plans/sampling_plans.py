@@ -145,15 +145,17 @@ _DECON_SH_SQL = rf"""sh AS (
     te AS (SELECT doc_id AS test_doc, unnest(grams) AS g FROM sh WHERE bucket >= 231)"""
 
 
-def _decon_gram_stream(spark: SparkSession, sf_dir: str):
-    """(sh, sp): the exploded (doc_id, split, g) distinct-8-gram
-    stream and the split-labelled documents frame. The dynamic-length
-    sequence is guarded (docs under {DECON_NGRAM} tokens emit no
-    grams) because Spark's sequence() counts DOWN on an empty
-    range."""
+def decon_grams_of(d: DataFrame):
+    """(sh, sp) over an EXPLICIT documents frame: the exploded
+    (doc_id, split, g) distinct-8-gram stream and the split-labelled
+    frame. Stateless column expressions only, so the same code path
+    serves the batch decontamination family AND the r11 streaming
+    twin (shared-scorer rule — the twins cannot drift). The
+    dynamic-length sequence is guarded (docs under {DECON_NGRAM}
+    tokens emit no grams) because Spark's sequence() counts DOWN on
+    an empty range."""
     from ..operators.sampling import dataset_split
 
-    d = wide_table(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     grams = F.when(
         F.size(toks) >= DECON_NGRAM,
@@ -167,6 +169,11 @@ def _decon_gram_stream(spark: SparkSession, sf_dir: str):
     sp = dataset_split(d, "doc_id", 80, 10)
     sh = sp.select("doc_id", "split", F.explode(grams).alias("g"))
     return sh, sp
+
+
+def _decon_gram_stream(spark: SparkSession, sf_dir: str):
+    """decon_grams_of over the corpus documents table."""
+    return decon_grams_of(wide_table(spark, sf_dir, "documents"))
 
 
 
@@ -471,19 +478,41 @@ def split_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, where the filter build is constant and the probe is the
     only corpus-sized stage. Builder checkpoints the filter at plan
     time: BUILD_EXECUTES."""
-    m = DECON_BLOOM_M
-    sh, _ = _decon_gram_stream(spark, sf_dir)
-    hashed = sh.select("doc_id", "split", F.md5(F.col("g")).alias("h"))
-    u32 = lambda s: (  # noqa: E731
-        F.conv(F.substring(F.col("h"), s, 8), 16, 10).cast("bigint") % m
+    d = wide_table(spark, sf_dir, "documents")
+    filt = bloom_filter_words(d)
+    sh, _ = decon_grams_of(d)
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), F.md5(F.col("g")).alias("h")
     )
+    return bloom_probe_counts(tr, filt)
+
+
+def _bloom_u32(s: int):
+    """Slice ``s`` of the materialized md5 column ``h`` as a filter
+    position."""
+    return (
+        F.conv(F.substring(F.col("h"), s, 8), 16, 10).cast("bigint")
+        % DECON_BLOOM_M
+    )
+
+
+def bloom_filter_words(d: DataFrame) -> DataFrame:
+    """The CHECKPOINTED test-split Bloom filter (w → bits words) over
+    an explicit documents frame — factored (r11) so the streaming
+    twin probes the IDENTICAL filter build."""
+    sh, _ = decon_grams_of(d)
+    hashed = sh.select("doc_id", "split", F.md5(F.col("g")).alias("h"))
     te_pos = (
         hashed.filter(F.col("split") == "test")
         .select("h")
         .distinct()
-        .select(F.explode(F.array(*[u32(s) for s in _DECON_SLICES])).alias("pos"))
+        .select(
+            F.explode(
+                F.array(*[_bloom_u32(s) for s in _DECON_SLICES])
+            ).alias("pos")
+        )
     )
-    filt = (
+    return (
         te_pos.groupBy(F.expr("pos div 64").alias("w"))
         .agg(
             F.bit_or(
@@ -492,13 +521,19 @@ def split_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    tr = hashed.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "h"
-    )
+
+
+def bloom_probe_counts(tr: DataFrame, filt: DataFrame) -> DataFrame:
+    """Probe a (train_doc, h) gram stream against the STATIC filter
+    words: 4 broadcast joins + bit tests → per-doc flagged-gram
+    counts. Works unchanged on a STREAMING ``tr`` (stream-static
+    joins are stateless; the final count is the only stateful op) —
+    shared by split_decontamination_bloom and its r11 stream twin."""
     # one select per derived level (lateral-alias discipline): the 4
     # positions derive from the single materialized h column
     tr_pos = tr.select(
-        "train_doc", *[u32(s).alias(f"p{j}") for j, s in enumerate(_DECON_SLICES)]
+        "train_doc",
+        *[_bloom_u32(s).alias(f"p{j}") for j, s in enumerate(_DECON_SLICES)],
     )
     # 4 broadcast joins on the word index: an INNER join drops rows
     # whose word has no set bits (correctly unflagged), so a gram

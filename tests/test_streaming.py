@@ -1052,3 +1052,94 @@ class TestStreamIvfAssign:
             for r in ivf_assign_counts(e, spark, sf).collect()
         }
         assert got == want and got
+
+
+class TestStreamDecontamination:
+    """r11: the 17th stream twin — Bloom decontamination over
+    arriving train docs."""
+
+    LEAK = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def test_stream_equals_batch_on_corpus(self, spark):
+        sf = "/root/testdata/sf0.01"
+        got = {
+            (r.train_doc, r.n_flagged_grams)
+            for r in plans.QUERIES["stream_decontamination_bloom"](
+                spark, sf
+            ).collect()
+        }
+        batch = {
+            (r.train_doc, r.n_flagged_grams)
+            for r in plans.QUERIES["split_decontamination_bloom"](
+                spark, sf
+            ).collect()
+        }
+        assert got == batch and got
+
+    def test_multi_trigger_split_inside_known_leak(self, spark, tmp_path):
+        """Two PLANTED leaked train docs (1 and 2 — train buckets)
+        share an 8-gram with test doc 3 (test bucket) and arrive in
+        DIFFERENT triggers (maxFilesPerTrigger=1); the complete-mode
+        count state must merge to the batch twin's output."""
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.sampling_plans import (
+            bloom_filter_words,
+        )
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            bloom_decon_counts,
+        )
+
+        rows = [
+            # doc 3: md5 bucket 0xfd >= 231 -> TEST (builds the filter)
+            (3, self.LEAK + " benchmark answer key", "en", "s0"),
+            # docs 1, 2: train buckets -> each contains the leak gram
+            (1, "intro words " + self.LEAK + " more text", "en", "s0"),
+            (2, self.LEAK + " trailing tokens here now", "en", "s1"),
+            # doc 4: clean train doc
+            (4, "totally unrelated clean training document body", "en", "s1"),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        corpus = tmp_path / "corpus"
+        d.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+        full = spark.read.parquet(str(corpus / "documents.parquet"))
+        filt = bloom_filter_words(full)
+        # stage the stream as 2 files: trigger 1 = docs {3, 1},
+        # trigger 2 = docs {2, 4} — the leak pair spans triggers
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        for idx, ids in enumerate([(3, 1), (2, 4)]):
+            half = full.filter(F.col("doc_id").isin(*ids))
+            assert half.count() == 2
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            bloom_decon_counts(stream, filt)
+            .writeStream.format("memory")
+            .queryName("decon_split_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.train_doc, r.n_flagged_grams)
+            for r in spark.table("decon_split_test").collect()
+        }
+        # both planted leaks flagged (the 8-gram), clean doc absent
+        assert got == {(1, 1), (2, 1)}
