@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     # r11 additions
     "dedup_minhash_index_compact",
     "stream_decontamination_bloom",
+    "knn_ivf_index_compact",
 ]
 
 

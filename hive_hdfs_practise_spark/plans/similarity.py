@@ -482,6 +482,47 @@ def knn_ivf_index_append_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_index_compact",
+    oracle=_ivf_oracle(train_pred=IVF_APPEND_TRAIN_SQL),
+)
+def knn_ivf_index_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index COMPACTION — the ANN-family twin of
+    dedup_minhash_index_compact, completing this family's
+    write → probe → append → COMPACT lifecycle (r11): every
+    ``append_ivf_index`` leaves a fresh set of per-bucket files next
+    to the existing ones, so the inverted lists fragment linearly
+    with append batches. ``compact_bucketed_table`` FFD-merges each
+    cluster bucket's files into one bucket-id-encoded file (merge
+    only within a bucket — every row already hashes to its bucket,
+    so the probe's ``cluster_id IN (...)`` bucket-pruned,
+    exchange-free scan survives; plan-pinned in test_similarity).
+    Certification: build from the corpus shard, append the delta
+    against the FROZEN centroids, COMPACT, probe — the same
+    frozen-centroid ``_ivf_oracle`` green row certifies that
+    compaction preserved every inverted-list row. Builder writes +
+    appends + compacts at plan time: BUILD_EXECUTES."""
+    from ..operators.compaction import compact_bucketed_table
+    from ..similarity.knn import (
+        append_ivf_index,
+        knn_ivf_indexed,
+        write_ivf_index,
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    corpus = e.filter(nib != "0")
+    delta = e.filter(nib == "0")
+    write_ivf_index(
+        spark, corpus, "ivf_compact_idx", nlist=IVF_NLIST, iters=IVF_ITERS
+    )
+    append_ivf_index(spark, delta, "ivf_compact_idx", nlist=IVF_NLIST)
+    compact_bucketed_table(spark, "ivf_compact_idx_assign")
+    return knn_ivf_indexed(
+        spark, "ivf_compact_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
+    )
+
+
 # ANN quality EVALUATION (r8): recall@K of the IVF probe against the
 # exact scan, per query — the audit every vector-search deployment
 # runs before trusting an index (FAISS's standard metric). A fixed

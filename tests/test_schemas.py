@@ -153,6 +153,8 @@ BUILD_EXECUTES = {
     "dedup_minhash_index_compact",
     # r11: checkpoints the test-split Bloom filter at plan time
     "stream_decontamination_bloom",
+    # r11: writes + appends + compacts the IVF index at plan time
+    "knn_ivf_index_compact",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)

@@ -907,3 +907,70 @@ class TestIvfIndexAppend:
             for r in spark.table("ivf_append_test_idx_assign").collect()
         }
         assert got == want and got
+
+
+class TestIvfIndexCompact:
+    """r11: compaction of the appended IVF assignment table must
+    shrink files, keep every row, and keep the bucket-pruned
+    exchange-free probe plan."""
+
+    def test_compact_shrinks_preserves_and_stays_pruned(self, spark):
+        import os
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            bucket_id_of,
+            compact_bucketed_table,
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.similarity import (
+            IVF_ITERS,
+            IVF_NLIST,
+            IVF_NPROBE,
+        )
+        from hive_hdfs_practise_spark.similarity.knn import (
+            append_ivf_index,
+            knn_ivf_indexed,
+            write_ivf_index,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        e = wide_table(spark, SF, "embeddings")
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        write_ivf_index(
+            spark, e.filter(nib != "0"), "ivf_cpt_test_idx",
+            nlist=IVF_NLIST, iters=IVF_ITERS,
+        )
+        append_ivf_index(
+            spark, e.filter(nib == "0"), "ivf_cpt_test_idx",
+            nlist=IVF_NLIST,
+        )
+        table = "ivf_cpt_test_idx_assign"
+        before = {
+            (r.vec_id, r.cluster_id)
+            for r in spark.table(table)
+            .select("vec_id", "cluster_id")
+            .collect()
+        }
+        path = table_location(spark, table)
+        n_before = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        stats = compact_bucketed_table(spark, table)
+        assert stats.n_files_before == n_before
+        assert stats.n_files_after < n_before
+        names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert all(bucket_id_of(f) is not None for f in names)
+        after = [
+            (r.vec_id, r.cluster_id)
+            for r in spark.table(table)
+            .select("vec_id", "cluster_id")
+            .collect()
+        ]
+        assert len(after) == len(before) and set(after) == before
+        # probe plan: still bucket-pruned, still exchange-free
+        df = knn_ivf_indexed(
+            spark, "ivf_cpt_test_idx", query_vec_id=0, nprobe=IVF_NPROBE
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: {IVF_NPROBE} out of" in plan
+        assert "Exchange hashpartitioning" not in plan
