@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "dedup_minhash_index_compact",
     "stream_decontamination_bloom",
     "knn_ivf_index_compact",
+    "events_change_points",
 ]
 
 

@@ -1908,3 +1908,181 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, stationary_fp long"
     )
+
+
+# Change-point detection by BINARY SEGMENTATION (r11) — the offline
+# twin of events_rate_cusum: find the BINSEG_ROUNDS largest level
+# shifts in the daily event-volume series by recursively splitting at
+# the point that maximizes the SSE reduction (the classic top-down
+# changepoint algorithm; Scott & Knott 1974 lineage). Exactness: the
+# corpus collapses to the observed-day grid in ONE hash aggregate
+# (metadata scale — |days| rows no matter the corpus), and every
+# split score is a FIXED-POINT integer: with S/Q/n the segment's
+# exact integer sum / sum-of-squares / length,
+#   SSE_fp = Q·SCALE − (S²·SCALE) div n
+# (DECIMAL(38,0) products, truncating div — Spark decimal `div` ==
+# DuckDB HUGEINT `//`, the outlier-audit idiom), and the round picks
+# argmax of ΔSSE_fp = SSE_fp(seg) − SSE_fp(left) − SSE_fp(right)
+# with the day as tiebreak — deterministic and engine-identical by
+# construction (the RRF fixed-point idiom). SCALE=1000 bounds the
+# div quotient: S²·SCALE div n must fit Spark's BIGINT quotient, so
+# segments up to ~1e8·√n events are safe; beyond that drop SCALE.
+# Cumulative S/Q come from per-segment ordered windows over the
+# GRID (integer window sums are combine-order-exact), so each round
+# is one window pass + one TakeOrdered(1) — no corpus rescan (the
+# grid checkpoints once: BUILD_EXECUTES).
+BINSEG_ROUNDS = 3
+BINSEG_SCALE = 1000
+
+
+def _binseg_round_frame(g: DataFrame) -> DataFrame:
+    """One binary-segmentation round over (dd, x, seg): the 1-row
+    (dd, delta) argmax of the fixed-point SSE reduction across every
+    admissible split of every current segment."""
+    w = Window.partitionBy("seg").orderBy("dd")
+    ws = Window.partitionBy("seg")
+    xd = F.col("x").cast("decimal(38,0)")
+    t = g.select(
+        "dd",
+        "seg",
+        F.sum(xd).over(w).alias("s"),
+        F.sum(xd * xd).over(w).alias("q"),
+        F.row_number().over(w).alias("i"),
+        F.sum(xd).over(ws).alias("st"),
+        F.sum(xd * xd).over(ws).alias("qt"),
+        F.count(F.lit(1)).over(ws).alias("nt"),
+    )
+    delta = F.expr(
+        f"(qt * {BINSEG_SCALE}"
+        f" - (st * st * {BINSEG_SCALE}) div CAST(nt AS DECIMAL(38,0)))"
+        f" - (q * {BINSEG_SCALE}"
+        f" - (s * s * {BINSEG_SCALE}) div CAST(i AS DECIMAL(38,0)))"
+        f" - ((qt - q) * {BINSEG_SCALE}"
+        f" - ((st - s) * (st - s) * {BINSEG_SCALE})"
+        f" div CAST(nt - i AS DECIMAL(38,0)))"
+    )
+    return (
+        t.where(F.col("i") < F.col("nt"))
+        .select("dd", delta.alias("delta"))
+        .orderBy(F.desc("delta"), "dd")
+        .limit(1)
+    )
+
+
+def _binseg_round_sql(tag: int, seg_expr: str) -> str:
+    h = "CAST(x AS HUGEINT)"
+    return f"""
+    c{tag} AS (SELECT dd, x, {seg_expr} AS seg FROM g),
+    t{tag} AS (
+        SELECT dd, seg,
+               sum({h}) OVER (PARTITION BY seg ORDER BY dd) AS s,
+               sum({h} * {h}) OVER (PARTITION BY seg ORDER BY dd) AS q,
+               row_number() OVER (PARTITION BY seg ORDER BY dd) AS i,
+               sum({h}) OVER (PARTITION BY seg) AS st,
+               sum({h} * {h}) OVER (PARTITION BY seg) AS qt,
+               count(*) OVER (PARTITION BY seg) AS nt
+        FROM c{tag}
+    ),
+    d{tag} AS (
+        SELECT dd,
+               (qt * {BINSEG_SCALE}
+                - (st * st * {BINSEG_SCALE}) // CAST(nt AS HUGEINT))
+               - (q * {BINSEG_SCALE}
+                  - (s * s * {BINSEG_SCALE}) // CAST(i AS HUGEINT))
+               - ((qt - q) * {BINSEG_SCALE}
+                  - ((st - s) * (st - s) * {BINSEG_SCALE})
+                    // CAST(nt - i AS HUGEINT)) AS delta
+        FROM t{tag} WHERE i < nt
+    ),
+    p{tag} AS MATERIALIZED (
+        SELECT dd AS bp, delta FROM d{tag}
+        ORDER BY delta DESC, dd LIMIT 1
+    )"""
+
+
+def _binseg_oracle() -> str:
+    segs = [
+        "0",
+        "CASE WHEN dd > (SELECT bp FROM p1) THEN 1 ELSE 0 END",
+        "(CASE WHEN dd > (SELECT bp FROM p1) THEN 1 ELSE 0 END"
+        " + CASE WHEN dd > (SELECT bp FROM p2) THEN 1 ELSE 0 END)",
+    ]
+    rounds = ",".join(
+        _binseg_round_sql(r + 1, seg) for r, seg in enumerate(segs)
+    )
+    outs = "\n    UNION ALL ".join(
+        f"SELECT {r} AS cp_round,"
+        f" CAST(DATE '1970-01-01' + CAST(bp AS INTEGER) AS TIMESTAMP)"
+        f" AS change_day,"
+        f" CAST(delta AS BIGINT) AS sse_drop_fp FROM p{r}"
+        for r in range(1, BINSEG_ROUNDS + 1)
+    )
+    return f"""
+    WITH g AS MATERIALIZED (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+                   AS dd,
+               count(*) AS x
+        FROM events GROUP BY 1
+    ),{rounds}
+    {outs}
+    """
+
+
+@register("events_change_points", oracle=_binseg_oracle())
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BINSEG_ROUNDS} change points of the daily event-volume
+    series by exact fixed-point binary segmentation (design note
+    above): per round, the (segment, split) pair with the largest
+    integer SSE reduction becomes a breakpoint, and the next round
+    re-segments on it. Output: (cp_round, change_day, sse_drop_fp).
+
+    Scale shape: ONE corpus-scale hash aggregate builds the
+    observed-day grid (mergeable map-side counts), checkpointed;
+    each round is a per-segment window pass + TakeOrdered(1) over
+    grid-sized data. Breakpoints feed the next round via 1-row
+    broadcast crossJoins — no corpus rescans, no driver loop.
+    Grid checkpoint at plan time: BUILD_EXECUTES."""
+    e = table(spark, sf_dir, "events")
+    g = (
+        e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("dd")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    p1 = _binseg_round_frame(g.withColumn("seg", F.lit(0)))
+    b1 = p1.select(F.col("dd").alias("bp1"))
+    g2 = g.crossJoin(F.broadcast(b1)).withColumn(
+        "seg", (F.col("dd") > F.col("bp1")).cast("int")
+    )
+    p2 = _binseg_round_frame(g2.select("dd", "x", "seg"))
+    b2 = p2.select(F.col("dd").alias("bp2"))
+    g3 = (
+        g.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .withColumn(
+            "seg",
+            (F.col("dd") > F.col("bp1")).cast("int")
+            + (F.col("dd") > F.col("bp2")).cast("int"),
+        )
+    )
+    p3 = _binseg_round_frame(g3.select("dd", "x", "seg"))
+    day_ts = (
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dd"))
+        .cast("timestamp")
+        .alias("change_day")
+    )
+    parts = [
+        p.select(
+            F.lit(r).cast("int").alias("cp_round"),
+            day_ts,
+            F.col("delta").cast("bigint").alias("sse_drop_fp"),
+        )
+        for r, p in ((1, p1), (2, p2), (3, p3))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -155,6 +155,8 @@ BUILD_EXECUTES = {
     "stream_decontamination_bloom",
     # r11: writes + appends + compacts the IVF index at plan time
     "knn_ivf_index_compact",
+    # r11: checkpoints the day grid at plan time
+    "events_change_points",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)

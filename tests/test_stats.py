@@ -405,3 +405,72 @@ class TestSlidingKmv:
             if exact >= KMV_K:
                 rse = 1 / math.sqrt(KMV_K - 2)
                 assert abs(est - exact) <= 5 * rse * exact, (end, est, exact)
+
+
+class TestChangePoints:
+    """r11: events_change_points — binary segmentation must FIND a
+    planted level shift, and the fixed-point scores must match a
+    Python-int recompute (exactness pin)."""
+
+    def test_planted_shift_found_and_exact(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.events import BINSEG_SCALE
+
+        # 60 days: 5 events/day, then 50/day from day 30 (the shift),
+        # with a smaller bump (15/day) for rounds 2-3 to find
+        rows = []
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        eid = 0
+        for day in range(60):
+            n = 5 if day < 30 else (50 if day < 45 else 15)
+            for k in range(n):
+                t = base + dt.timedelta(days=day, seconds=k)
+                # the catalog reads events.ts as raw INT64 nanos (the
+                # driver corpus layout) — write it that way
+                rows.append(
+                    (
+                        eid,
+                        1,
+                        "click",
+                        float(k),
+                        int((t - epoch).total_seconds()) * 1_000_000_000,
+                    )
+                )
+                eid += 1
+        d = tmp_path / "corpus"
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " value double, ts long",
+        ).coalesce(1).write.parquet(str(d / "events.parquet"))
+        got = {
+            r.cp_round: (r.change_day.date(), r.sse_drop_fp)
+            for r in plans.QUERIES["events_change_points"](
+                spark, str(d)
+            ).collect()
+        }
+        assert len(got) == 3
+        # round 1 must split at the big shift boundary (last low day)
+        assert got[1][0] == (base + dt.timedelta(days=29)).date()
+        # exactness: recompute round 1's score with Python ints
+        xs = [5] * 30 + [50] * 15 + [15] * 15
+
+        def ssefp(seg):
+            s, q, n = sum(seg), sum(v * v for v in seg), len(seg)
+            return q * BINSEG_SCALE - (s * s * BINSEG_SCALE) // n
+
+        best = max(
+            (
+                ssefp(xs) - ssefp(xs[: i + 1]) - ssefp(xs[i + 1:]),
+                -(i + 1),
+            )
+            for i in range(len(xs) - 1)
+        )
+        assert got[1][1] == best[0]
+        # later rounds find the secondary structure, strictly smaller
+        assert got[2][1] <= got[1][1] and got[3][1] <= got[2][1]
