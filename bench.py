@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "stream_decontamination_bloom",
     "knn_ivf_index_compact",
     "events_change_points",
+    "events_holt_forecast",
 ]
 
 

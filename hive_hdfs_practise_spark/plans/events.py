@@ -2086,3 +2086,128 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Holt linear-trend smoothing (r11) — the FORECASTING operator of the
+# events family (the offline companion of the stream monitors):
+# exponentially-weighted level+trend over the daily event-volume
+# series, h=1..7-day-ahead forecasts, and the in-sample one-step SSE.
+# Exactness: the series lives in x1000 fixed-point BIGINTs and the
+# recursion uses alpha = beta = 1/4 as integer arithmetic with
+# truncating div (Spark `div` == DuckDB `//`, toward zero on both,
+# negatives included — trends go negative), so every state value is
+# an exact integer. The recursion is inherently SEQUENTIAL; it
+# crosses engines as a Spark aggregate(array_sort(collect_list(...)))
+# struct fold — snapshot semantics, verified equal to a Python-int
+# reference — against a DuckDB RECURSIVE CTE stepping t -> t+1 over
+# the row-numbered grid. NOT DuckDB list_reduce: measured (r11),
+# DuckDB 1.0's list_reduce MUTATES a struct accumulator
+# field-by-field, so later field expressions see already-updated
+# earlier fields (the trend computed with the NEW level) — a
+# cross-engine trap for any MULTI-FIELD fold; the scalar list_reduce
+# folds (orders_survival_km, documents_temperature_mix) are
+# unaffected. The ONE update-expression generator below feeds both
+# dialects (the _zorder_expr pattern), so the twins cannot drift.
+HOLT_FP = 1000
+HOLT_H = 7
+
+
+def _holt_exprs(x: str, l: str, b: str, div: str) -> tuple[str, str, str]:
+    """(new_level, new_trend, one_step_error) update expressions over
+    the previous state — div is 'div' (Spark) or '//' (DuckDB).
+    l_1 = x_1, b_1 = 0 is the documented init; alpha = beta = 1/4."""
+    lt = f"(({x} + 3 * ({l} + {b})) {div} 4)"
+    bt = f"(({lt} - {l} + 3 * {b}) {div} 4)"
+    err = f"({x} - ({l} + {b}))"
+    return lt, bt, err
+
+
+def _holt_oracle() -> str:
+    lt, bt, err = _holt_exprs("g.gx", "r.l", "r.b", "//")
+    fcols = ",\n           ".join(
+        f"CAST(l + {h} * b AS BIGINT) AS f{h}_fp"
+        for h in range(1, HOLT_H + 1)
+    )
+    return f"""
+    WITH RECURSIVE g0 AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+                   AS dd,
+               CAST(count(*) * {HOLT_FP} AS BIGINT) AS gx
+        FROM events GROUP BY 1
+    ),
+    g AS MATERIALIZED (
+        SELECT gx, row_number() OVER (ORDER BY dd) AS i FROM g0
+    ),
+    rec AS (
+        SELECT CAST(1 AS BIGINT) AS t, gx AS l, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS sse
+        FROM g WHERE i = 1
+        UNION ALL
+        SELECT r.t + 1, {lt}, {bt}, r.sse + {err} * {err}
+        FROM rec r JOIN g ON g.i = r.t + 1
+    )
+    SELECT CAST(t AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_fp,
+           CAST(b AS BIGINT) AS trend_fp,
+           CAST(sse AS BIGINT) AS sse_fp,
+           {fcols}
+    FROM rec WHERE t = (SELECT count(*) FROM g)
+    """
+
+
+@register("events_holt_forecast", oracle=_holt_oracle())
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily event volume (design note
+    above): one row — days observed, final level/trend (×{HOLT_FP}
+    fixed point), in-sample one-step SSE, and the h=1..{HOLT_H}
+    day-ahead forecasts level + h·trend.
+
+    Scale shape: ONE corpus-scale hash aggregate collapses events to
+    the observed-day grid (mergeable map-side counts); the
+    grid-sized series then folds SEQUENTIALLY in a single
+    aggregate() — metadata-scale by construction (|days| elements no
+    matter the corpus), the only honest shape for an order-dependent
+    recursion. SSE is Σ(x1000 err)² in BIGINT — fine to ~1e5 events/
+    day at decade grids; beyond that drop HOLT_FP."""
+    prev_l = "(CASE WHEN acc.i = 1 THEN acc.x ELSE acc.l END)"
+    prev_b = "(CASE WHEN acc.i = 1 THEN CAST(0 AS BIGINT) ELSE acc.b END)"
+    lt, bt, err = _holt_exprs("e.x", prev_l, prev_b, "div")
+    mk = (
+        f"named_struct('l', {lt}, 'b', {bt}, 'x', e.x,"
+        f" 'i', acc.i + CAST(1 AS BIGINT),"
+        f" 'sse', acc.sse + {err} * {err})"
+    )
+    step = f"CASE WHEN acc.i = CAST(0 AS BIGINT) THEN e ELSE {mk} END"
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dd")
+    ).agg((F.count(F.lit(1)) * HOLT_FP).cast("bigint").alias("xfp"))
+    arr = g.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dd, xfp))),"
+            " s -> named_struct('l', CAST(0 AS BIGINT),"
+            " 'b', CAST(0 AS BIGINT), 'x', s.xfp,"
+            " 'i', CAST(1 AS BIGINT), 'sse', CAST(0 AS BIGINT)))"
+        ).alias("es")
+    )
+    zero = (
+        "named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),"
+        " 'x', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT),"
+        " 'sse', CAST(0 AS BIGINT))"
+    )
+    folded = arr.select(
+        F.expr(f"aggregate(es, {zero}, (acc, e) -> {step})").alias("st")
+    )
+    fcols = [
+        (F.col("st.l") + h * F.col("st.b")).cast("bigint").alias(f"f{h}_fp")
+        for h in range(1, HOLT_H + 1)
+    ]
+    return folded.where(F.col("st.i") > 0).select(
+        F.col("st.i").cast("bigint").alias("n_days"),
+        F.col("st.l").cast("bigint").alias("level_fp"),
+        F.col("st.b").cast("bigint").alias("trend_fp"),
+        F.col("st.sse").cast("bigint").alias("sse_fp"),
+        *fcols,
+    )

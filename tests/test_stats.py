@@ -474,3 +474,48 @@ class TestChangePoints:
         assert got[1][1] == best[0]
         # later rounds find the secondary structure, strictly smaller
         assert got[2][1] <= got[1][1] and got[3][1] <= got[2][1]
+
+
+class TestHoltForecast:
+    """r11: events_holt_forecast — the Spark struct fold must equal a
+    Python-int reference recursion (snapshot semantics; the DuckDB
+    list_reduce field-mutation trap is why the oracle is a recursive
+    CTE instead)."""
+
+    def test_matches_python_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.events import HOLT_FP, HOLT_H
+        from hive_hdfs_practise_spark.sources.catalog import table
+
+        sf = "/root/testdata/sf0.001"
+        got = plans.QUERIES["events_holt_forecast"](spark, sf).collect()[0]
+        xs = [
+            r.x * HOLT_FP
+            for r in table(spark, sf, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .orderBy("d")
+            .collect()
+        ]
+
+        def tdiv(a, d):
+            q = abs(a) // d
+            return q if a >= 0 else -q
+
+        l, b, sse = xs[0], 0, 0
+        for x in xs[1:]:
+            err = x - (l + b)
+            nl = tdiv(x + 3 * (l + b), 4)
+            b = tdiv(nl - l + 3 * b, 4)
+            sse += err * err
+            l = nl
+        assert (got.n_days, got.level_fp, got.trend_fp, got.sse_fp) == (
+            len(xs),
+            l,
+            b,
+            sse,
+        )
+        for h in range(1, HOLT_H + 1):
+            assert got[f"f{h}_fp"] == l + h * b
