@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "knn_ivf_index_compact",
     "events_change_points",
     "events_holt_forecast",
+    "text_bigram_greedy_decode",
 ]
 
 

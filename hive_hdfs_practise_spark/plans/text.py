@@ -2700,3 +2700,147 @@ def documents_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_frac"
         ),
     )
+
+
+# Greedy bigram-LM decoding (r11) — the DECODE half of the language-
+# modeling family (KN perplexity scores text; this GENERATES it):
+# train a bigram table over the corpus, then greedy-decode
+# DECODE_STEPS tokens from the most frequent start token, each step
+# taking the argmax-count successor (lexicographically smallest on
+# count ties). The LM restricts to the DECODE_VOCAB most frequent
+# tokens so the successor table is metadata-scale BY CONSTRUCTION
+# (≤ vocab rows after the per-token argmax) — the bounded-vocab demo
+# LM, not a production tokenizer (the BPE family owns that). A
+# bigram is a RAW-stream-adjacent token pair with BOTH sides in
+# vocab (an OOV between two vocab tokens does NOT bridge them).
+# Everything is integer counts + string tiebreaks, so the whole
+# train+decode — an autoregressive GENERATION loop — is exactly
+# SQL-restatable: the oracle unrolls the walk as DECODE_STEPS
+# scalar-subquery CTEs over the MATERIALIZED successor table (the
+# knn_mmr_rerank unroll precedent). Greedy walks may cycle; that is
+# the algorithm, identically on both sides.
+DECODE_VOCAB = 512
+DECODE_STEPS = 16
+
+
+def _decode_oracle() -> str:
+    parts = [
+        rf"""WITH toks AS (
+        SELECT regexp_extract_all(trim(text), '\S+') AS ts FROM documents
+    ),
+    tok AS (SELECT unnest(ts) AS t FROM toks),
+    vocab AS MATERIALIZED (
+        SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS vrank
+        FROM (SELECT t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY t)
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, t) <= {DECODE_VOCAB}
+    ),
+    pairs AS (
+        SELECT unnest([{{'a': ts[i], 'b': ts[i + 1]}}
+                       for i in generate_series(1, len(ts) - 1)]) AS p
+        FROM toks
+    ),
+    bg AS (
+        SELECT p.a AS w1, p.b AS w2, count(*) AS cnt
+        FROM pairs
+        WHERE p.a IN (SELECT t FROM vocab) AND p.b IN (SELECT t FROM vocab)
+        GROUP BY p.a, p.b
+    ),
+    succ AS MATERIALIZED (
+        SELECT w1, w2, cnt FROM (
+            SELECT w1, w2, cnt,
+                   row_number() OVER (PARTITION BY w1
+                                      ORDER BY cnt DESC, w2) AS rn
+            FROM bg
+        ) WHERE rn = 1
+    ),
+    s1 AS (SELECT CAST(1 AS INT) AS step, t AS token,
+                  CAST(0 AS BIGINT) AS pair_cnt
+           FROM vocab WHERE vrank = 1)"""
+    ]
+    for k in range(2, DECODE_STEPS + 1):
+        parts.append(
+            f"""s{k} AS (
+        SELECT CAST({k} AS INT) AS step,
+               (SELECT w2 FROM succ WHERE w1 = s.token) AS token,
+               (SELECT cnt FROM succ WHERE w1 = s.token) AS pair_cnt
+        FROM s{k - 1} s WHERE s.token IS NOT NULL
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, token, pair_cnt FROM s{k}"
+        for k in range(1, DECODE_STEPS + 1)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT step, token, CAST(pair_cnt AS BIGINT) AS pair_cnt"
+        f" FROM ({union}) WHERE token IS NOT NULL"
+    )
+
+
+@register("text_bigram_greedy_decode", oracle=_decode_oracle())
+def text_bigram_greedy_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy bigram-LM decode (design note above): (step, token,
+    pair_cnt) for the {DECODE_STEPS}-token greedy generation from
+    the corpus's most frequent token.
+
+    Scale shape: ONE corpus-scale token explode feeds two mergeable
+    hash aggregates (unigram counts → top-{DECODE_VOCAB} vocab;
+    in-vocab bigram counts); the per-token argmax successor table is
+    ≤ vocab rows, collected to the driver (metadata-scale by the
+    vocab bound — the events_markov_stationary precedent) where the
+    inherently sequential {DECODE_STEPS}-step walk runs on Python
+    ints/strings; a walk is one dict lookup per step, never a join.
+    Collects at plan time: BUILD_EXECUTES."""
+    d = wide_table(spark, sf_dir, "documents")
+    toks = d.select(tx.tokens(F.col("text")).alias("ts"))
+    tok = toks.select(F.explode("ts").alias("t"))
+    wv = Window.orderBy(F.desc("cnt"), "t")
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("t", "cnt", F.row_number().over(wv).alias("vrank"))
+        .where(F.col("vrank") <= DECODE_VOCAB)
+        .localCheckpoint(eager=True)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    va = vocab.select(F.col("t").alias("w1"))
+    vb = vocab.select(F.col("t").alias("w2"))
+    bg = (
+        pairs.join(F.broadcast(va), "w1")
+        .join(F.broadcast(vb), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = Window.partitionBy("w1").orderBy(F.desc("cnt"), "w2")
+    succ = {
+        r.w1: (r.w2, r.cnt)
+        for r in bg.select(
+            "w1", "w2", "cnt", F.row_number().over(ws).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    start = vocab.where(F.col("vrank") == 1).collect()
+    out = []
+    if start:
+        cur = start[0].t
+        out.append((1, cur, 0))
+        for k in range(2, DECODE_STEPS + 1):
+            nxt = succ.get(cur)
+            if nxt is None:
+                break
+            cur = nxt[0]
+            out.append((k, cur, nxt[1]))
+    return spark.createDataFrame(
+        out, "step int, token string, pair_cnt long"
+    )

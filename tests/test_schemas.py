@@ -157,6 +157,8 @@ BUILD_EXECUTES = {
     "knn_ivf_index_compact",
     # r11: checkpoints the day grid at plan time
     "events_change_points",
+    # r11: collects the successor table + walks at plan time
+    "text_bigram_greedy_decode",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)
