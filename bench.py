@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "events_change_points",
     "events_holt_forecast",
     "text_bigram_greedy_decode",
+    "dedup_minhash_index_delete",
 ]
 
 

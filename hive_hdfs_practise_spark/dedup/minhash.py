@@ -442,7 +442,9 @@ def write_minhash_index(
     # write_ivf_index: a fresh session's catalog has no record of an
     # earlier session's managed tables, but their files survive
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for suffix in ("_bands", "_sigs"):
+    # _dels too (r11): a fresh build must not inherit a previous
+    # index generation's tombstones
+    for suffix in ("_bands", "_sigs", "_dels"):
         t = f"{table_prefix}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         parts = t.lower().split(".")
@@ -524,3 +526,18 @@ def append_minhash_index(
         .bucketBy(n_buckets, "band", "band_key")
         .saveAsTable(f"{table_prefix}_bands")
     )
+
+
+def delete_from_minhash_index(spark, doc_ids, table_prefix: str) -> None:
+    """DELETE documents from a written MinHash index the way every
+    immutable-file index does it (the LSM/tombstone pattern): append
+    the doc_ids to an append-only ``{prefix}_dels`` table and filter
+    them out at probe time. Nothing in ``_bands``/``_sigs`` is read
+    or rewritten — a delete costs one tiny append no matter the index
+    size; the space of dead rows is reclaimed by the next rebuild (or
+    a compaction that folds the tombstones in). ``write_minhash_index``
+    drops the tombstone table, so a fresh build never inherits a
+    previous generation's deletes."""
+    doc_ids.select("doc_id").write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{table_prefix}_dels")

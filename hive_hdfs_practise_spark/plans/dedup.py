@@ -193,15 +193,16 @@ def _est_agreement_sql() -> str:
     )
 
 
-def _minhash_lsh_oracle(table: str = "documents") -> str:
+def _minhash_lsh_oracle(table: str = "documents", pre_ctes: str = "") -> str:
     """Full SQL restatement of dedup_minhash_lsh (md5 family):
     candidates → integer-form signature-agreement prefilter → exact
     shingle-Jaccard verify ≥ 0.7. ``table`` parametrizes the input
-    relation so the detector-agreement audit can nest the identical
-    text over its sampled-docs CTE (r11)."""
+    relation so the detector-agreement audit / the index-delete
+    certification can nest the identical text over a derived-docs
+    CTE supplied via ``pre_ctes`` (r11)."""
     est = _est_agreement_sql()
     return f"""
-    WITH {_minhash_cand_ctes(table, downsample=4, lang=False)},
+    WITH {pre_ctes}{_minhash_cand_ctes(table, downsample=4, lang=False)},
     mh_est AS (
         SELECT c.doc_a, c.doc_b
         FROM mh_cand c
@@ -329,7 +330,7 @@ def _est_prefilter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-def _indexed_pairs(spark, sf_dir, table_prefix, post=None):
+def _indexed_pairs(spark, sf_dir, table_prefix, post=None, tombstones=False):
     """Verified (doc_a, doc_b, jaccard) pairs probed from a WRITTEN
     unblocked band index — the ONE probe implementation shared by
     dedup_minhash_indexed, dedup_minhash_index_append, and
@@ -339,11 +340,17 @@ def _indexed_pairs(spark, sf_dir, table_prefix, post=None):
     agreement prefilter + exact-Jaccard verify. ``post`` runs INSIDE
     the conf scope (a transform applied after build_with_conf would
     recompile the plan under the restored conf and lose the
-    bucketed-scan pin)."""
+    bucketed-scan pin). With ``tombstones`` the probe anti-joins the
+    ``{prefix}_dels`` table's doc_ids out of the band rows first — a
+    tiny broadcast anti-join (map-side, so the exchange-free pin
+    survives; deleted ids cannot then appear in any candidate)."""
     from ..operators.confscope import build_with_conf
 
     def _probe() -> DataFrame:
         banded = spark.table(f"{table_prefix}_bands")
+        if tombstones:
+            dels = spark.table(f"{table_prefix}_dels").select("doc_id")
+            banded = banded.join(F.broadcast(dels), "doc_id", "left_anti")
         cand = mh.pairs_within_buckets(banded, "doc_id", ["band", "band_key"])
         sigs = spark.table(f"{table_prefix}_sigs")
         pre = _est_prefilter(cand, sigs)
@@ -667,6 +674,67 @@ def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_bucketed_table(spark, "minhash_compact_idx_bands")
     return _indexed_pairs(spark, sf_dir, "minhash_compact_idx")
+
+
+# The delete shard: md5-nibble-'f' doc_ids (~1/16 of the corpus) play
+# the just-retracted documents (takedowns, opt-outs, quality recalls
+# — the operational reasons an LLM corpus index must support DELETE).
+# Distinct from the append shard's nibble '0' so the two maintenance
+# certifications exercise different rows.
+DELETE_NIBBLE = "f"
+_DELETE_SQL = (
+    f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{DELETE_NIBBLE}'"
+)
+
+
+@register(
+    "dedup_minhash_index_delete",
+    oracle=_minhash_lsh_oracle(
+        table="kept_docs",
+        pre_ctes=f"""kept_docs AS (
+        SELECT doc_id, text FROM documents WHERE NOT ({_DELETE_SQL})
+    ),
+    """,
+    ),
+)
+def dedup_minhash_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE — the last lifecycle verb (write → probe → append
+    → compact → DELETE), done the way every immutable-file index does
+    it (the LSM/tombstone pattern): retracted doc_ids append to a
+    tiny ``_dels`` table and the probe anti-joins them out of the
+    band rows (broadcast, map-side — the exchange-free candidate
+    grouping survives, plan-pinned in test_dedup). Nothing in the
+    bands/sigs tables is read or rewritten — a delete costs one tiny
+    append no matter the index size (byte-stability pinned); dead
+    rows are reclaimed at the next rebuild/compaction.
+
+    Certification: build the FULL-corpus index, tombstone the
+    md5-nibble-'{DELETE_NIBBLE}' shard, probe — the output must equal
+    the inline pipeline over the KEPT documents (the oracle nests the
+    full restatement over a kept_docs CTE), which it can only do if
+    the tombstone filter removes exactly the deleted docs from every
+    band. Builder writes + deletes at plan time: BUILD_EXECUTES."""
+    family = mh.minhash_family(sf_dir)
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh.write_minhash_index(
+        spark,
+        d,
+        "minhash_del_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    dels = d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == DELETE_NIBBLE
+    ).select("doc_id")
+    mh.delete_from_minhash_index(spark, dels, "minhash_del_idx")
+    return _indexed_pairs(
+        spark, sf_dir, "minhash_del_idx", tombstones=True
+    )
 
 
 def _dedup_cost_oracle() -> str:

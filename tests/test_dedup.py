@@ -1513,3 +1513,102 @@ class TestCalibrationGate:
         # sampled pair mass ~= C(sample, 2), far below C(6000, 2)
         total = sum(n for _, n in got)
         assert total < 6000 * 5999 // 2 // 1.5
+
+
+class TestIndexDelete:
+    """r11: tombstone deletes — the index files must stay
+    byte-stable, the probe must exclude exactly the deleted docs, the
+    exchange-free plan must survive the broadcast anti-join, and a
+    rebuild must not inherit tombstones."""
+
+    def test_tombstone_delete_semantics(self, spark):
+        import hashlib
+        import os
+
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.operators.compaction import (
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.constants import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            SHINGLE_K,
+        )
+        from hive_hdfs_practise_spark.plans.dedup import (
+            DELETE_NIBBLE,
+            _indexed_pairs,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        kw = dict(
+            k=SHINGLE_K, n_perm=N_PERM, n_bands=N_BANDS,
+            rows_per_band=ROWS_PER_BAND, downsample=4, family="md5",
+        )
+        mh.write_minhash_index(spark, d, "minhash_del_test_idx", **kw)
+
+        def snap(suffix):
+            p = table_location(spark, f"minhash_del_test_idx{suffix}")
+            out = {}
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(p, f), "rb") as fh:
+                        out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        before_b, before_s = snap("_bands"), snap("_sigs")
+        nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        deleted_ids = {
+            r.doc_id
+            for r in d.where(nib == DELETE_NIBBLE)
+            .select("doc_id")
+            .collect()
+        }
+        assert deleted_ids
+        mh.delete_from_minhash_index(
+            spark, d.where(nib == DELETE_NIBBLE).select("doc_id"),
+            "minhash_del_test_idx",
+        )
+        # (a) bands/sigs byte-stable — a delete rewrites nothing
+        assert snap("_bands") == before_b and snap("_sigs") == before_s
+        # (b) probe excludes exactly the deleted docs
+        pairs = _indexed_pairs(
+            spark, sf, "minhash_del_test_idx", tombstones=True
+        )
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in P.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+            if r.doc_a not in deleted_ids and r.doc_b not in deleted_ids
+        }
+        assert got == want
+        # (c) exchange-free candidate grouping survives the anti-join
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            banded = spark.table("minhash_del_test_idx_bands").join(
+                F.broadcast(
+                    spark.table("minhash_del_test_idx_dels").select(
+                        "doc_id"
+                    )
+                ),
+                "doc_id",
+                "left_anti",
+            )
+            cand = mh.pairs_within_buckets(
+                banded, "doc_id", ["band", "band_key"]
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+        # (d) a rebuild drops the tombstones
+        mh.write_minhash_index(spark, d, "minhash_del_test_idx", **kw)
+        assert not spark.catalog.tableExists("minhash_del_test_idx_dels")

@@ -159,6 +159,8 @@ BUILD_EXECUTES = {
     "events_change_points",
     # r11: collects the successor table + walks at plan time
     "text_bigram_greedy_decode",
+    # r11: writes the index + appends tombstones at plan time
+    "dedup_minhash_index_delete",
     # r10: signature/pair checkpoints + iterative CC at plan time
     "documents_dedup_cost_report",
     # r10: streaming query executes at build (availableNow sink)
