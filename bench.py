@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "text_bigram_greedy_decode",
     "dedup_minhash_index_delete",
+    "documents_token_mi",
 ]
 
 

@@ -2844,3 +2844,137 @@ def text_bigram_greedy_decode(
     return spark.createDataFrame(
         out, "step int, token string, pair_cnt long"
     )
+
+
+# Mutual-information feature selection (r11) — the feature-ranking
+# companion of documents_source_classifier (Manning/Raghavan/Schütze
+# IR ch. 13.5): per token, the MI between "doc contains token" and
+# "doc source", over the 2×|sources| presence/absence table. The
+# curation read: which tokens most identify a source (leakage
+# detectors, boilerplate fingerprints, domain markers). Exactness
+# rides the NB family's micro-log idiom: every cell probability
+# ratio N·n_cell/(n_row·n_col) is a division of EXACT integers, its
+# ln() is rounded ONCE to a 1e-6 BIGINT, and the per-token score is
+# the integer Σ n_cell·L_cell (true MI × N×1e6) — integer rank,
+# token tiebreak. Zero cells contribute 0 (the 0·ln0 limit), CASE-
+# guarded so the n_row=0 division of an everywhere-token's absent
+# row is never evaluated (ANSI).
+MI_DF_MIN = 3
+MI_TOP = 20
+_MI_SCALE = 1_000_000
+
+
+def _token_mi_oracle() -> str:
+    def term(c: str, row: str, col: str) -> str:
+        return (
+            f"CASE WHEN {c} > 0 THEN {c} * CAST(round(ln("
+            f"(cells.n * {c}) / (({row}) * ({col}))) * {_MI_SCALE})"
+            f" AS BIGINT) ELSE 0 END"
+        )
+
+    return rf"""
+    WITH tokd AS (
+        SELECT DISTINCT doc_id, source, word FROM (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(trim(text)), '\S+'))
+                       AS word
+            FROM documents
+        )
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    nc AS (SELECT source, count(*) AS n_c FROM documents GROUP BY source),
+    nt AS (
+        SELECT word, count(*) AS df FROM tokd GROUP BY word
+        HAVING count(*) >= {MI_DF_MIN}
+    ),
+    ntc AS (
+        SELECT word, source, count(*) AS c FROM tokd GROUP BY word, source
+    ),
+    cells AS (
+        SELECT nt.word, nt.df, coalesce(ntc.c, 0) AS c1,
+               nc.n_c - coalesce(ntc.c, 0) AS c0, nc.n_c, nd.n
+        FROM nt CROSS JOIN nc CROSS JOIN nd
+        LEFT JOIN ntc ON ntc.word = nt.word AND ntc.source = nc.source
+    ),
+    mi AS (
+        SELECT word, df,
+               sum({term('c1', 'df', 'n_c')}
+                   + {term('c0', 'cells.n - df', 'n_c')}) AS mi_fp
+        FROM cells GROUP BY word, df
+    )
+    SELECT word AS token, CAST(df AS BIGINT) AS df,
+           CAST(mi_fp AS BIGINT) AS mi_fp
+    FROM mi
+    ORDER BY mi_fp DESC, token
+    LIMIT {MI_TOP}
+    """
+
+
+@register("documents_token_mi", oracle=_token_mi_oracle())
+def documents_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MI_TOP} tokens by mutual information with the source
+    label (design note above): (token, df, mi_fp) where mi_fp is
+    MI × N × 1e6 as an exact integer sum of micro-log cell terms.
+
+    Scale shape: one corpus token explode → per-doc distinct →
+    three mergeable hash aggregates (df, per-source df, per-source
+    doc counts); the presence/absence table is (vocab × sources) —
+    aggregate-output-scale — built by a broadcast join of the tiny
+    source counts; the rank is one TakeOrdered({MI_TOP}). The
+    df ≥ {MI_DF_MIN} floor bounds grid noise, not correctness."""
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tokd = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(tx.tokens(F.lower(F.col("text"))))
+        ).alias("word"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    nc = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    nt = (
+        tokd.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= MI_DF_MIN)
+    )
+    ntc = tokd.groupBy("word", "source").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        nt.join(F.broadcast(nc))
+        .join(F.broadcast(nd))
+        .join(ntc, ["word", "source"], "left")
+        .select(
+            "word",
+            "df",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c1"),
+            (F.col("n_c") - F.coalesce(F.col("c"), F.lit(0))).alias("c0"),
+            "n_c",
+            "n",
+        )
+    )
+
+    def term(c, row):
+        return F.when(
+            c > 0,
+            c
+            * F.round(
+                F.log((F.col("n") * c) / (row * F.col("n_c"))) * _MI_SCALE
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    mi = cells.groupBy("word", "df").agg(
+        F.sum(
+            term(F.col("c1"), F.col("df"))
+            + term(F.col("c0"), F.col("n") - F.col("df"))
+        ).alias("mi_fp")
+    )
+    return (
+        mi.select(
+            F.col("word").alias("token"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("mi_fp").cast("bigint").alias("mi_fp"),
+        )
+        .orderBy(F.desc("mi_fp"), "token")
+        .limit(MI_TOP)
+    )
