@@ -434,22 +434,19 @@ def write_minhash_index(
     (lang, band, band_key) — still exchange-free, because the
     (band, band_key) hash layout co-locates every superset group."""
     import shutil
-    from urllib.parse import urlparse
 
+    from ..operators.compaction import table_location
     from ..sources.writers import write_bucketed
 
     # same dangling-location dance as similarity/knn.py's
     # write_ivf_index: a fresh session's catalog has no record of an
-    # earlier session's managed tables, but their files survive
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # earlier session's managed tables, but their files survive.
     # _dels too (r11): a fresh build must not inherit a previous
-    # index generation's tombstones
+    # index generation's tombstones.
     for suffix in ("_bands", "_sigs", "_dels"):
         t = f"{table_prefix}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        parts = t.lower().split(".")
-        rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
-        shutil.rmtree(f"{wh}/{rel}", ignore_errors=True)
+        shutil.rmtree(table_location(spark, t), ignore_errors=True)
 
     sigs = minhash_signature_from_text(
         docs, ["doc_id", *extra_cols], "text", k, n_perm,

@@ -204,9 +204,23 @@ def compact_bucketed_table(
             path,
             f"part-{i:05d}-{uuid.uuid4().hex}_{b:05d}.c000.snappy.parquet",
         )
-        shutil.move(os.path.join(out_dir, outs[0]), dest)
+        # Crash-safe publish order (r11 review): (1) place the merged
+        # file in the table dir under a DOT-PREFIXED name (Spark's
+        # file index skips '.'/'_'-prefixed files — an unknown
+        # EXTENSION would still be read), (2) delete the originals,
+        # (3) same-dir atomic rename to the live name. A crash before
+        # (2) leaves only the originals (consistent); between (2) and
+        # (3) the merged data survives on disk as the hidden file
+        # (recoverable, no silent loss); the move-then-delete order
+        # would instead leave DUPLICATE rows live — an oracle-visible
+        # corruption a reader cannot detect.
+        pending = os.path.join(
+            path, "." + os.path.basename(dest) + ".inprogress"
+        )
+        shutil.move(os.path.join(out_dir, outs[0]), pending)
         for g in group:
             os.remove(g)
+        os.rename(pending, dest)
         return sum(1 for _ in group)
 
     jobs = []

@@ -41,56 +41,56 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    "dedup_simhash_spectrum",  # never sampled (r10 late)
-    "lineitem_spearman_corr",  # never sampled (r10 late)
-    "lineitem_rank_auc",  # never sampled (r10 late)
-    "dedup_detector_agreement",  # never sampled (r10 late)
-    "orders_survival_km",  # never sampled (r10 late)
-    "events_markov_stationary",  # never sampled (r10 late)
-    "dedup_minhash_index_append",  # never sampled
-    "documents_dedup_cost_report",  # never sampled
-    "dedup_cross_source_indexed",  # never sampled
-    "knn_ivf_index_append",  # never sampled
-    "embeddings_knn_graph_ivf",  # never sampled
-    "embeddings_ivf_cell_stats",  # never sampled
-    "documents_cdc_dedup",  # never sampled
-    "graph_clustering_coefficient",  # never sampled
-    "stream_gopher_rules",  # never sampled
-    "stream_ivf_assign",  # never sampled
-    "order_value_percentiles_approx",  # green ['r03']
-    "order_value_histogram",  # green ['r02', 'r03']
-    "lineitem_moments",  # green ['r02', 'r03']
-    "customer_deciles_scalable",  # green ['r02', 'r03']
-    "stream_hourly_tumbling",  # green ['r03']
-    "stream_liveness_transitions",  # green ['r03']
-    "stream_dedup_keys",  # green ['r03']
-    "stream_click_purchase_join",  # green ['r03']
-    "stream_enriched_nation",  # green ['r03']
-    "stream_upsert_latest",  # green ['r03']
-    "lineitem_weighted_median",  # green ['r04']
-    "documents_source_entropy",  # green ['r04']
-    "lineitem_winsorized_stats",  # green ['r04']
-    "lineitem_chi2_flag_status",  # green ['r04']
-    "orders_ks_statistic",  # green ['r04']
-    "customer_spend_gini",  # green ['r04']
-    "orders_psi_value_drift",  # green ['r04']
-    "lineitem_jackknife_mean_se",  # green ['r04']
-    "events_hourly_tumbling",  # green ['r01', 'r04']
-    "heartbeat_liveness",  # green ['r01', 'r04']
-    "events_sessionize",  # green ['r01', 'r04']
-    "events_dedup_latest",  # green ['r01', 'r04']
-    "events_sliding_rate",  # green ['r01', 'r04']
-    "events_click_purchase_join",  # green ['r01', 'r04']
-    "events_enriched_nation",  # green ['r01', 'r04']
-    "events_salted_join",  # green ['r01', 'r04']
-    "events_ohlc_hourly",  # green ['r01', 'r04']
-    "lineitem_bloom_semi_join",  # green ['r01', 'r04']
-    "lineitem_quality_report",  # green ['r01', 'r04']
-    "referential_integrity_audit",  # green ['r01', 'r04']
-    "events_moving_median",  # green ['r04']
-    "events_funnel_conversion",  # green ['r04']
-    "events_retention_cohorts",  # green ['r04']
-    "events_anomaly_mad",  # green ['r04']
+    "dedup_minhash_index_compact",  # never sampled
+    "dedup_minhash_index_delete",  # never sampled
+    "knn_ivf_index_compact",  # never sampled
+    "events_change_points",  # never sampled
+    "events_holt_forecast",  # never sampled
+    "text_bigram_greedy_decode",  # never sampled
+    "documents_token_mi",  # never sampled
+    "stream_decontamination_bloom",  # never sampled
+    "events_anomaly_mad_hist",  # green ['r04']
+    "events_transition_matrix",  # green ['r04']
+    "events_gap_fill",  # green ['r04']
+    "events_scd2_intervals",  # green ['r04']
+    "events_rate_cusum",  # green ['r04']
+    "events_time_weighted_avg",  # green ['r04']
+    "events_error_run_alerts",  # green ['r04']
+    "events_lateness_audit",  # green ['r04']
+    "dedup_jaccard_prefix_join",  # green ['r04']
+    "graph_triangle_count",  # green ['r04']
+    "part_price_skyline",  # green ['r04']
+    "documents_top_phrase",  # green ['r04']
+    "lineitem_zorder_buckets",  # green ['r04']
+    "graph_bfs_levels",  # green ['r04']
+    "dataset_hash_sample",  # green ['r02', 'r04']
+    "dataset_split_counts",  # green ['r02', 'r04']
+    "dataset_stratified_sample",  # green ['r02', 'r04']
+    "orders_reservoir_sample",  # green ['r02', 'r04']
+    "split_decontamination",  # green ['r04']
+    "documents_source_quota",  # green ['r04']
+    "documents_lang_rebalance",  # green ['r04']
+    "dataset_weighted_sample",  # green ['r04']
+    "anonymize_join_preservation",  # green ['r04']
+    "dataset_shuffle_audit",  # green ['r04']
+    "knn_ivf_indexed",  # green ['r05']
+    "embedding_hard_negatives",  # green ['r05']
+    "knn_quantized_int8",  # green ['r05']
+    "embeddings_covariance_topk",  # green ['r05']
+    "embeddings_pca_power",  # green ['r05']
+    "knn_pq_adc",  # green ['r05']
+    "embeddings_matryoshka_audit",  # green ['r05']
+    "knn_ivf_filtered",  # green ['r05']
+    "knn_ivfpq_adc",  # green ['r05']
+    "dedup_embedding_lsh_strict",  # green ['r05']
+    "embeddings_ann_self_join",  # green ['r05']
+    "events_sliding_distinct_kmv",  # green ['r05']
+    "lineitem_correlation_matrix",  # green ['r05']
+    "events_pattern_browse_buy",  # green ['r05']
+    "events_top_paths",  # green ['r05']
+    "graph_label_propagation",  # green ['r05']
+    "documents_containment_join",  # green ['r05']
+    "multimodal_phash_neardup",  # green ['r05']
 ]
 
 

@@ -1306,11 +1306,11 @@ def dedup_simhash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — this registered form is the calibration tool,
     same corpus contract as the recall audit. Signature checkpoint
     at plan time: BUILD_EXECUTES."""
+    from .similarity import md5_u32_col
+
     d = wide_table(spark, sf_dir, "documents")
     hashes = _simhash_signatures(d, sh.BITS).localCheckpoint(eager=True)
-    u32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    u32 = md5_u32_col(F.col("doc_id"))
     ln = hashes.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
     sampled = (
         hashes.join(F.broadcast(ln), "lang")
@@ -3393,15 +3393,15 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample each pipeline keeps its own shape (banded LSH; simhash
     blocked brute), and the comparison joins pair-id sets —
     output-mass-sized. All exact integers."""
+    from .similarity import md5_u32_col
+
     d = wide_table(spark, sf_dir, "documents")
     nn = d.agg(
         F.expr(
             f"CAST(({AGREE_DOC_CAP} * {_U32_SPAN}) div count(*) AS BIGINT)"
         ).alias("cut")
     )
-    u32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    u32 = md5_u32_col(F.col("doc_id"))
     sdocs = d.crossJoin(F.broadcast(nn)).where(u32 < F.col("cut")).drop("cut")
     m = _minhash_lsh_pairs(
         spark, sf_dir, sdocs.select("doc_id", "text")

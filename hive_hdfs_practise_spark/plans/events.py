@@ -2186,8 +2186,13 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg((F.count(F.lit(1)) * HOLT_FP).cast("bigint").alias("xfp"))
     arr = g.agg(
         F.expr(
+            # element 'l' seeds to the value itself (l_1 = x_1), so a
+            # SINGLE-day corpus already carries the correct final
+            # level without a second fold step reaching the lazy-init
+            # CASE (r11 review: st.l read 0 vs the oracle's anchor
+            # l = gx on a one-day corpus)
             "transform(array_sort(collect_list(struct(dd, xfp))),"
-            " s -> named_struct('l', CAST(0 AS BIGINT),"
+            " s -> named_struct('l', s.xfp,"
             " 'b', CAST(0 AS BIGINT), 'x', s.xfp,"
             " 'i', CAST(1 AS BIGINT), 'sse', CAST(0 AS BIGINT)))"
         ).alias("es")

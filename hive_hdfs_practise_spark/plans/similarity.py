@@ -171,10 +171,21 @@ def _hyperplanes_from(
     )
 
 
+def md5_u32_col(col) -> "F.Column":
+    """Spark twin of ``_md5_u32_sql``: first 8 md5 hex chars of the
+    (string-cast) column as an unsigned-32 BIGINT. The ONE helper for
+    every Spark-side site that must stay bit-identical to the SQL
+    generator below (r11 review — the calibration gates' entire
+    cross-engine surface is this expression)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def _md5_u32_sql(expr: str) -> str:
     """First 8 md5 hex nibbles of ``expr`` as a 32-bit unsigned int
     (dialect-neutral; matches Spark's conv(substring(md5(..),1,8),
-    16,10))."""
+    16,10) — ``md5_u32_col`` is the Spark twin)."""
     return (
         "("
         + " + ".join(

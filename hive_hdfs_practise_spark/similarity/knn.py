@@ -121,26 +121,21 @@ def write_ivf_index(
       table the query side loads to pick its probe lists.
     """
     import shutil
-    from urllib.parse import urlparse
 
+    from ..operators.compaction import table_location
     from ..sources.writers import write_bucketed
 
     # A fresh session's in-memory catalog has no record of tables an
     # earlier session materialized, but their managed files survive
     # in the warehouse dir — saveAsTable then refuses the "dangling"
     # location (LOCATION_ALREADY_EXISTS). Drop catalog entries AND
-    # clear leftover default-location directories before writing.
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # clear leftover default-location directories before writing
+    # (table_location handles the lowercased-identifier dance — one
+    # copy of it repo-wide, r11 review).
     for suffix in ("_centroids", "_assign"):
         t = f"{table_prefix}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        # managed-table paths use the LOWERCASED identifier (catalog
-        # identifiers are case-insensitive); a mixed-case prefix
-        # otherwise misses the leftover dir and saveAsTable fails
-        # with LOCATION_ALREADY_EXISTS
-        parts = t.lower().split(".")
-        rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
-        shutil.rmtree(f"{wh}/{rel}", ignore_errors=True)
+        shutil.rmtree(table_location(spark, t), ignore_errors=True)
 
     centroids = kmeans_centroids(emb, nlist, iters, vec_col)
     centroids.write.mode("overwrite").format("parquet").saveAsTable(

@@ -1449,12 +1449,13 @@ class TestCalibrationGate:
             SPECTRUM_BLOCK_CAP,
             _U32_SPAN,
         )
-        from hive_hdfs_practise_spark.plans.similarity import _md5_u32_sql
+        from hive_hdfs_practise_spark.plans.similarity import (
+            _md5_u32_sql,
+            md5_u32_col,
+        )
 
         d = spark.read.parquet(f"{gate_dir}/documents.parquet")
-        u32 = F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
+        u32 = md5_u32_col(F.col("doc_id"))
         nn = d.agg(
             F.expr(
                 f"CAST(({SPECTRUM_BLOCK_CAP} * {_U32_SPAN}) div count(*)"

@@ -519,3 +519,37 @@ class TestHoltForecast:
         )
         for h in range(1, HOLT_H + 1):
             assert got[f"f{h}_fp"] == l + h * b
+
+    def test_single_day_corpus_cross_engine(self, spark, tmp_path):
+        """r11 review: a one-day corpus must yield level = x1 on BOTH
+        engines (the Spark fold's seed element, never the lazy-init
+        CASE; the oracle's recursion anchor)."""
+        import duckdb
+
+        from hive_hdfs_practise_spark import plans
+        from hive_hdfs_practise_spark.plans.events import HOLT_FP
+
+        ns = 1_000_000_000
+        rows = [(i, 1, "click", 0.0, 1_700_000_000 * ns + i * ns)
+                for i in range(7)]
+        d = tmp_path / "corpus"
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " value double, ts long",
+        ).coalesce(1).write.parquet(str(d / "events.parquet"))
+        got = plans.QUERIES["events_holt_forecast"](spark, str(d)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.n_days, r.level_fp, r.trend_fp, r.sse_fp) == (
+            1, 7 * HOLT_FP, 0, 0,
+        )
+        assert r.f7_fp == 7 * HOLT_FP
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * EXCLUDE (ts),"
+            " make_timestamp(ts // 1000) AS ts FROM read_parquet('"
+            + str(d / "events.parquet") + "/*.parquet')"
+        )
+        want = con.execute(plans.ORACLES["events_holt_forecast"]).fetchall()
+        assert [tuple(int(v) for v in w) for w in want] == [tuple(r)]
