@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "text_bigram_greedy_decode",
     "dedup_minhash_index_delete",
     "documents_token_mi",
+    "stream_rate_cusum",
 ]
 
 

@@ -118,3 +118,42 @@ TRANSITION_MATRIX = """
                  / sum(n) OVER (PARTITION BY from_type), 6) AS p
     FROM c
     """
+
+
+# CUSUM burst detection — shared by events_rate_cusum and its r11
+# streaming twin stream_rate_cusum (the TRANSITION_MATRIX precedent:
+# one oracle text, two plans that cannot drift).
+CUSUM_K = 3
+CUSUM_H = 6
+RATE_CUSUM = f"""
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1 FROM ev),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM ev) t, b,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT grid.event_type, grid.h, coalesce(c.n, 0) AS n
+        FROM grid LEFT JOIN c
+          ON grid.event_type = c.event_type AND grid.h = c.h
+    ),
+    cum AS (
+        SELECT event_type, h, n,
+               sum(n - {CUSUM_K})
+                   OVER (PARTITION BY event_type ORDER BY h) AS cs
+        FROM j
+    )
+    SELECT event_type, h AS hour, CAST(n AS BIGINT) AS n_events,
+           CAST(cs - least(min(cs) OVER (PARTITION BY event_type ORDER BY h),
+                           0) AS BIGINT) AS cusum
+    FROM cum
+    QUALIFY cusum > {CUSUM_H}
+    """

@@ -1285,44 +1285,13 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the whole detector is value-exact cross-engine. Hours with no
 # events matter (they DECAY the statistic by K), hence the dense
 # hour grid, same construction as events_gap_fill.
-CUSUM_K = 3
-CUSUM_H = 6
+CUSUM_K = EO.CUSUM_K
+CUSUM_H = EO.CUSUM_H
 
 
 @register(
     "events_rate_cusum",
-    oracle=f"""
-    WITH ev AS (
-        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
-    ),
-    b AS (SELECT date_trunc('hour', min(ts)) AS h0,
-                 date_trunc('hour', max(ts)) AS h1 FROM ev),
-    grid AS (
-        SELECT t.event_type, g.h
-        FROM (SELECT DISTINCT event_type FROM ev) t, b,
-             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
-    ),
-    c AS (
-        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-        FROM ev GROUP BY 1, 2
-    ),
-    j AS (
-        SELECT grid.event_type, grid.h, coalesce(c.n, 0) AS n
-        FROM grid LEFT JOIN c
-          ON grid.event_type = c.event_type AND grid.h = c.h
-    ),
-    cum AS (
-        SELECT event_type, h, n,
-               sum(n - {CUSUM_K})
-                   OVER (PARTITION BY event_type ORDER BY h) AS cs
-        FROM j
-    )
-    SELECT event_type, h AS hour, CAST(n AS BIGINT) AS n_events,
-           CAST(cs - least(min(cs) OVER (PARTITION BY event_type ORDER BY h),
-                           0) AS BIGINT) AS cusum
-    FROM cum
-    QUALIFY cusum > {CUSUM_H}
-    """,
+    oracle=EO.RATE_CUSUM,
 )
 def events_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hours where a type's event rate is in a sustained burst: the

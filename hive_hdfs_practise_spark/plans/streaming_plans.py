@@ -822,3 +822,89 @@ def bloom_decon_counts(stream: DataFrame, filt: DataFrame) -> DataFrame:
         F.col("doc_id").alias("train_doc"), F.md5(F.col("g")).alias("h")
     )
     return bloom_probe_counts(tr, filt)
+
+
+@register("stream_rate_cusum", oracle=EO.RATE_CUSUM)
+def stream_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM burst monitor — the 18th value-checked stream
+    twin, and the production regime of events_rate_cusum (a burst
+    detector exists to run on ARRIVING events): hour buckets are a
+    stateless engine expression; applyInPandasWithState per
+    event_type walks the dense hour chain with integer (cs, prefix
+    min) state, decaying through empty hours exactly like the batch
+    grid and emitting detections as hours complete; the TRAILING
+    empty hours through the global grid end extend engine-side from
+    each type's last state snapshot (closed form — trailing cs
+    decreases linearly; the post-sink-batch-transform idiom of
+    stream_transition_matrix). Grid bounds collect at plan time
+    (bounded-twin semantics, the frozen-centroid precedent):
+    BUILD_EXECUTES. All state arithmetic is Python ints == engine
+    integers, so on bounded input the detections EQUAL
+    events_rate_cusum — the shared EO.RATE_CUSUM oracle."""
+    from ..sources.catalog import table
+    from ..streaming.cusum_stream import cusum_running_state
+    from .events import CUSUM_H, CUSUM_K
+
+    eh_of = "CAST(unix_seconds(date_trunc('hour', ts)) div 3600 AS LONG)"
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(f"min({eh_of})").alias("h0"),
+        F.expr(f"max({eh_of})").alias("h1"),
+    ).collect()[0]
+    h0, h1 = int(b.h0), int(b.h1)
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type", F.expr(eh_of).alias("eh")
+    )
+    out = cusum_running_state(stream, h0, CUSUM_K, CUSUM_H)
+    sunk = run_available_now(out, "stream_rate_cusum", "append")
+    return cusum_finalize(sunk, h1, CUSUM_K, CUSUM_H)
+
+
+def cusum_finalize(
+    sunk: DataFrame, h1: int, k: int, thresh: int
+) -> DataFrame:
+    """Post-sink batch transform: detections from the stream rows +
+    the trailing-empty-hour extension from each type's LAST state
+    snapshot (eh carries next_h, n carries cs, cusum carries mn —
+    the documented snapshot column reuse). Trailing hours have n = 0,
+    so cs_j = cs − k·(j − next_h + 1) decreases linearly and the
+    prefix minimum at j is least(mn, cs_j) — one integer expression
+    per hour, no recursion."""
+    hour = F.timestamp_seconds(F.col("j") * 3600)
+    det = sunk.where(~F.col("is_state")).select(
+        "event_type",
+        F.timestamp_seconds(F.col("eh") * 3600).alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("cusum").cast("bigint").alias("cusum"),
+    )
+    last = (
+        sunk.where(F.col("is_state"))
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("eh", "n", "cusum"), F.col("upd")
+            ).alias("s")
+        )
+    )
+    cs_j = F.col("s.n") - k * (F.col("j") - F.col("s.eh") + 1)
+    cusum_j = cs_j - F.least(F.least(F.col("s.cusum"), cs_j), F.lit(0))
+    trail = (
+        last.select(
+            "event_type",
+            "s",
+            F.explode(
+                F.when(
+                    F.col("s.eh") <= h1,
+                    F.sequence(F.col("s.eh"), F.lit(h1).cast("long")),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("j"),
+        )
+        .select(
+            "event_type",
+            hour.alias("hour"),
+            F.lit(0).cast("bigint").alias("n_events"),
+            cusum_j.cast("bigint").alias("cusum"),
+        )
+        .where(F.col("cusum") > thresh)
+    )
+    return det.unionByName(trail)

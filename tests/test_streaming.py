@@ -1143,3 +1143,112 @@ class TestStreamDecontamination:
         }
         # both planted leaks flagged (the 8-gram), clean doc absent
         assert got == {(1, 1), (2, 1)}
+
+
+class TestStreamRateCusum:
+    """r11: the 18th stream twin — CUSUM burst detection over
+    arriving events."""
+
+    def test_stream_equals_batch_on_corpus(self, spark):
+        sf = "/root/testdata/sf0.01"
+        got = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in plans.QUERIES["stream_rate_cusum"](spark, sf).collect()
+        }
+        batch = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in plans.QUERIES["events_rate_cusum"](
+                spark, sf
+            ).collect()
+        }
+        assert got == batch and got
+
+    def test_multi_trigger_split_inside_burst(self, spark, tmp_path):
+        """A planted burst SPANS the trigger boundary: hours 0-1 in
+        file 1, hours 2-5 in file 2 (hour-ordered split — the twin's
+        documented arrival contract); the integer (cs, mn) state must
+        carry across micro-batches and the final rows must equal the
+        batch twin."""
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            cusum_finalize,
+        )
+        from hive_hdfs_practise_spark.plans.events import CUSUM_H, CUSUM_K
+        from hive_hdfs_practise_spark.streaming.cusum_stream import (
+            cusum_running_state,
+        )
+
+        ns = 1_000_000_000
+        base = 1_700_000_000  # epoch seconds, whole hour? normalize:
+        base -= base % 3600
+        rows = []
+        eid = 0
+        # burst type: 10 events/hour in hours 1..3, silence after
+        for h, n in [(0, 2), (1, 10), (2, 10), (3, 10), (4, 0), (5, 1)]:
+            for k in range(n):
+                rows.append(
+                    (eid, 1, "burst", 0.0, (base + h * 3600 + k) * ns)
+                )
+                eid += 1
+        d = tmp_path / "corpus"
+        full = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " value double, ts long",
+        )
+        full.coalesce(1).write.parquet(str(d / "events.parquet"))
+        batch = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in plans.QUERIES["events_rate_cusum"](
+                spark, str(d)
+            ).collect()
+        }
+        assert batch  # the burst actually trips the detector
+        # stream in 2 hour-ordered files: hours 0-1, then 2-5
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        cut = (base + 2 * 3600) * ns
+        for idx, half in enumerate(
+            [full.where(F.col("ts") < cut), full.where(F.col("ts") >= cut)]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        eh_of = (
+            "CAST(unix_seconds(date_trunc('hour',"
+            " timestamp_micros(ts div 1000))) div 3600 AS LONG)"
+        )
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .select("event_type", F.expr(eh_of).alias("eh"))
+        )
+        h0 = base // 3600
+        h1 = h0 + 5
+        q = (
+            cusum_running_state(stream, h0, CUSUM_K, CUSUM_H)
+            .writeStream.format("memory")
+            .queryName("cusum_split_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table("cusum_split_test")
+        # two snapshots -> the state really crossed micro-batches
+        assert sunk.where("is_state").count() == 2
+        got = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in cusum_finalize(sunk, h1, CUSUM_K, CUSUM_H).collect()
+        }
+        assert got == batch
