@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "dedup_minhash_index_delete",
     "documents_token_mi",
     "stream_rate_cusum",
+    "events_purchase_attribution",
 ]
 
 

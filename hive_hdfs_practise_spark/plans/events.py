@@ -2185,3 +2185,102 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.sse").cast("bigint").alias("sse_fp"),
         *fcols,
     )
+
+
+# Purchase ATTRIBUTION (r11) — the funnel-analytics operator every
+# marketing/product stack runs: each purchase is credited to a
+# touch-point channel (here: the event_type of a non-purchase event)
+# under the two textbook models — LAST-touch (the latest non-purchase
+# event strictly before the purchase in the user's stream) and
+# FIRST-touch (the earliest). Purchases with no preceding touch
+# credit the 'direct' sentinel (never NULL — NULL channels would
+# float the driver canon and NULL-order differs cross-engine).
+# Exactness: per-user ordering is (ts, event_id) — the unique
+# tiebreak rule; both models are one IGNORE-NULLS window value over
+# the unbounded-preceding-to-1-preceding frame (Spark first/last
+# (ignorenulls) == DuckDB first_value/last_value IGNORE NULLS, probe-
+# verified); revenue is exact cents.
+ATTR_DIRECT = "direct"
+
+
+@register(
+    "events_purchase_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    t AS (
+        SELECT user_id, event_id, event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS ft,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS lt
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+        SELECT coalesce(ft, '{ATTR_DIRECT}') AS ft,
+               coalesce(lt, '{ATTR_DIRECT}') AS lt,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM t WHERE event_type = 'purchase'
+    )
+    SELECT 'first_touch' AS model, ft AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM p GROUP BY ft
+    UNION ALL
+    SELECT 'last_touch', lt, CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT)
+    FROM p GROUP BY lt
+    """,
+)
+def events_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch and last-touch purchase attribution per channel
+    (design note above): (model, channel, n_purchases, value_cents).
+
+    Scale shape: ONE exchange on user_id feeds both window models
+    (same partitioning, same ordered frame — one sort serves both
+    IGNORE-NULLS values); purchases then collapse map-side to the
+    (model × channel) grid. Nothing quadratic, nothing collected."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    t = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    p = t.where(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("ft"), F.lit(ATTR_DIRECT)).alias("ft"),
+        F.coalesce(F.col("lt"), F.lit(ATTR_DIRECT)).alias("lt"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def agg(col: str, model: str) -> DataFrame:
+        return p.groupBy(F.col(col).alias("channel")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        ).select(
+            F.lit(model).alias("model"),
+            "channel",
+            "n_purchases",
+            "value_cents",
+        )
+
+    return agg("ft", "first_touch").unionByName(agg("lt", "last_touch"))
