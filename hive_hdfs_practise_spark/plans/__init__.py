@@ -49,6 +49,8 @@ _FRONT = [
     "text_bigram_greedy_decode",  # never sampled
     "documents_token_mi",  # never sampled
     "stream_decontamination_bloom",  # never sampled
+    "events_purchase_attribution",  # never sampled
+    "stream_rate_cusum",  # never sampled
     "events_anomaly_mad_hist",  # green ['r04']
     "events_transition_matrix",  # green ['r04']
     "events_gap_fill",  # green ['r04']
@@ -89,8 +91,6 @@ _FRONT = [
     "events_pattern_browse_buy",  # green ['r05']
     "events_top_paths",  # green ['r05']
     "graph_label_propagation",  # green ['r05']
-    "documents_containment_join",  # green ['r05']
-    "multimodal_phash_neardup",  # green ['r05']
 ]
 
 
