@@ -2247,8 +2247,11 @@ def events_purchase_attribution(
 
     Scale shape: ONE exchange on user_id feeds both window models
     (same partitioning, same ordered frame — one sort serves both
-    IGNORE-NULLS values); purchases then collapse map-side to the
-    (model × channel) grid. Nothing quadratic, nothing collected."""
+    IGNORE-NULLS values); each purchase then EXPLODES into its two
+    (model, channel) credits and ONE hash aggregate builds the grid —
+    a union of two groupBys would re-run the scan+window pass per
+    branch (the r6 AQE-no-dedupe lesson; r11 review). Nothing
+    quadratic, nothing collected."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
@@ -2272,15 +2275,29 @@ def events_purchase_attribution(
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
 
-    def agg(col: str, model: str) -> DataFrame:
-        return p.groupBy(F.col(col).alias("channel")).agg(
+    credits = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("ft").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("lt").alias("channel"),
+                ),
+            )
+        ).alias("mc"),
+        "cents",
+    )
+    return (
+        credits.groupBy(
+            F.col("mc.model").alias("model"),
+            F.col("mc.channel").alias("channel"),
+        )
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
             F.sum("cents").cast("bigint").alias("value_cents"),
-        ).select(
-            F.lit(model).alias("model"),
-            "channel",
-            "n_purchases",
-            "value_cents",
         )
-
-    return agg("ft", "first_touch").unionByName(agg("lt", "last_touch"))
+        .select("model", "channel", "n_purchases", "value_cents")
+    )

@@ -851,6 +851,10 @@ def stream_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"min({eh_of})").alias("h0"),
         F.expr(f"max({eh_of})").alias("h1"),
     ).collect()[0]
+    if b.h0 is None:
+        raise ValueError(
+            "stream_rate_cusum: events table is empty — no hour grid"
+        )
     h0, h1 = int(b.h0), int(b.h1)
     stream = _events_stream(spark, sf_dir).select(
         "event_type", F.expr(eh_of).alias("eh")
@@ -864,12 +868,14 @@ def cusum_finalize(
     sunk: DataFrame, h1: int, k: int, thresh: int
 ) -> DataFrame:
     """Post-sink batch transform: detections from the stream rows +
-    the trailing-empty-hour extension from each type's LAST state
-    snapshot (eh carries next_h, n carries cs, cusum carries mn —
-    the documented snapshot column reuse). Trailing hours have n = 0,
-    so cs_j = cs − k·(j − next_h + 1) decreases linearly and the
-    prefix minimum at j is least(mn, cs_j) — one integer expression
-    per hour, no recursion."""
+    the closure of each type's OPEN hour and the trailing-empty-hour
+    extension, from the LAST state snapshot (eh carries open_h, n
+    carries cs, cusum carries mn, pend the open hour's count — the
+    documented snapshot column reuse). Only the open hour adds pend,
+    so cs_j = cs + pend − k·(j − open_h + 1) for every j ≥ open_h,
+    strictly decreasing after the first trailing value — the prefix
+    minimum at j is least(mn, cs_j): one integer expression per
+    hour, no recursion."""
     hour = F.timestamp_seconds(F.col("j") * 3600)
     det = sunk.where(~F.col("is_state")).select(
         "event_type",
@@ -882,11 +888,15 @@ def cusum_finalize(
         .groupBy("event_type")
         .agg(
             F.max_by(
-                F.struct("eh", "n", "cusum"), F.col("upd")
+                F.struct("eh", "n", "cusum", "pend"), F.col("upd")
             ).alias("s")
         )
     )
-    cs_j = F.col("s.n") - k * (F.col("j") - F.col("s.eh") + 1)
+    cs_j = (
+        F.col("s.n")
+        + F.col("s.pend")
+        - k * (F.col("j") - F.col("s.eh") + 1)
+    )
     cusum_j = cs_j - F.least(F.least(F.col("s.cusum"), cs_j), F.lit(0))
     trail = (
         last.select(
@@ -902,7 +912,10 @@ def cusum_finalize(
         .select(
             "event_type",
             hour.alias("hour"),
-            F.lit(0).cast("bigint").alias("n_events"),
+            F.when(F.col("j") == F.col("s.eh"), F.col("s.pend"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
             cusum_j.cast("bigint").alias("cusum"),
         )
         .where(F.col("cusum") > thresh)

@@ -7,23 +7,28 @@ exceeds H.
 Shape: hour buckets are computed by a stateless engine expression
 (date_trunc-equivalent epoch-hour longs — identical to the batch
 twin's grid key in any session timezone with whole-hour offset);
-``applyInPandasWithState`` keyed by event_type carries (next_h, cs,
-mn) — the running sum of (n − K) and its prefix minimum — and walks
-each batch's hour counts IN ORDER from the first unprocessed hour,
-decaying through empty hours exactly like the batch grid. All state
-arithmetic is Python ints == engine integers (counts and K are
-integers — no rounding surface). Detections for processed hours emit
-immediately; each batch also emits one per-type STATE SNAPSHOT row
+``applyInPandasWithState`` keyed by event_type carries (open_h, cs,
+mn, pend) — the first NOT-YET-FINALIZED hour, the running sum of
+(n − K) and its prefix minimum through the last finalized hour, and
+the open hour's accumulated count. An hour is finalized only when a
+LATER hour arrives (so an hour whose events span a micro-batch
+boundary is counted completely — the r11 review's undercount class)
+or by the post-sink finalizer at stream end. All state arithmetic is
+Python ints == engine integers (counts and K are integers — no
+rounding surface). Detections for finalized hours emit immediately;
+each batch also emits one per-type STATE SNAPSHOT row
 (upd-countered, the kmv_stream pattern) so the post-sink batch
-transform can extend every type's chain through the TRAILING empty
-hours up to the global grid end — closed form, because trailing cs
-decreases linearly (engine-side integer exprs; see
-plans/streaming_plans.py::stream_rate_cusum).
+transform can close the open hour and extend the chain through the
+TRAILING empty hours up to the global grid end — closed form,
+because trailing cs decreases linearly after the open hour (see
+plans/streaming_plans.py::cusum_finalize).
 
 Bounded-twin contract (same as the other 17): hours must arrive
 non-decreasing per type ACROSS micro-batches (one availableNow batch
 — the certification regime — trivially satisfies this; the
-multi-trigger test splits on an hour boundary).
+multi-trigger tests split on and INSIDE an hour). Events for hours
+already finalized (a contract violation) are dropped, never
+double-counted, and the open-hour pointer never moves backward.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ CUSUM_OUT_SCHEMA = T.StructType(
         T.StructField("eh", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("cusum", T.LongType()),
+        T.StructField("pend", T.LongType()),
         T.StructField("upd", T.LongType()),
         T.StructField("is_state", T.BooleanType()),
     ]
@@ -48,9 +54,10 @@ CUSUM_OUT_SCHEMA = T.StructType(
 
 CUSUM_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("next_h", T.LongType()),
+        T.StructField("open_h", T.LongType()),
         T.StructField("cs", T.LongType()),
         T.StructField("mn", T.LongType()),
+        T.StructField("pend", T.LongType()),
         T.StructField("upd", T.LongType()),
     ]
 )
@@ -61,45 +68,56 @@ def _walk_factory(h0: int, k: int, thresh: int):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (event_type,) = key
-        next_h, cs, mn, upd = (
-            state.get if state.exists else (h0, 0, 0, 0)
+        open_h, cs, mn, pend, upd = (
+            state.get if state.exists else (h0, 0, 0, 0, 0)
         )
         counts: dict[int, int] = {}
         for pdf in pdfs:
-            for v in pdf["eh"]:
-                counts[int(v)] = counts.get(int(v), 0) + 1
+            # vectorized per-batch hour histogram (r11 review: a
+            # Python per-event loop was the stream's hot path)
+            for h, c in pdf["eh"].value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
         out = []
         if counts:
-            # walk the dense chain from the first unprocessed hour
-            # through this batch's max hour (empty hours decay by K)
-            for h in range(next_h, max(counts) + 1):
-                n = counts.get(h, 0)
-                cs += n - k
-                mn = min(mn, cs)
-                cusum = cs - min(mn, 0)
-                if cusum > thresh:
-                    out.append(
-                        {
-                            "event_type": event_type,
-                            "eh": h,
-                            "n": n,
-                            "cusum": cusum,
-                            "upd": upd + 1,
-                            "is_state": False,
-                        }
-                    )
-            next_h = max(counts) + 1
+            maxh = max(counts)
+            if maxh > open_h:
+                # finalize open_h .. maxh-1; maxh stays open
+                counts[open_h] = counts.get(open_h, 0) + pend
+                for h in range(open_h, maxh):
+                    n = counts.get(h, 0) if h >= open_h else 0
+                    cs += n - k
+                    mn = min(mn, cs)
+                    cusum = cs - min(mn, 0)
+                    if cusum > thresh:
+                        out.append(
+                            {
+                                "event_type": event_type,
+                                "eh": h,
+                                "n": n,
+                                "cusum": cusum,
+                                "pend": 0,
+                                "upd": upd + 1,
+                                "is_state": False,
+                            }
+                        )
+                pend = counts.get(maxh, 0)
+                open_h = maxh
+            else:
+                # everything lands in (or before — dropped) the open
+                # hour; the pointer never moves backward
+                pend += counts.get(open_h, 0)
         upd += 1
-        state.update((next_h, cs, mn, upd))
-        # snapshot row: eh carries next_h, n carries cs, cusum carries
-        # mn (documented column reuse — the post-sink transform is the
-        # only reader)
+        state.update((open_h, cs, mn, pend, upd))
+        # snapshot row: eh carries open_h, n carries cs, cusum carries
+        # mn, pend carries the open hour's count so far (documented
+        # column reuse — cusum_finalize is the only reader)
         out.append(
             {
                 "event_type": event_type,
-                "eh": next_h,
+                "eh": open_h,
                 "n": cs,
                 "cusum": mn,
+                "pend": pend,
                 "upd": upd,
                 "is_state": True,
             }
@@ -109,6 +127,7 @@ def _walk_factory(h0: int, k: int, thresh: int):
                 "eh": "int64",
                 "n": "int64",
                 "cusum": "int64",
+                "pend": "int64",
                 "upd": "int64",
                 "is_state": "bool",
             }

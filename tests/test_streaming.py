@@ -1252,3 +1252,93 @@ class TestStreamRateCusum:
             for r in cusum_finalize(sunk, h1, CUSUM_K, CUSUM_H).collect()
         }
         assert got == batch
+
+    def test_multi_trigger_split_mid_hour(self, spark, tmp_path):
+        """r11 review: an HOUR whose events span the trigger boundary
+        must be counted completely — the open-hour state buffers it
+        until a later hour finalizes it (or the post-sink finalizer
+        closes it)."""
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hive_hdfs_practise_spark.plans.streaming_plans import (
+            cusum_finalize,
+        )
+        from hive_hdfs_practise_spark.plans.events import CUSUM_H, CUSUM_K
+        from hive_hdfs_practise_spark.streaming.cusum_stream import (
+            cusum_running_state,
+        )
+
+        ns = 1_000_000_000
+        base = 1_700_000_000
+        base -= base % 3600
+        rows = []
+        eid = 0
+        for h, n in [(0, 2), (1, 10), (2, 10), (3, 10), (4, 0), (5, 1)]:
+            for k in range(n):
+                rows.append(
+                    (eid, 1, "burst", 0.0, (base + h * 3600 + k) * ns)
+                )
+                eid += 1
+        d = tmp_path / "corpus"
+        full = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " value double, ts long",
+        )
+        full.coalesce(1).write.parquet(str(d / "events.parquet"))
+        batch = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in plans.QUERIES["events_rate_cusum"](
+                spark, str(d)
+            ).collect()
+        }
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        # cut INSIDE hour 2: 4 of its 10 events in file 1, 6 in file 2
+        cut = (base + 2 * 3600 + 4) * ns
+        for idx, half in enumerate(
+            [full.where(F.col("ts") < cut), full.where(F.col("ts") >= cut)]
+        ):
+            assert half.count() > 0
+            out = tmp_path / f"half{idx}"
+            half.coalesce(1).write.parquet(str(out))
+            part = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"part{idx}.parquet"))
+            if idx == 0:
+                time.sleep(1.05)
+        eh_of = (
+            "CAST(unix_seconds(date_trunc('hour',"
+            " timestamp_micros(ts div 1000))) div 3600 AS LONG)"
+        )
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .select("event_type", F.expr(eh_of).alias("eh"))
+        )
+        h0 = base // 3600
+        q = (
+            cusum_running_state(stream, h0, CUSUM_K, CUSUM_H)
+            .writeStream.format("memory")
+            .queryName("cusum_midhour_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.event_type, r.hour, r.n_events, r.cusum)
+            for r in cusum_finalize(
+                spark.table("cusum_midhour_test"), h0 + 5, CUSUM_K, CUSUM_H
+            ).collect()
+        }
+        assert got == batch
+        # the boundary-spanning hour specifically carries its FULL count
+        full_h2 = [
+            r for r in got if int(r[1].timestamp()) == base + 2 * 3600
+        ]
+        assert full_h2 and full_h2[0][2] == 10
