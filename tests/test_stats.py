@@ -391,7 +391,9 @@ class TestSlidingKmv:
         for end, est in got.items():
             full = set()
             for d, hs in by_day.items():
-                if 0 <= (end - d).days < SLIDING_DAYS:
+                # window_end is a TIMESTAMP since r11 (the dtype-grain
+                # fix) — compare at date grain
+                if 0 <= (end.date() - d).days < SLIDING_DAYS:
                     full |= hs
             # reference estimate from the FULL window set
             hs_sorted = sorted(full)
