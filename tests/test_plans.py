@@ -323,7 +323,9 @@ class TestMadHistPlan:
             return s[math.ceil(len(s) / 2) - 1]
 
         for r in got:
-            vals = by_win[(r.event_type, r.window_start)]
+            # window_start is a TIMESTAMP since r11 (the dtype-grain
+            # fix) — key at date grain
+            vals = by_win[(r.event_type, r.window_start.date())]
             assert abs(r.med_est - lower_median(vals)) <= _MAD_HIST_W
             # deviations are measured from the ESTIMATED median (the
             # sketch never sees the exact one), then bucketed — so the
