@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "documents_token_mi",
     "stream_rate_cusum",
     "events_purchase_attribution",
+    "events_bot_detection",
 ]
 
 

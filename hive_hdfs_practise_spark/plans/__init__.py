@@ -51,6 +51,7 @@ _FRONT = [
     "stream_decontamination_bloom",  # never sampled
     "events_purchase_attribution",  # never sampled
     "stream_rate_cusum",  # never sampled
+    "events_bot_detection",  # never sampled
     "events_anomaly_mad_hist",  # green ['r04']
     "events_transition_matrix",  # green ['r04']
     "events_gap_fill",  # green ['r04']
@@ -90,7 +91,6 @@ _FRONT = [
     "lineitem_correlation_matrix",  # green ['r05']
     "events_pattern_browse_buy",  # green ['r05']
     "events_top_paths",  # green ['r05']
-    "graph_label_propagation",  # green ['r05']
 ]
 
 

@@ -2301,3 +2301,89 @@ def events_purchase_attribution(
         )
         .select("model", "channel", "n_purchases", "value_cents")
     )
+
+
+# Inter-event-timing BOT detection (r11) — the crawl/traffic-hygiene
+# screen a training-data pipeline runs before trusting clickstream-
+# derived corpora: scripted clients fire at machine cadence, so a
+# user whose MEDIAN inter-event gap is sub-second is flagged. Exact
+# integers end to end: gaps are epoch-microsecond differences over
+# the per-user (ts, event_id)-ordered stream; the median is the
+# LOWER median (the ⌈n/2⌉-th order statistic — an actual gap value,
+# never an interpolated float); the mean is a truncating integer
+# div. The value at the median rank is deterministic even under
+# row_number ties because the ordering key IS the value.
+BOT_MIN_GAPS = 5
+BOT_BURST_US = 1_000_000
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS gap
+        FROM ev
+        QUALIFY gap IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, gap,
+               row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(gap) OVER (PARTITION BY user_id) AS tot
+        FROM g
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(gap AS BIGINT) AS median_gap_us,
+           CAST(tot // n AS BIGINT) AS mean_gap_us,
+           CAST(CASE WHEN gap < {BOT_BURST_US} THEN 1 ELSE 0 END AS INT)
+               AS is_burst
+    FROM r
+    WHERE rn = (n + 1) // 2 AND n >= {BOT_MIN_GAPS}
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event timing profile + burst-bot flag (design
+    note above): (user_id, n_gaps, median_gap_us, mean_gap_us,
+    is_burst) for users with ≥ {BOT_MIN_GAPS} gaps.
+
+    Scale shape: ONE exchange on user_id; the gap window, the median
+    rank, and the per-user totals all ride the same partitioning
+    (follow-up windows re-sort without re-shuffling). Output is
+    |users|-scale."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("gap")
+    wn = Window.partitionBy("user_id")
+    r = g.select(
+        "user_id",
+        "gap",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("gap").over(wn).alias("tot"),
+    )
+    return r.where(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        & (F.col("n") >= BOT_MIN_GAPS)
+    ).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("gap").cast("bigint").alias("median_gap_us"),
+        F.expr("CAST(tot div n AS BIGINT)").alias("mean_gap_us"),
+        F.when(F.col("gap") < BOT_BURST_US, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_burst"),
+    )
