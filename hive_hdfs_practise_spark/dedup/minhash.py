@@ -538,3 +538,50 @@ def delete_from_minhash_index(spark, doc_ids, table_prefix: str) -> None:
     doc_ids.select("doc_id").write.mode("append").format(
         "parquet"
     ).saveAsTable(f"{table_prefix}_dels")
+
+
+def vacuum_minhash_index(spark, table_prefix: str, n_buckets: int = 32) -> int:
+    """Fold the tombstones into the index — the space-reclaim half of
+    the delete story (``delete_from_minhash_index`` is the logical
+    half): rewrite ``_bands``/``_sigs`` without the ``_dels`` doc_ids
+    and drop the tombstone table, so subsequent probes need no
+    anti-join. Returns the number of doc_ids vacuumed.
+
+    Scale shape note: a MinHash band index cannot vacuum
+    incrementally — every doc scatters across its 16 bands' buckets,
+    so tombstoned rows live in essentially every bucket file and the
+    reclaim IS a full rewrite (which is why deletes are tombstones in
+    the first place and vacuums are periodic). The rewrite reads the
+    old tables once (checkpointed — Spark cannot overwrite a table
+    it is still reading lazily), rewrites the same bucketed layout,
+    and the exchange-free probe plan survives (tests)."""
+    if not spark.catalog.tableExists(f"{table_prefix}_dels"):
+        return 0
+    from ..sources.writers import write_bucketed
+
+    dels = spark.table(f"{table_prefix}_dels").select("doc_id").distinct()
+    n_dels = dels.count()
+    if n_dels == 0:
+        return 0
+    bands = (
+        spark.table(f"{table_prefix}_bands")
+        .join(F.broadcast(dels), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sigs = (
+        spark.table(f"{table_prefix}_sigs")
+        .join(F.broadcast(dels), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    cols = [c for c in bands.columns]
+    write_bucketed(
+        bands.select("band", "band_key", *[c for c in cols if c not in ("band", "band_key")]),
+        f"{table_prefix}_bands",
+        ["band", "band_key"],
+        n_buckets=n_buckets,
+    )
+    sigs.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_sigs"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_dels")
+    return n_dels

@@ -1613,3 +1613,78 @@ class TestIndexDelete:
         # (d) a rebuild drops the tombstones
         mh.write_minhash_index(spark, d, "minhash_del_test_idx", **kw)
         assert not spark.catalog.tableExists("minhash_del_test_idx_dels")
+
+
+class TestIndexVacuum:
+    """r11: vacuum folds the tombstones into a rewrite — the
+    space-reclaim half of the delete story (lifecycle now
+    write/probe/append/compact/delete/VACUUM)."""
+
+    def test_vacuum_parity_and_cleanup(self, spark):
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.plans.constants import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            SHINGLE_K,
+        )
+        from hive_hdfs_practise_spark.plans.dedup import (
+            DELETE_NIBBLE,
+            _indexed_pairs,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        d = wide_table(spark, sf, "documents").select("doc_id", "text")
+        kw = dict(
+            k=SHINGLE_K, n_perm=N_PERM, n_bands=N_BANDS,
+            rows_per_band=ROWS_PER_BAND, downsample=4, family="md5",
+        )
+        mh.write_minhash_index(spark, d, "minhash_vac_test_idx", **kw)
+        nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        deleted = d.where(nib == DELETE_NIBBLE).select("doc_id")
+        mh.delete_from_minhash_index(
+            spark, deleted, "minhash_vac_test_idx"
+        )
+        before = {
+            (r.doc_a, r.doc_b)
+            for r in _indexed_pairs(
+                spark, sf, "minhash_vac_test_idx", tombstones=True
+            ).collect()
+        }
+        n = mh.vacuum_minhash_index(spark, "minhash_vac_test_idx")
+        assert n == deleted.count() > 0
+        # (a) the tombstone table is gone; a plain probe (no
+        # anti-join) now returns the tombstoned probe's pairs
+        assert not spark.catalog.tableExists("minhash_vac_test_idx_dels")
+        after = {
+            (r.doc_a, r.doc_b)
+            for r in _indexed_pairs(
+                spark, sf, "minhash_vac_test_idx"
+            ).collect()
+        }
+        assert after == before and after
+        # (b) no deleted doc_id survives in either table
+        dels = {r.doc_id for r in deleted.collect()}
+        for t in ("minhash_vac_test_idx_bands", "minhash_vac_test_idx_sigs"):
+            ids = {r.doc_id for r in spark.table(t).select("doc_id").collect()}
+            assert not (ids & dels)
+        # (c) the bucketed probe stays exchange-free post-vacuum
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            cand = mh.pairs_within_buckets(
+                spark.table("minhash_vac_test_idx_bands"),
+                "doc_id",
+                ["band", "band_key"],
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+        # (d) idempotent: a second vacuum is a no-op
+        assert mh.vacuum_minhash_index(spark, "minhash_vac_test_idx") == 0
