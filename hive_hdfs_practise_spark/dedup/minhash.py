@@ -554,7 +554,22 @@ def vacuum_minhash_index(spark, table_prefix: str, n_buckets: int = 32) -> int:
     the first place and vacuums are periodic). The rewrite reads the
     old tables once (checkpointed — Spark cannot overwrite a table
     it is still reading lazily), rewrites the same bucketed layout,
-    and the exchange-free probe plan survives (tests)."""
+    and the exchange-free probe plan survives (tests).
+
+    Crash-recovery rule (r11 advice): the three publishes (_bands
+    overwrite, _sigs overwrite, _dels drop) are not atomic as a
+    group, and the safe order is DELS LAST — every intermediate
+    crash state keeps tombstoned probes correct. A crash after the
+    _bands overwrite but before the _dels drop leaves live
+    tombstones over an already-vacuumed bands table: probes
+    anti-join ids that no longer exist (a no-op), and RE-RUNNING
+    VACUUM converges (idempotent — pinned by TestIndexVacuum's
+    second-run-returns-0 assertion... after an interrupted first run
+    the rerun re-filters and re-drops). A crash between the two
+    overwrites leaves _sigs rows for vacuumed docs — benign: a
+    candidate pair requires BAND rows, so an orphan signature can
+    never surface in any probe output; it is reclaimed by the rerun
+    or the next rebuild."""
     if not spark.catalog.tableExists(f"{table_prefix}_dels"):
         return 0
     from ..sources.writers import write_bucketed

@@ -22,6 +22,7 @@ Design points that matter at scale:
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -144,6 +145,87 @@ def table_location(spark: SparkSession, table: str) -> str:
     return os.path.join(wh, rel)
 
 
+def publish_replacing(
+    path: str, src: str, originals: list, dest_name: str
+) -> None:
+    """Crash-safe publish of a rewritten file that REPLACES a set of
+    original files in the same directory (shared by
+    ``compact_bucketed_table`` and ``vacuum_ivf_index``). Multi-file
+    swaps have no atomic rename, so the protocol writes a tiny
+    MANIFEST first and every crash window is mechanically recoverable
+    by ``recover_inprogress``:
+
+    1. write ``.{dest}.inprogress.manifest`` (dest + original names)
+    2. move ``src`` into the dir as ``.{dest}.inprogress`` — both
+       dot-prefixed, so Spark's file index never sees them
+    3. delete the originals
+    4. same-dir atomic rename pending → live
+    5. delete the manifest
+
+    The key property: the pending file holds the FULL union of the
+    originals' rows, so recovery after ANY crash is "delete whatever
+    originals remain, finalize the pending file" — never a silent
+    loss and never duplication. A crash before step 2 rolls back
+    (originals intact, manifest dropped)."""
+    pending = os.path.join(path, "." + dest_name + ".inprogress")
+    manifest = pending + ".manifest"
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "dest": dest_name,
+                "originals": [os.path.basename(g) for g in originals],
+            },
+            f,
+        )
+    shutil.move(src, pending)
+    for g in originals:
+        os.remove(g)
+    os.rename(pending, os.path.join(path, dest_name))
+    os.remove(manifest)
+
+
+def recover_inprogress(path: str) -> int:
+    """Finalize or roll back interrupted ``publish_replacing`` runs —
+    called at the entry of every maintenance op over ``path`` (r11
+    advice: an interrupted compaction must not silently drop rows on
+    the next read). For each leftover manifest: if the pending file
+    exists it holds the complete union, so any still-present
+    originals are deleted and the pending file is renamed live
+    (exact — no loss, no duplication); if the pending file is absent
+    the crash preceded step 2 and the originals are intact, so the
+    manifest is simply dropped. A dot-prefixed ``.inprogress`` file
+    with NO manifest cannot be attributed and raises. Returns the
+    number of manifests processed."""
+    n = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".inprogress.manifest"):
+            continue
+        manifest = os.path.join(path, name)
+        with open(manifest) as f:
+            meta = json.load(f)
+        pending = os.path.join(path, "." + meta["dest"] + ".inprogress")
+        if os.path.exists(pending):
+            for g in meta["originals"]:
+                gp = os.path.join(path, g)
+                if os.path.exists(gp):
+                    os.remove(gp)
+            os.rename(pending, os.path.join(path, meta["dest"]))
+        os.remove(manifest)
+        n += 1
+    orphans = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".inprogress") and f.startswith(".")
+    ]
+    if orphans:
+        raise RuntimeError(
+            f"unattributable in-progress files in {path}: {orphans} — "
+            "no manifest survives for them, so whether their originals "
+            "were deleted is unknown; inspect and resolve manually"
+        )
+    return n
+
+
 def compact_bucketed_table(
     spark: SparkSession,
     table: str,
@@ -174,6 +256,7 @@ def compact_bucketed_table(
     from concurrent.futures import ThreadPoolExecutor
 
     path = table_location(spark, table)
+    recover_inprogress(path)
     names = [f for f in os.listdir(path) if f.endswith(".parquet")]
     by_bucket: dict = {}
     for f in names:
@@ -200,27 +283,16 @@ def compact_bucketed_table(
         )
         outs = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
         assert len(outs) == 1, outs
-        dest = os.path.join(
+        # manifest-backed publish (publish_replacing): every crash
+        # window is recovered mechanically by recover_inprogress at
+        # the next maintenance entry — never silent loss, never
+        # duplication (r11 advice closed).
+        publish_replacing(
             path,
+            os.path.join(out_dir, outs[0]),
+            group,
             f"part-{i:05d}-{uuid.uuid4().hex}_{b:05d}.c000.snappy.parquet",
         )
-        # Crash-safe publish order (r11 review): (1) place the merged
-        # file in the table dir under a DOT-PREFIXED name (Spark's
-        # file index skips '.'/'_'-prefixed files — an unknown
-        # EXTENSION would still be read), (2) delete the originals,
-        # (3) same-dir atomic rename to the live name. A crash before
-        # (2) leaves only the originals (consistent); between (2) and
-        # (3) the merged data survives on disk as the hidden file
-        # (recoverable, no silent loss); the move-then-delete order
-        # would instead leave DUPLICATE rows live — an oracle-visible
-        # corruption a reader cannot detect.
-        pending = os.path.join(
-            path, "." + os.path.basename(dest) + ".inprogress"
-        )
-        shutil.move(os.path.join(out_dir, outs[0]), pending)
-        for g in group:
-            os.remove(g)
-        os.rename(pending, dest)
         return sum(1 for _ in group)
 
     jobs = []

@@ -358,18 +358,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and monetary (2dp-rounded revenue), each quintile-scored 1-5 —
     the classic customer-value segmentation.
 
-    Scale shape: one hash aggregate per customer, then three global
-    ntile windows over the customer-cardinality aggregate. A global
-    ntile is a single-partition sort by construction — fine at BI
-    cardinalities (one row per customer); a 100 TB deployment with
-    billions of customers would swap ntile for percentile-threshold
-    bucketing (compute the 5 quantile cut points, then a narrow
-    map), same output semantics minus exact equal-size buckets. The
-    quintile ordering carries a unique custkey tiebreak, and
-    monetary is rounded to 2dp on BOTH sides before ordering — sums
-    of 2dp prices are decimal multiples of 0.01, so the round snaps
-    identically in both engines and the tiebreak settles equal
-    values."""
+    Scale shape (r12 — the r11 verdict's de-ntile item): one hash
+    aggregate per customer, then each quintile rides
+    ``operators/prefix_sum.py::sharded_ntile`` — grid prefix sum +
+    high-cardinality tiebreak window + ntile's closed form — so NO
+    global single-partition window remains (was three
+    `WindowExec: No Partition Defined` sorts; plan-pinned in
+    test_prefix_sum). Output is bit-identical to the window ntile
+    (sharded_ntile implements ntile's exact remainder placement, not
+    the rank law), so the oracle is unchanged. The quintile ordering
+    carries a unique custkey tiebreak, and monetary is rounded to 2dp
+    on BOTH sides before ordering — sums of 2dp prices are decimal
+    multiples of 0.01, so the round snaps identically in both engines
+    and the tiebreak settles equal values; ranking internally uses
+    exact integer cents (the same doubles scaled by 100), never a
+    float sort key. The customer-cardinality base is persist()ed —
+    three grids + the output read it."""
+    from ..operators.prefix_sum import sharded_ntile
+
     o = table(spark, sf_dir, "orders")
     horizon = o.agg(F.max("o_orderdate").alias("now_d"))
     base = (
@@ -386,21 +392,34 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # negated recency ranks ASC == recency DESC; exact cents ==
+        # the 2dp monetary's order (multiples of 0.01 scale exactly)
+        .withColumn("neg_recency", -F.col("recency_days"))
+        .withColumn(
+            "cents", F.round(F.col("monetary") * 100).cast("bigint")
+        )
+        .persist()
     )
-    return base.select(
+    scored = sharded_ntile(
+        base, "neg_recency", "c_custkey", 5,
+        shard=F.floor(F.col("neg_recency") / 64), out_name="r_score",
+    )
+    scored = sharded_ntile(
+        scored, "frequency", "c_custkey", 5,
+        shard=F.floor(F.col("frequency") / 8), out_name="f_score",
+    )
+    scored = sharded_ntile(
+        scored, "cents", "c_custkey", 5,
+        shard=F.floor(F.col("cents") / 1_000_000), out_name="m_score",
+    )
+    return scored.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

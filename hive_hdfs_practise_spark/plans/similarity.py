@@ -315,6 +315,7 @@ def _ivf_oracle(
     iters: int = IVF_ITERS,
     label: int | None = None,
     train_pred: str | None = None,
+    final_pred: str | None = None,
 ) -> str:
     """DuckDB restatement of the ENTIRE IVF pipeline — deterministic
     k-means (lowest-id seeding, argmin ties to the lower cluster id,
@@ -328,7 +329,13 @@ def _ivf_oracle(
     centroid append regime (knn_ivf_index_append): the quantizer is
     fit on the corpus shard while the final assignment, probe, and
     top-k run over ALL vectors. None keeps the original text
-    (training set == e)."""
+    (training set == e).
+
+    ``final_pred``: optional SQL predicate on the final candidate row
+    ``f`` (e.g. a keep-filter on ``f.vec_id``) — the tombstone-probe
+    regime (knn_ivf_index_delete): quantizer AND assignment still
+    cover the full corpus (the index was built before the deletes),
+    only the probe's candidates are filtered."""
 
     def dist(a: str, b: str) -> str:
         return (
@@ -393,12 +400,13 @@ def _ivf_oracle(
         else f" JOIN embeddings AS lab ON lab.vec_id = f.vec_id"
     )
     label_pred = "" if label is None else f" AND lab.label = {label}"
+    keep_pred = "" if final_pred is None else f" AND ({final_pred})"
     return (
         ",\n    ".join(parts)
         + f"""
     SELECT f.vec_id, round(CASE WHEN list_sum(list_transform(f.v, x -> x * x)) > 0 AND list_sum(list_transform(q.qv, x -> x * x)) > 0 THEN list_cosine_similarity(f.v, q.qv) ELSE 0.0 END, 6) AS cosine
     FROM a{final} AS f{label_join}, probe, q
-    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}{label_pred}
+    WHERE f.rn = 1 AND f.cid = probe.cid AND f.vec_id <> {QUERY_VEC_ID}{label_pred}{keep_pred}
     ORDER BY cosine DESC, f.vec_id
     LIMIT {TOP_K}
     """
@@ -531,6 +539,72 @@ def knn_ivf_index_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_bucketed_table(spark, "ivf_compact_idx_assign")
     return knn_ivf_indexed(
         spark, "ivf_compact_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+# The delete shard: md5-nibble-'f' vec_ids (~1/16 of the corpus) play
+# the just-retracted vectors (takedowns, opt-outs, re-embedding
+# recalls — the operational reasons an ANN deployment must support
+# DELETE). QUERY_VEC_ID=0 hashes to 'c', so the query row is always
+# kept; distinct from the append shard's nibble '0' so the two
+# maintenance certifications exercise different rows.
+IVF_DELETE_NIBBLE = "f"
+_IVF_KEEP_SQL = (
+    "substring(md5(CAST(f.vec_id AS VARCHAR)), 1, 1) "
+    f"<> '{IVF_DELETE_NIBBLE}'"
+)
+
+
+@register(
+    "knn_ivf_index_delete",
+    oracle=_ivf_oracle(final_pred=_IVF_KEEP_SQL),
+)
+def knn_ivf_index_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index DELETE — the verb that completes this family's
+    lifecycle symmetry with the minhash index (write → probe → append
+    → compact → DELETE; r11 verdict item 1), done the LSM/tombstone
+    way (`dedup_minhash_index_delete`'s mold): retracted vec_ids
+    append to a tiny ``_dels`` table
+    (``similarity/knn.py::delete_from_ivf_index``) and the probe
+    broadcast-anti-joins them out of the assignment scan map-side —
+    the bucket-pruned, exchange-free probe plan survives (plan-pinned
+    in test_similarity). Nothing in ``_assign``/``_centroids`` is
+    read or rewritten — a delete costs one tiny append no matter the
+    index size (content-hash byte-stability pinned); dead rows are
+    reclaimed by ``vacuum_ivf_index`` (which, unlike the band index's
+    full-rewrite vacuum, rewrites ONLY the affected cluster buckets —
+    an inverted list vacuums incrementally) or the next rebuild.
+
+    Certification: build the FULL-corpus index, tombstone the
+    md5-nibble-'f' shard, probe — the output must equal the frozen
+    full-corpus quantizer's top-k over the KEPT vectors (the oracle
+    is ``_ivf_oracle`` with a keep-filter on the final candidates
+    only: quantizer and assignment saw every vector because the index
+    predates the deletes), which it can only do if the tombstone
+    filter removes exactly the deleted vectors from the probed lists.
+    Builder writes + deletes at plan time: BUILD_EXECUTES."""
+    from ..similarity.knn import (
+        delete_from_ivf_index,
+        knn_ivf_indexed,
+        write_ivf_index,
+    )
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        spark, e, "ivf_del_idx", nlist=IVF_NLIST, iters=IVF_ITERS
+    )
+    dels = e.where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        == IVF_DELETE_NIBBLE
+    ).select("vec_id")
+    delete_from_ivf_index(spark, dels, "ivf_del_idx")
+    return knn_ivf_indexed(
+        spark,
+        "ivf_del_idx",
+        QUERY_VEC_ID,
+        TOP_K,
+        nprobe=IVF_NPROBE,
+        tombstones=True,
     )
 
 

@@ -1633,21 +1633,26 @@ def documents_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes. Reuses the oracle-checked quality pipeline; the decile
     ordering carries the doc_id tiebreak (quality is 4dp and heavily
     tied), and avg_quality snaps the 4dp sum before the division so
-    both engines divide identical doubles. The global ntile sorts
-    one row per document — same BI-cardinality stance (and the same
-    percentile-threshold remedy at extreme scale) as
-    customer_rfm_segments."""
+    both engines divide identical doubles.
+
+    Scale shape (r12 — the r11 verdict's de-ntile item): the decile
+    rides ``operators/prefix_sum.py::sharded_ntile`` (grid prefix sum
+    + per-value tiebreak window + ntile's closed form) over an exact
+    integer rank key (quality is 4dp, so quality×10000 rounds to an
+    exact BIGINT whose order IS the quality order) — the corpus-scale
+    single-partition ntile sort is gone; output bit-identical to the
+    window ntile, oracle unchanged (plan-pinned in test_prefix_sum)."""
+    from ..operators.prefix_sum import sharded_ntile
+
     q = text_quality_score(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    j = q.join(d, "doc_id")
-    b = j.select(
-        "doc_id",
-        "quality",
-        "n_chars",
-        F.ntile(10)
-        .over(Window.orderBy("quality", "doc_id"))
-        .alias("bucket"),
+    j = q.join(d, "doc_id").withColumn(
+        "qk", F.round(F.col("quality") * 10000).cast("bigint")
     )
+    b = sharded_ntile(
+        j, "qk", "doc_id", 10,
+        shard=F.floor(F.col("qk") / 256), out_name="bucket",
+    ).select("doc_id", "quality", "n_chars", "bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -2792,16 +2797,19 @@ def text_bigram_greedy_decode(
     vocab bound — the events_markov_stationary precedent) where the
     inherently sequential {DECODE_STEPS}-step walk runs on Python
     ints/strings; a walk is one dict lookup per step, never a join.
+    The vocab cut is orderBy+limit (TakeOrdered — per-partition
+    top-{DECODE_VOCAB} heaps, never a single-partition sort of the
+    full distinct-token table; r11 advice closed — an unpartitioned
+    row_number window cannot WindowGroupLimit-prune).
     Collects at plan time: BUILD_EXECUTES."""
     d = wide_table(spark, sf_dir, "documents")
     toks = d.select(tx.tokens(F.col("text")).alias("ts"))
     tok = toks.select(F.explode("ts").alias("t"))
-    wv = Window.orderBy(F.desc("cnt"), "t")
     vocab = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("t", "cnt", F.row_number().over(wv).alias("vrank"))
-        .where(F.col("vrank") <= DECODE_VOCAB)
+        .orderBy(F.desc("cnt"), "t")
+        .limit(DECODE_VOCAB)
         .localCheckpoint(eager=True)
     )
     pairs = toks.select(
@@ -2830,7 +2838,9 @@ def text_bigram_greedy_decode(
         .where(F.col("rn") == 1)
         .collect()
     }
-    start = vocab.where(F.col("vrank") == 1).collect()
+    # localCheckpoint doesn't guarantee row order — re-derive the
+    # start token (global argmax) from the 512-row checkpointed table
+    start = vocab.orderBy(F.desc("cnt"), "t").limit(1).collect()
     out = []
     if start:
         cur = start[0].t

@@ -132,7 +132,9 @@ def write_ivf_index(
     # clear leftover default-location directories before writing
     # (table_location handles the lowercased-identifier dance — one
     # copy of it repo-wide, r11 review).
-    for suffix in ("_centroids", "_assign"):
+    # _dels too (the minhash-index precedent): a fresh build must not
+    # inherit a previous index generation's tombstones.
+    for suffix in ("_centroids", "_assign", "_dels"):
         t = f"{table_prefix}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(table_location(spark, t), ignore_errors=True)
@@ -177,6 +179,125 @@ def append_ivf_index(
     )
 
 
+def delete_from_ivf_index(spark, vec_ids, table_prefix: str) -> None:
+    """DELETE vectors from a written IVF index the way every
+    immutable-file index does it (the LSM/tombstone pattern,
+    ``delete_from_minhash_index``'s twin): append the vec_ids to an
+    append-only ``{prefix}_dels`` table and filter them out at probe
+    time. Nothing in ``_assign``/``_centroids`` is read or rewritten —
+    a retraction (takedown, opt-out, re-embedding recall) costs one
+    tiny append no matter the index size; dead rows are reclaimed by
+    ``vacuum_ivf_index`` or the next rebuild. ``write_ivf_index``
+    drops the tombstone table, so a fresh build never inherits a
+    previous generation's deletes."""
+    vec_ids.select("vec_id").write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{table_prefix}_dels")
+
+
+def vacuum_ivf_index(
+    spark, table_prefix: str, n_buckets: int = 8, max_parallel: int = 8
+) -> int:
+    """Fold the tombstones into the index — and, unlike the MinHash
+    band index (whose every doc scatters across all 16 bands' buckets,
+    forcing vacuum to be a FULL rewrite), an inverted list vacuums
+    INCREMENTALLY: each vector lives in exactly ONE cluster bucket,
+    so only the buckets that actually hold tombstoned rows are read
+    and rewritten; every other inverted list's files are untouched
+    byte-for-byte (pinned in test_similarity). At 100 TB this is the
+    difference between a vacuum proportional to the retraction set's
+    lists and one proportional to the index.
+
+    Mechanics: the affected bucket ids are computed with the same
+    murmur3+pmod expression Spark's bucketing uses (evaluated engine-
+    side on the actual column type — never a driver-side reimpl.);
+    each affected bucket's files are read directly, anti-joined
+    against the broadcast tombstones, rewritten as one bucket-id-
+    encoded file, and swapped in via the manifest-backed
+    ``publish_replacing`` protocol (crash at any point is recovered
+    by ``recover_inprogress`` at the next maintenance entry).
+    The ``_dels`` drop comes LAST: re-running an interrupted vacuum
+    is idempotent and converges (the anti-join of already-vacuumed
+    buckets is a no-op), so the recovery rule is simply "run it
+    again". Returns the number of distinct vec_ids vacuumed."""
+    import os
+    import shutil
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.compaction import (
+        bucket_id_of,
+        publish_replacing,
+        recover_inprogress,
+        table_location,
+    )
+
+    if not spark.catalog.tableExists(f"{table_prefix}_dels"):
+        return 0
+    dels = (
+        spark.table(f"{table_prefix}_dels")
+        .select("vec_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_dels = dels.count()
+    if n_dels == 0:
+        return 0
+    table = f"{table_prefix}_assign"
+    path = table_location(spark, table)
+    recover_inprogress(path)
+    # buckets holding tombstoned rows: pmod(murmur3(cluster_id), n) is
+    # exactly HashPartitioning.partitionIdExpression — computed on the
+    # table's own cluster_id column so the hash sees the stored type
+    affected = {
+        r.b
+        for r in spark.table(table)
+        .select("vec_id", "cluster_id")
+        .join(F.broadcast(dels), "vec_id")
+        .select(
+            F.pmod(F.hash("cluster_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    by_bucket: dict = {}
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            b = bucket_id_of(f)
+            if b is not None:
+                by_bucket.setdefault(b, []).append(os.path.join(path, f))
+    tmp_root = path + ".vacuum.tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def _rewrite(b: int) -> None:
+        group = sorted(by_bucket[b])
+        out_dir = os.path.join(tmp_root, f"b{b:05d}")
+        (
+            spark.read.parquet(*group)
+            .join(F.broadcast(dels), "vec_id", "left_anti")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        outs = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        assert len(outs) == 1, outs
+        publish_replacing(
+            path,
+            os.path.join(out_dir, outs[0]),
+            group,
+            f"part-00000-{uuid.uuid4().hex}_{b:05d}.c000.snappy.parquet",
+        )
+
+    jobs = sorted(b for b in affected if b in by_bucket)
+    if jobs:
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            list(ex.map(_rewrite, jobs))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    spark.sql(f"REFRESH TABLE {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_dels")
+    return n_dels
+
+
 def knn_ivf_indexed(
     spark,
     table_prefix: str,
@@ -184,6 +305,7 @@ def knn_ivf_indexed(
     top_k: int = 10,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    tombstones: bool = False,
 ) -> DataFrame:
     """Query the materialized IVF index. Driver-side work is bounded
     by the index size, never the corpus: the centroid table (nlist
@@ -207,6 +329,12 @@ def knn_ivf_indexed(
 
     def _probe() -> DataFrame:
         assign = spark.table(f"{table_prefix}_assign")
+        if tombstones:
+            # broadcast anti-join of the tiny _dels table — map-side,
+            # so the pruned exchange-free probe plan survives; a
+            # deleted query vector correctly raises KeyError below.
+            dels = spark.table(f"{table_prefix}_dels").select("vec_id")
+            assign = assign.join(F.broadcast(dels), "vec_id", "left_anti")
         qrow = (
             assign.filter(F.col("vec_id") == query_vec_id)
             .select(vec.as_double(F.col(vec_col)).alias("qv"))

@@ -28,7 +28,11 @@ non-decreasing per type ACROSS micro-batches (one availableNow batch
 — the certification regime — trivially satisfies this; the
 multi-trigger tests split on and INSIDE an hour). Events for hours
 already finalized (a contract violation) are dropped, never
-double-counted, and the open-hour pointer never moves backward.
+double-counted, and the open-hour pointer never moves backward —
+and the DROP IS OBSERVABLE: the cumulative dropped-event count rides
+the state and every snapshot row's ``stale`` column (r11 advice), so
+a mis-ordered source shows up in the audit output instead of
+silently diverging from the batch twin.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ CUSUM_OUT_SCHEMA = T.StructType(
         T.StructField("cusum", T.LongType()),
         T.StructField("pend", T.LongType()),
         T.StructField("upd", T.LongType()),
+        T.StructField("stale", T.LongType()),
         T.StructField("is_state", T.BooleanType()),
     ]
 )
@@ -59,6 +64,7 @@ CUSUM_STATE_SCHEMA = T.StructType(
         T.StructField("mn", T.LongType()),
         T.StructField("pend", T.LongType()),
         T.StructField("upd", T.LongType()),
+        T.StructField("stale", T.LongType()),
     ]
 )
 
@@ -68,8 +74,8 @@ def _walk_factory(h0: int, k: int, thresh: int):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (event_type,) = key
-        open_h, cs, mn, pend, upd = (
-            state.get if state.exists else (h0, 0, 0, 0, 0)
+        open_h, cs, mn, pend, upd, stale = (
+            state.get if state.exists else (h0, 0, 0, 0, 0, 0)
         )
         counts: dict[int, int] = {}
         for pdf in pdfs:
@@ -78,13 +84,18 @@ def _walk_factory(h0: int, k: int, thresh: int):
             for h, c in pdf["eh"].value_counts().items():
                 counts[int(h)] = counts.get(int(h), 0) + int(c)
         out = []
+        # events for hours BEFORE the open hour violate the source's
+        # monotone-hour contract; count them so a mis-ordered source
+        # is observable in the snapshot row instead of silently
+        # diverging from the batch twin (r11 advice)
+        stale += sum(c for h, c in counts.items() if h < open_h)
         if counts:
             maxh = max(counts)
             if maxh > open_h:
                 # finalize open_h .. maxh-1; maxh stays open
                 counts[open_h] = counts.get(open_h, 0) + pend
                 for h in range(open_h, maxh):
-                    n = counts.get(h, 0) if h >= open_h else 0
+                    n = counts.get(h, 0)
                     cs += n - k
                     mn = min(mn, cs)
                     cusum = cs - min(mn, 0)
@@ -97,6 +108,7 @@ def _walk_factory(h0: int, k: int, thresh: int):
                                 "cusum": cusum,
                                 "pend": 0,
                                 "upd": upd + 1,
+                                "stale": stale,
                                 "is_state": False,
                             }
                         )
@@ -107,7 +119,7 @@ def _walk_factory(h0: int, k: int, thresh: int):
                 # hour; the pointer never moves backward
                 pend += counts.get(open_h, 0)
         upd += 1
-        state.update((open_h, cs, mn, pend, upd))
+        state.update((open_h, cs, mn, pend, upd, stale))
         # snapshot row: eh carries open_h, n carries cs, cusum carries
         # mn, pend carries the open hour's count so far (documented
         # column reuse — cusum_finalize is the only reader)
@@ -119,6 +131,7 @@ def _walk_factory(h0: int, k: int, thresh: int):
                 "cusum": mn,
                 "pend": pend,
                 "upd": upd,
+                "stale": stale,
                 "is_state": True,
             }
         )
@@ -129,6 +142,7 @@ def _walk_factory(h0: int, k: int, thresh: int):
                 "cusum": "int64",
                 "pend": "int64",
                 "upd": "int64",
+                "stale": "int64",
                 "is_state": "bool",
             }
         )

@@ -94,3 +94,96 @@ class TestExecute:
         after_df = compacted.unionByName(untouched)
         after = chk(after_df)
         assert (before.a, before.b, before.c) == (after.a, after.b, after.c)
+
+
+class TestInprogressRecovery:
+    """r12 (r11 advice): an interrupted publish must be mechanically
+    recovered at the next maintenance entry — every crash window of
+    publish_replacing either rolls back or finalizes exactly."""
+
+    def _dir_with(self, tmp_path, names):
+        d = tmp_path / "t"
+        d.mkdir()
+        for n, content in names.items():
+            (d / n).write_bytes(content)
+        return str(d)
+
+    def test_finalize_deletes_survivors_no_duplication(self, tmp_path):
+        import json
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            recover_inprogress,
+        )
+
+        # crash mid-step-3: one original already deleted, one survives
+        d = self._dir_with(
+            tmp_path,
+            {
+                "a.parquet": b"old-a",
+                ".merged.parquet.inprogress": b"merged-union",
+                ".merged.parquet.inprogress.manifest": json.dumps(
+                    {
+                        "dest": "merged.parquet",
+                        "originals": ["a.parquet", "b.parquet"],
+                    }
+                ).encode(),
+            },
+        )
+        assert recover_inprogress(d) == 1
+        assert sorted(os.listdir(d)) == ["merged.parquet"]
+        with open(os.path.join(d, "merged.parquet"), "rb") as f:
+            assert f.read() == b"merged-union"
+
+    def test_rollback_when_pending_never_placed(self, tmp_path):
+        import json
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            recover_inprogress,
+        )
+
+        d = self._dir_with(
+            tmp_path,
+            {
+                "a.parquet": b"old-a",
+                "b.parquet": b"old-b",
+                ".merged.parquet.inprogress.manifest": json.dumps(
+                    {
+                        "dest": "merged.parquet",
+                        "originals": ["a.parquet", "b.parquet"],
+                    }
+                ).encode(),
+            },
+        )
+        assert recover_inprogress(d) == 1
+        assert sorted(os.listdir(d)) == ["a.parquet", "b.parquet"]
+
+    def test_orphan_inprogress_raises(self, tmp_path):
+        from hive_hdfs_practise_spark.operators.compaction import (
+            recover_inprogress,
+        )
+
+        d = self._dir_with(
+            tmp_path, {".x.parquet.inprogress": b"?", "a.parquet": b"a"}
+        )
+        with pytest.raises(RuntimeError, match="unattributable"):
+            recover_inprogress(d)
+
+    def test_roundtrip_publish_then_recover_noop(self, tmp_path):
+        from hive_hdfs_practise_spark.operators.compaction import (
+            publish_replacing,
+            recover_inprogress,
+        )
+
+        d = self._dir_with(
+            tmp_path, {"a.parquet": b"old-a", "b.parquet": b"old-b"}
+        )
+        src = tmp_path / "src.parquet"
+        src.write_bytes(b"merged")
+        publish_replacing(
+            d,
+            str(src),
+            [os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")],
+            "m.parquet",
+        )
+        assert sorted(os.listdir(d)) == ["m.parquet"]
+        assert recover_inprogress(d) == 0

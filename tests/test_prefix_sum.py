@@ -549,3 +549,78 @@ def test_r11_vq_shard_split_cross_engine(spark, r11_megacell_dir):
         plans.ORACLES["embeddings_ivf_cell_stats"]
     ).fetchall()[0]
     assert tuple(row) == tuple(int(x) for x in want)
+
+
+# ---------------------------------------------------------------------------
+# r12: sharded_ntile — the de-ntile helper (verdict items 1-2). The
+# claim that earns its keep: bit-identical to the window ntile
+# (including ntile's front-loaded remainder buckets, which the
+# (rank-1)*k div n rank law does NOT reproduce when n % k != 0).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-30, max_value=30),  # heavy ties by design
+        min_size=1,
+        max_size=97,  # odd sizes exercise n % k != 0
+    ),
+    k=st.sampled_from([2, 5, 7, 10, 200]),  # 200 > n exercises q = 0
+    width=st.sampled_from([1, 8, 1000]),
+)
+def test_sharded_ntile_matches_window_ntile(spark, vals, k, width):
+    from pyspark.sql.window import Window
+
+    from hive_hdfs_practise_spark.operators.prefix_sum import sharded_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id",
+            F.ntile(k).over(Window.orderBy("v", "id")).alias("b"),
+        ).collect()
+    }
+    got = {
+        r.id: r.b
+        for r in sharded_ntile(
+            df, "v", "id", k,
+            shard=F.floor(F.col("v") / F.lit(width)),
+            out_name="b",
+        ).collect()
+    }
+    assert got == want
+
+
+def _unpartitioned_windows(plan: str) -> list:
+    """windowspecdefinition(...) occurrences with NO partition column
+    (every arg before specifiedwindowframe carries ASC/DESC = order
+    only; empty = global frame)."""
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"windowspecdefinition\(([^()]*)specifiedwindowframe", plan
+    ):
+        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+        if not any(" ASC" not in a and " DESC" not in a for a in args):
+            out.append(m.group(0))
+    return out
+
+
+def test_de_ntiled_plans_have_no_unpartitioned_window(spark):
+    """r11 verdict weak items: customer_rfm_segments and
+    documents_curriculum_deciles must carry NO single-partition
+    global window (and no ntile node at all) in their physical
+    plans."""
+    from hive_hdfs_practise_spark.plans import QUERIES
+
+    for name in ("customer_rfm_segments", "documents_curriculum_deciles"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in plan, name
+        bad = _unpartitioned_windows(plan)
+        assert not bad, (name, bad)
+        spark.catalog.clearCache()

@@ -161,6 +161,8 @@ BUILD_EXECUTES = {
     "text_bigram_greedy_decode",
     # r11: writes the index + appends tombstones at plan time
     "dedup_minhash_index_delete",
+    # r12: writes the IVF index + appends tombstones at plan time
+    "knn_ivf_index_delete",
     # r11: collects grid bounds + runs the stream at plan time
     "stream_rate_cusum",
     # r10: signature/pair checkpoints + iterative CC at plan time

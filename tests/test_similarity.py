@@ -974,3 +974,193 @@ class TestIvfIndexCompact:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert f"SelectedBucketsCount: {IVF_NPROBE} out of" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestIvfIndexDelete:
+    """r12: tombstone deletes — index files byte-stable, deleted
+    vec_ids absent from every probe, probe plan still pruned and
+    exchange-free."""
+
+    def test_delete_byte_stable_filtered_and_pruned(self, spark):
+        import hashlib
+        import os
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.similarity import (
+            IVF_DELETE_NIBBLE,
+            IVF_ITERS,
+            IVF_NLIST,
+            IVF_NPROBE,
+        )
+        from hive_hdfs_practise_spark.similarity.knn import (
+            delete_from_ivf_index,
+            knn_ivf_indexed,
+            write_ivf_index,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        e = wide_table(spark, sf, "embeddings")
+        write_ivf_index(
+            spark, e, "ivf_del_test_idx", nlist=IVF_NLIST, iters=IVF_ITERS
+        )
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        deleted = e.where(nib == IVF_DELETE_NIBBLE).select("vec_id")
+        del_ids = {r.vec_id for r in deleted.collect()}
+        assert del_ids
+
+        def snap(table):
+            root = table_location(spark, table)
+            out = {}
+            for dp, _, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(dp, f)
+                        with open(p, "rb") as fh:
+                            out[p] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        before = {
+            t: snap(f"ivf_del_test_idx_{t}") for t in ("assign", "centroids")
+        }
+        delete_from_ivf_index(spark, deleted, "ivf_del_test_idx")
+        for t, b in before.items():
+            assert snap(f"ivf_del_test_idx_{t}") == b, t
+        # probing with a deleted query vector raises; probes from any
+        # kept query never return a deleted id
+        df = knn_ivf_indexed(
+            spark, "ivf_del_test_idx", 0, 50,
+            nprobe=IVF_NLIST, tombstones=True,
+        )
+        got = {r.vec_id for r in df.collect()}
+        assert got and not (got & del_ids)
+        some_deleted = sorted(del_ids)[0]
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            knn_ivf_indexed(
+                spark, "ivf_del_test_idx", some_deleted, 5, tombstones=True
+            )
+        # plan: pruned + exchange-free with the tombstone anti-join on
+        plan = (
+            knn_ivf_indexed(
+                spark, "ivf_del_test_idx", 0,
+                nprobe=IVF_NPROBE, tombstones=True,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert f"SelectedBucketsCount: {IVF_NPROBE} out of" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestIvfIndexVacuum:
+    """r12: vacuum folds the tombstones in INCREMENTALLY — only the
+    affected cluster buckets' files are rewritten; unaffected buckets
+    stay byte-identical (the inverted-list advantage over the
+    scatter-everywhere band index, whose vacuum is a full rewrite)."""
+
+    def test_vacuum_incremental_parity_idempotent(self, spark):
+        import hashlib
+        import os
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            bucket_id_of,
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.similarity import (
+            IVF_DELETE_NIBBLE,
+            IVF_ITERS,
+            IVF_NLIST,
+            IVF_NPROBE,
+        )
+        from hive_hdfs_practise_spark.similarity.knn import (
+            delete_from_ivf_index,
+            knn_ivf_indexed,
+            vacuum_ivf_index,
+            write_ivf_index,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        e = wide_table(spark, sf, "embeddings")
+        write_ivf_index(
+            spark, e, "ivf_vac_test_idx", nlist=IVF_NLIST, iters=IVF_ITERS
+        )
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        deleted = e.where(nib == IVF_DELETE_NIBBLE).select("vec_id")
+        del_ids = {r.vec_id for r in deleted.collect()}
+        delete_from_ivf_index(spark, deleted, "ivf_vac_test_idx")
+        table = "ivf_vac_test_idx_assign"
+        path = table_location(spark, table)
+        # which buckets hold tombstoned rows (ground truth from data)
+        affected = {
+            r.b
+            for r in spark.table(table)
+            .where(F.col("vec_id").isin(list(del_ids)))
+            .select(
+                F.pmod(F.hash("cluster_id"), F.lit(IVF_NLIST)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        assert affected and len(affected) < IVF_NLIST, affected
+
+        def snap():
+            out = {}
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(path, f), "rb") as fh:
+                        out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        before_probe = {
+            (r.vec_id, r.cosine)
+            for r in knn_ivf_indexed(
+                spark, "ivf_vac_test_idx", 0, 50,
+                nprobe=IVF_NLIST, tombstones=True,
+            ).collect()
+        }
+        before_files = snap()
+        n = vacuum_ivf_index(spark, "ivf_vac_test_idx", n_buckets=IVF_NLIST)
+        assert n == len(del_ids) > 0
+        assert not spark.catalog.tableExists("ivf_vac_test_idx_dels")
+        after_files = snap()
+        # (a) incremental: every unaffected bucket's files untouched
+        for f, digest in before_files.items():
+            if bucket_id_of(f) not in affected:
+                assert after_files.get(f) == digest, f
+        # (b) every affected bucket WAS rewritten (old files gone)
+        for f in before_files:
+            if bucket_id_of(f) in affected:
+                assert f not in after_files, f
+        # (c) no deleted vec_id survives; kept rows all survive
+        ids = {
+            r.vec_id for r in spark.table(table).select("vec_id").collect()
+        }
+        assert not (ids & del_ids)
+        assert ids == {r.vec_id for r in e.select("vec_id").collect()} - del_ids
+        # (d) a plain probe (no anti-join) now equals the tombstoned
+        # probe from before the vacuum
+        after_probe = {
+            (r.vec_id, r.cosine)
+            for r in knn_ivf_indexed(
+                spark, "ivf_vac_test_idx", 0, 50, nprobe=IVF_NLIST
+            ).collect()
+        }
+        assert after_probe == before_probe and after_probe
+        # (e) idempotent; (f) plan still pruned + exchange-free
+        assert vacuum_ivf_index(spark, "ivf_vac_test_idx", IVF_NLIST) == 0
+        plan = (
+            knn_ivf_indexed(
+                spark, "ivf_vac_test_idx", 0, nprobe=IVF_NPROBE
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert f"SelectedBucketsCount: {IVF_NPROBE} out of" in plan
+        assert "Exchange hashpartitioning" not in plan
