@@ -282,6 +282,15 @@ BENCH_QUERIES = [
     "stream_rate_cusum",
     "events_purchase_attribution",
     "events_bot_detection",
+    # r12 additions — incl. the three headline composition pipelines
+    # the r11 verdict flagged as unbenched (what an end-to-end user
+    # actually runs)
+    "pipeline_training_data_lsh",
+    "dedup_clusters_lsh",
+    "knn_lsh_bucketed",
+    "knn_ivf_index_delete",
+    "stream_minhash_index_append",
+    "documents_chunk_fuzzy_dedup",
 ]
 
 

@@ -62,8 +62,21 @@ def minhash_family(sf_dir: str) -> str:
     fam = os.environ.get(_FAMILY_ENV, "")
     if fam in ("md5", "xxhash"):
         return fam
+    target = os.path.join(sf_dir, "documents.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+        # a corpus can be one bare file (driver testdata) OR a Spark
+        # output DIRECTORY of part files; getsize on a directory
+        # returns the ~4 KB dirent and silently selected md5 on every
+        # scaled corpus (r12: a 40× index build measured 264 s md5 vs
+        # 23 s xxhash because of exactly this)
+        if os.path.isdir(target):
+            size = sum(
+                os.path.getsize(os.path.join(target, f))
+                for f in os.listdir(target)
+                if f.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(target)
     except OSError:
         return "xxhash"
     return "md5" if size <= _MD5_FAMILY_MAX_BYTES else "xxhash"

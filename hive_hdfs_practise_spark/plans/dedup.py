@@ -263,11 +263,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, d: DataFrame
+    spark: SparkSession, sf_dir: str, d: DataFrame,
+    verify_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup_minhash_lsh pipeline over an explicit (doc_id, text)
     frame — factored (r11) so the detector-agreement audit can run
-    the IDENTICAL pipeline over its sampled-docs frame."""
+    the IDENTICAL pipeline over its sampled-docs frame.
+
+    ``verify_docs``: the (doc_id, text) side the exact-Jaccard verify
+    reads. Defaults to the full documents table (valid for any input
+    whose doc_ids come from it); callers whose ids are DERIVED (the
+    chunk-grain dedup's composite chunk ids) must pass their own
+    frame (r12)."""
     family = mh.minhash_family(sf_dir)
     # materialize signatures once (tiny: n_docs × 128 longs) — they
     # feed banding AND the estimate-prefilter below; without the
@@ -301,7 +308,11 @@ def _minhash_lsh_pairs(
     # survived the prefilter — a tiny set, and AQE broadcasts it.
     # The full documents table is a valid verify side for ANY input
     # frame whose doc_ids come from it (candidates restrict the join).
-    docs = wide_table(spark, sf_dir, "documents")
+    docs = (
+        verify_docs
+        if verify_docs is not None
+        else wide_table(spark, sf_dir, "documents")
+    )
     return exact_jaccard_pairs(cand, docs)
 
 
@@ -3195,6 +3206,63 @@ CDC_K = 8
 CDC_MOD = 32
 
 
+def _cdc_chunks(d: DataFrame, mod: int) -> DataFrame:
+    """(doc_id, j, chunk) content-defined chunks of d(doc_id, text,
+    n): cut after char i+K−1 whenever u32(md5(text[i..i+K−1])) ≡ 0
+    (mod ``mod``), end-of-doc cuts dropped — boundaries are
+    CONTENT-ANCHORED, so an edit shifts only the chunks it touches
+    (the alignment property the chunk-grain fuzzy dedup depends on;
+    fixed-size windows would misalign every repeat that starts at a
+    different offset). Expected chunk ≈ ``mod`` chars. Shared by
+    documents_cdc_dedup (CDC_MOD storage grain) and
+    documents_chunk_fuzzy_dedup (CDC_FUZZY_MOD paragraph grain)."""
+    grams = d.filter(F.col("n") >= CDC_K).select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"explode(transform(sequence(1, n - {CDC_K - 1}),"
+            f" i -> struct(i AS i, substring(text, i, {CDC_K}) AS g)))"
+        ).alias("pg"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("pg.g")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    cuts = (
+        grams.withColumn("e", F.col("pg.i") + (CDC_K - 1))
+        .filter((u32 % mod == 0) & (F.col("e") < F.col("n")))
+        .select("doc_id", "e")
+    )
+    ends = cuts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("e")).alias("ends")
+    )
+    segs = d.join(ends, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "n",
+        F.coalesce(F.col("ends"), F.expr("array()").cast("array<int>")).alias(
+            "ends"
+        ),
+    )
+    return segs.select(
+        "doc_id",
+        "text",
+        "n",
+        "ends",
+        F.explode(F.expr("sequence(1, size(ends) + 1)")).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.expr(
+            """substring(text,
+                 CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,
+                 (CASE WHEN j = size(ends) + 1 THEN n
+                       ELSE element_at(ends, j) END)
+                 - (CASE WHEN j = 1 THEN 0
+                         ELSE element_at(ends, j - 1) END))"""
+        ).alias("chunk"),
+    )
+
+
 def _cdc_oracle() -> str:
     from .similarity import _md5_u32_sql
 
@@ -3256,48 +3324,7 @@ def documents_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = wide_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("n")
     )
-    grams = d.filter(F.col("n") >= CDC_K).select(
-        "doc_id",
-        "n",
-        F.expr(
-            f"explode(transform(sequence(1, n - {CDC_K - 1}),"
-            f" i -> struct(i AS i, substring(text, i, {CDC_K}) AS g)))"
-        ).alias("pg"),
-    )
-    u32 = F.conv(F.substring(F.md5(F.col("pg.g")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    cuts = (
-        grams.withColumn("e", F.col("pg.i") + (CDC_K - 1))
-        .filter((u32 % CDC_MOD == 0) & (F.col("e") < F.col("n")))
-        .select("doc_id", "e")
-    )
-    ends = cuts.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("e")).alias("ends")
-    )
-    segs = d.join(ends, "doc_id", "left").select(
-        "doc_id",
-        "text",
-        "n",
-        F.coalesce(F.col("ends"), F.expr("array()").cast("array<int>")).alias(
-            "ends"
-        ),
-    )
-    chunks = segs.select(
-        "text",
-        "n",
-        "ends",
-        F.explode(F.expr("sequence(1, size(ends) + 1)")).alias("j"),
-    ).select(
-        F.expr(
-            """substring(text,
-                 CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,
-                 (CASE WHEN j = size(ends) + 1 THEN n
-                       ELSE element_at(ends, j) END)
-                 - (CASE WHEN j = 1 THEN 0
-                         ELSE element_at(ends, j - 1) END))"""
-        ).alias("chunk")
-    )
+    chunks = _cdc_chunks(d, CDC_MOD)
     g = chunks.groupBy(
         F.md5("chunk").alias("h"), F.length("chunk").alias("L")
     ).agg(F.count(F.lit(1)).alias("m"))
@@ -3512,4 +3539,126 @@ def dedup_minhash_j_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("j_band")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# Chunk-grain FUZZY dedup (r12) — the paragraph/window-grain operator
+# the r11 verdict queued (with the vacuity check done FIRST: 16
+# cross-doc duplicate chunks up to 425 chars exist at sf0.01, so the
+# operator is non-vacuous on this corpus; a fixed token-window
+# splitter was REJECTED at design time — repeats starting at
+# different offsets misalign fixed windows, while CDC boundaries are
+# content-anchored and land at the same cut points inside any shared
+# region). Chunks at the CDC_FUZZY_MOD (~256-char paragraph) grain,
+# length-floored at CHUNK_MIN_LEN, become derived documents with the
+# composite id doc_id·2^20+j, and the UNCHANGED dedup_minhash_lsh
+# pipeline runs over them; verified chunk pairs aggregate to doc
+# pairs with match counts. Finds partial-overlap doc pairs whole-doc
+# dedup misses (a doc that quotes one paragraph of another never
+# reaches whole-doc Jaccard 0.7).
+CDC_FUZZY_MOD = 256
+CHUNK_MIN_LEN = 64
+CHUNK_ID_BASE = 1 << 20  # chunk index bound: a 2^20-chunk doc ≈ 268 MB
+
+
+def _chunk_docs_ctes() -> str:
+    from .similarity import _md5_u32_sql
+
+    u32 = _md5_u32_sql(f"substring(text, x, {CDC_K})")
+    return f"""cd AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    csegs AS (
+        SELECT doc_id, text, n,
+               [x + {CDC_K - 1}
+                for x in generate_series(1, greatest(n - {CDC_K - 1}, 0))
+                if ({u32}) % {CDC_FUZZY_MOD} = 0 AND x + {CDC_K - 1} < n]
+                   AS ends
+        FROM cd
+    ),
+    cch AS (
+        SELECT doc_id, u['j'] AS j, u['c'] AS c FROM (
+            SELECT doc_id,
+                   unnest([{{'j': j, 'c': substring(text,
+                        CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                        (CASE WHEN j = len(ends) + 1 THEN n
+                              ELSE ends[j] END)
+                        - (CASE WHEN j = 1 THEN 0
+                                ELSE ends[j - 1] END))}}
+                       for j in generate_series(1, len(ends) + 1)]) AS u
+            FROM csegs
+        )
+    ),
+    chunk_docs AS (
+        SELECT doc_id * {CHUNK_ID_BASE} + j AS doc_id, c AS text
+        FROM cch WHERE len(c) >= {CHUNK_MIN_LEN}
+    ),
+    """
+
+
+def _chunk_fuzzy_oracle() -> str:
+    """The FULL dedup_minhash_lsh restatement nested over the
+    chunk_docs CTE (the kept_docs/index-delete idiom), then the
+    doc-pair rollup — integer counts, 6dp max of identically-rounded
+    jaccards."""
+    inner = _minhash_lsh_oracle(
+        table="chunk_docs", pre_ctes=_chunk_docs_ctes()
+    )
+    return f"""
+    WITH cpairs AS ({inner})
+    SELECT least(doc_a // {CHUNK_ID_BASE}, doc_b // {CHUNK_ID_BASE})
+               AS doc_a,
+           greatest(doc_a // {CHUNK_ID_BASE}, doc_b // {CHUNK_ID_BASE})
+               AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_chunk_matches,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM cpairs
+    WHERE doc_a // {CHUNK_ID_BASE} <> doc_b // {CHUNK_ID_BASE}
+    GROUP BY 1, 2
+    """
+
+
+@register("documents_chunk_fuzzy_dedup", oracle=_chunk_fuzzy_oracle())
+def documents_chunk_fuzzy_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunk-grain fuzzy dedup (design note above): doc pairs sharing
+    ≥1 near-duplicate CDC chunk (chunk-level Jaccard ≥ 0.7), with the
+    matched-chunk count and the best chunk Jaccard.
+
+    Scale shape: the chunker is the span family's irreducible
+    Θ(chars) rolling-hash scan (one md5 per position, codegen'd);
+    everything after runs on the chunk table (~chars/{CDC_FUZZY_MOD}
+    rows, persist()ed — the signature build and the verify side both
+    read it) through the UNCHANGED banded LSH pipeline — candidates
+    shuffle (band, key) only, the verify is exact chunk-shingle
+    Jaccard, and the rollup is one map-side-combining aggregate.
+    Same-doc chunk pairs are excluded AFTER verification on both
+    sides. Builder runs jobs at plan time (signature checkpoint):
+    BUILD_EXECUTES."""
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    cd = (
+        _cdc_chunks(d, CDC_FUZZY_MOD)
+        .filter(F.length("chunk") >= CHUNK_MIN_LEN)
+        .select(
+            (F.col("doc_id") * CHUNK_ID_BASE + F.col("j")).alias("doc_id"),
+            F.col("chunk").alias("text"),
+        )
+        .persist()
+    )
+    pairs = _minhash_lsh_pairs(spark, sf_dir, cd, verify_docs=cd)
+    da = F.expr(f"doc_a div {CHUNK_ID_BASE}")
+    db = F.expr(f"doc_b div {CHUNK_ID_BASE}")
+    return (
+        pairs.select(
+            F.least(da, db).alias("doc_a"),
+            F.greatest(da, db).alias("doc_b"),
+            "jaccard",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunk_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
     )

@@ -131,12 +131,12 @@ def _pipeline_oracle(lsh_pairs: bool = False) -> str:
 from .registry import register  # noqa: E402
 
 
-@register("pipeline_training_data", oracle=_pipeline_oracle())
-def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation chain (see module docstring); per-split doc and
-    token counts of the surviving corpus."""
-    # the quality/lang-argmax arithmetic is the SHARED column builders
-    # (r8: the third verbatim copy lived here — review catch)
+def _kept_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of the curation chain — quality/lang gate + exact
+    dedup (lowest doc_id per identical text) — factored to ONE copy
+    (r12: the lsh variant carried a drifted inline restatement of the
+    quality/lang arithmetic; the shared column builders are the r8
+    review's single source of truth)."""
     from .text import _langpred_col, _quality_col
 
     d = wide_table(spark, sf_dir, "documents")
@@ -151,14 +151,41 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
         .select("doc_id", "text", "lang")
     )
-
-    # exact dedup: keep the lowest doc_id per identical text
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    uniq = (
+    return (
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _pipeline_tail(uniq: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Stages 4-5 — transitive closure, survivor pick (cluster root
+    or unpaired), split, per-split doc/token counts — factored to one
+    copy shared by the three pipeline variants."""
+    comp = connected_components(pairs)
+    final = (
+        uniq.join(comp, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    return (
+        dataset_split(final, "doc_id", 80, 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(tx.token_count(F.col("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    )
+
+
+@register("pipeline_training_data", oracle=_pipeline_oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation chain (see module docstring); per-split doc and
+    token counts of the surviving corpus."""
+    uniq = _kept_uniq(spark, sf_dir)
 
     # near-dup pairs (exact Jaccard, lang-blocked) over the deduped
     # set; checkpointed — the self-join would otherwise replay the
@@ -180,23 +207,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    comp = connected_components(pairs)
-    final = (
-        uniq.join(comp, "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
-        .select("doc_id", "text")
-    )
-
-    return (
-        dataset_split(final, "doc_id", 80, 10)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(tx.token_count(F.col("text"))), F.lit(0))
-            .cast("bigint")
-            .alias("total_tokens"),
-        )
-    )
+    return _pipeline_tail(uniq, pairs)
 
 
 @register("pipeline_training_data_lsh", oracle=_pipeline_oracle(lsh_pairs=True))
@@ -214,40 +225,7 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import minhash as mh
     from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
 
-    d = wide_table(spark, sf_dir, "documents")
-    feats = _token_agg(spark, sf_dir)
-    mtl = F.when(
-        F.col("n_tokens") > 0, F.col("sum_len").cast("double") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    sw_ratio = F.when(
-        F.col("n_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    p_ratio = F.when(F.col("n") > 0, F.col("n_punct") / F.col("n")).otherwise(F.lit(0.0))
-    d_ratio = F.when(F.col("n") > 0, F.col("n_digit") / F.col("n")).otherwise(F.lit(0.0))
-    quality = F.round(
-        0.4 * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-        + 0.2 * F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
-        + 0.2 * (1.0 - F.least(p_ratio * 5.0, F.lit(1.0)))
-        + 0.2 * (1.0 - F.least(d_ratio * 5.0, F.lit(1.0))),
-        4,
-    )
-    scores = {lang: F.col(f"s_{lang}").cast("long") for lang in tx.LANG_MARKERS}
-    scores["zh"] = (F.col("n_cjk") * 3).cast("long")
-    top = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(tx.LANG_PRIORITY):
-        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
-    pred = F.when(top > 0, pred).otherwise(F.lit("und"))
-    judged = feats.select("doc_id", quality.alias("quality"), pred.alias("lang_pred"))
-    kept = (
-        d.join(judged, "doc_id")
-        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
-        .select("doc_id", "text", "lang")
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    uniq = (
-        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    )
+    uniq = _kept_uniq(spark, sf_dir)
 
     # LSH candidates over the deduped set, lang-blocked to mirror the
     # exact pair definition, then exact-verified
@@ -279,19 +257,91 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs)
-    final = (
-        uniq.join(comp, "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
-        .select("doc_id", "text")
+    return _pipeline_tail(uniq, pairs)
+
+
+@register(
+    "documents_dedup_pipeline_indexed",
+    oracle=_pipeline_oracle(lsh_pairs=True),
+)
+def documents_dedup_pipeline_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index REUSE in the flagship end-to-end curation line (r12 —
+    the r11 verdict's suggested composition): the same chain as
+    pipeline_training_data_lsh, but the near-dup stage probes a
+    MATERIALIZED lang-blocked band index over the gated+deduped set
+    (``write_minhash_index(..., extra_cols=("lang",), downsample=1)``
+    — the pipeline's own signature config) instead of banding
+    inline. Candidate grouping on (lang, band, band_key) — a superset
+    of the (band, band_key) bucket columns — rides the bucketed
+    layout with ZERO exchange (plan-pinned in test_pipeline);
+    verification is the pipeline's exact shingle Jaccard verbatim.
+    Same output, same recursive-CTE oracle — a green row certifies
+    the WRITTEN index inside the end-to-end line, the regime where a
+    curation pipeline runs repeatedly against a maintained index
+    rather than re-banding the corpus per run. Builder writes the
+    index at plan time: BUILD_EXECUTES."""
+    from ..dedup import minhash as mh
+    from ..operators.confscope import build_with_conf
+    from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
+
+    family = mh.minhash_family(sf_dir)
+    # checkpoint: the index write, the verify side, and the tail all
+    # reread the gated+deduped frame
+    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
+    mh.write_minhash_index(
+        spark,
+        uniq,
+        "pipeline_dedup_idx",
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=1,
+        family=family,
+        extra_cols=("lang",),
     )
-    return (
-        dataset_split(final, "doc_id", 80, 10)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(tx.token_count(F.col("text"))), F.lit(0))
-            .cast("bigint")
-            .alias("total_tokens"),
+
+    def _probe() -> DataFrame:
+        banded = spark.table("pipeline_dedup_idx_bands")
+        cand = mh.pairs_within_buckets(
+            banded, "doc_id", ["lang", "band", "band_key"]
         )
+        shingled = uniq.select(
+            "doc_id",
+            tx.char_shingles(F.col("text"), SHINGLE_K).alias("shingles"),
+        ).localCheckpoint(eager=True)
+        sh_a = shingled.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sh_b = shingled.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+        return (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .filter(
+                (n_union > 0)
+                & (
+                    F.round(n_inter.cast("double") / n_union, 6)
+                    >= JACCARD_THRESHOLD
+                )
+            )
+            .select("doc_a", "doc_b")
+            # materialize INSIDE the conf scope: the closure's
+            # checkpoints would otherwise recompile this plan under
+            # the restored conf and silently lose the bucketed-scan
+            # pin (the r10 build_with_conf lesson)
+            .localCheckpoint(eager=True)
+        )
+
+    pairs = build_with_conf(
+        spark,
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false",
+        _probe,
     )
+    return _pipeline_tail(uniq, pairs)

@@ -921,3 +921,93 @@ def cusum_finalize(
         .where(F.col("cusum") > thresh)
     )
     return det.unionByName(trail)
+
+
+def _stream_index_append_oracle() -> str:
+    from .dedup import _minhash_lsh_oracle
+
+    return _minhash_lsh_oracle()
+
+
+@register(
+    "stream_minhash_index_append", oracle=_stream_index_append_oracle()
+)
+def stream_minhash_index_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming index INGESTION — the 19th value-checked stream twin
+    and the production incremental-index regime the batch maintenance
+    query (dedup_minhash_index_append) certifies one batch of: the
+    corpus shard's band index is built batch-side; the delta shard
+    then ARRIVES AS A STREAM and every micro-batch appends its
+    signatures + band rows to the materialized index through
+    ``foreachBatch`` → the SAME JVM ``append_minhash_index`` path
+    (bucketed appends add per-bucket files, never rewrite existing
+    ones — byte-stability of pre-existing files pinned in
+    test_streaming). After the bounded stream drains, the probe runs
+    the full indexed pipeline: because signatures/band rows are
+    per-doc deterministic, the streamed-in index equals the
+    from-scratch build row for row, so the output carries the SAME
+    full-restatement oracle as the batch family (value-checked, not
+    rows-only) — a green row certifies the index the STREAM built.
+    Micro-batch split invariance (maxFilesPerTrigger=1) is pinned in
+    tests. Exactly-once note: a replayed batch would append duplicate
+    band/sig rows; duplicates only duplicate candidate pairs, which
+    the probe's distinct absorbs — the LSM answer is the same
+    rebuild/vacuum that reclaims tombstones, and a deployment keyed
+    on batch_id (exposed by foreachBatch) can skip replays outright.
+    Runs the stream + index writes at plan time: BUILD_EXECUTES."""
+    from ..dedup import minhash as mh
+    from ..streaming.windows import run_foreach_batch
+    from .constants import N_BANDS, N_PERM, ROWS_PER_BAND, SHINGLE_K
+    from .dedup import _indexed_pairs, _probe_delta_col
+
+    family = mh.minhash_family(sf_dir)
+    kw = dict(
+        k=SHINGLE_K,
+        n_perm=N_PERM,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        downsample=4,
+        family=family,
+    )
+    # wide_table, not table: the corpus can arrive as ONE part file,
+    # and signature building is exactly the compute-dense per-row
+    # work the round-robin spread exists for (a 40× build measured
+    # 264 s single-partition vs ~23 s spread — the same trap the
+    # stream side's repartition(32) guards)
+    from ..sources.catalog import wide_table
+
+    d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(~_probe_delta_col())
+    mh.write_minhash_index(spark, corpus, "minhash_stream_idx", **kw)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # a single-file micro-batch is ONE partition, which would run
+        # the whole signature aggregate on one core (the
+        # stream_dedup_minhash / decontamination_bloom class — this
+        # twin measured 284 s vs 23 s at 40× before the spread)
+        mh.append_minhash_index(
+            spark,
+            batch_df.select("doc_id", "text").repartition(32),
+            "minhash_stream_idx",
+            **kw,
+        )
+
+    delta_stream = (
+        _documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(_probe_delta_col())
+    )
+    run_foreach_batch(
+        delta_stream, _append, "stream_minhash_index_append"
+    )
+    # foreachBatch runs on a CLONED session (micro-batch isolation);
+    # its appends share the warehouse but the outer session's cached
+    # file listing for the two tables predates them — refresh before
+    # probing or the probe silently reads the pre-stream index.
+    spark.sql("REFRESH TABLE minhash_stream_idx_sigs")
+    spark.sql("REFRESH TABLE minhash_stream_idx_bands")
+    return _indexed_pairs(spark, sf_dir, "minhash_stream_idx")

@@ -100,3 +100,22 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_foreach_batch(stream_df: DataFrame, fn, query_name: str) -> None:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.availableNow), delivering each micro-batch DataFrame to
+    ``fn(batch_df, batch_id)`` — the production sink shape for
+    external-system writes (index appends, upserts, table
+    maintenance): foreachBatch is the Structured Streaming idiom for
+    sinks the engine has no native connector for, with the batch_id
+    available for the caller's own idempotence bookkeeping. A
+    temporary checkpoint is used (availableNow bounded runs — the
+    run_available_now pattern)."""
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -223,6 +223,45 @@ class TestPipelineLshParity:
         }
         assert exact == lsh
 
+    def test_indexed_pipeline_equals_exact_and_stays_exchange_free(
+        self, spark
+    ):
+        """r12: the index-reuse composition must return the identical
+        split counts AND its candidate grouping must ride the written
+        bucketed layout with zero exchange."""
+        from hive_hdfs_practise_spark import plans as P
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r.split, r.n_docs, r.total_tokens)
+            for r in P.QUERIES["pipeline_training_data"](spark, sf).collect()
+        }
+        idx = {
+            (r.split, r.n_docs, r.total_tokens)
+            for r in P.QUERIES["documents_dedup_pipeline_indexed"](
+                spark, sf
+            ).collect()
+        }
+        assert exact == idx and idx
+        # exchange pin on the index the query just wrote
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            banded = spark.table("pipeline_dedup_idx_bands")
+            cand = mh.pairs_within_buckets(
+                banded, "doc_id", ["lang", "band", "band_key"]
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(lang" not in plan.lower(), plan[:3000]
+            assert "hashpartitioning(band" not in plan.lower(), plan[:3000]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+
 
 class TestEmbeddingLsh:
     SF = "/root/testdata/sf0.001"
@@ -1688,3 +1727,85 @@ class TestIndexVacuum:
             )
         # (d) idempotent: a second vacuum is a no-op
         assert mh.vacuum_minhash_index(spark, "minhash_vac_test_idx") == 0
+
+
+class TestChunkFuzzyPartialOverlap:
+    """r12: the chunk-grain fuzzy dedup's DISTINCTIVE capability —
+    finding a doc pair that shares one paragraph but is nowhere near
+    whole-doc Jaccard 0.7 — pinned on a crafted corpus (the natural
+    corpus's chunk pairs are all whole-doc pairs, so only an
+    adversarial pin demonstrates the operator isn't redundant), and
+    cross-engine (full oracle on the same corpus)."""
+
+    @pytest.fixture(scope="class")
+    def partial_overlap_dir(self, tmp_path_factory):
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(12)
+
+        def blob(n):
+            return "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz 0123456789")
+                for _ in range(n)
+            )
+
+        para = blob(1500)            # the shared paragraph
+        filler_a, filler_b = blob(2500), blob(2500)
+        docs = [
+            (0, para + filler_a),    # para at offset 0
+            (1, filler_b + para),    # same para at offset 2500
+            (2, blob(2000)),         # unrelated
+        ]
+        d = tmp_path_factory.mktemp("partial_sf")
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_partial_overlap_found_cross_engine(
+        self, spark, partial_overlap_dir
+    ):
+        import duckdb
+
+        from hive_hdfs_practise_spark import plans
+
+        got = {
+            (r.doc_a, r.doc_b): (r.n_chunk_matches, r.max_jaccard)
+            for r in plans.QUERIES["documents_chunk_fuzzy_dedup"](
+                spark, partial_overlap_dir
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        # the shared-paragraph pair IS found at chunk grain...
+        assert (0, 1) in got and got[(0, 1)][0] >= 1
+        # ...and is invisible to whole-doc dedup (J far below 0.7)
+        whole = {
+            (r.doc_a, r.doc_b)
+            for r in plans.QUERIES["dedup_minhash_lsh"](
+                spark, partial_overlap_dir
+            ).collect()
+        }
+        assert (0, 1) not in whole
+        # full oracle parity on the crafted corpus
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{partial_overlap_dir}/documents.parquet')"
+        )
+        oracle = {
+            (int(r[0]), int(r[1])): (int(r[2]), float(r[3]))
+            for r in con.execute(
+                plans.ORACLES["documents_chunk_fuzzy_dedup"]
+            ).fetchall()
+        }
+        assert {
+            k: (v[0], round(v[1], 6)) for k, v in got.items()
+        } == oracle

@@ -163,6 +163,12 @@ BUILD_EXECUTES = {
     "dedup_minhash_index_delete",
     # r12: writes the IVF index + appends tombstones at plan time
     "knn_ivf_index_delete",
+    # r12: builds the corpus index + runs the append stream at plan time
+    "stream_minhash_index_append",
+    # r12: checkpoints chunk signatures at plan time
+    "documents_chunk_fuzzy_dedup",
+    # r12: checkpoints the gated set + writes the index at plan time
+    "documents_dedup_pipeline_indexed",
     # r11: collects grid bounds + runs the stream at plan time
     "stream_rate_cusum",
     # r10: signature/pair checkpoints + iterative CC at plan time

@@ -1342,3 +1342,124 @@ class TestStreamRateCusum:
             r for r in got if int(r[1].timestamp()) == base + 2 * 3600
         ]
         assert full_h2 and full_h2[0][2] == 10
+
+
+class TestStreamIndexAppend:
+    """r12: the 19th twin — streaming index ingestion. Multi-trigger
+    appends must leave pre-existing index files byte-identical and
+    produce exactly the from-scratch full-corpus index's rows."""
+
+    def test_multi_trigger_append_parity_and_byte_stability(
+        self, spark, tmp_path
+    ):
+        import hashlib
+        import os
+
+        from hive_hdfs_practise_spark.dedup import minhash as mh
+        from hive_hdfs_practise_spark.operators.compaction import (
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.constants import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            SHINGLE_K,
+        )
+        from hive_hdfs_practise_spark.plans.dedup import (
+            _indexed_pairs,
+            _probe_delta_col,
+        )
+
+        kw = dict(
+            k=SHINGLE_K, n_perm=N_PERM, n_bands=N_BANDS,
+            rows_per_band=ROWS_PER_BAND, downsample=4, family="md5",
+        )
+        d = table(spark, SF, "documents").select("doc_id", "text")
+        corpus = d.filter(~_probe_delta_col())
+        delta = d.filter(_probe_delta_col())
+        assert delta.count() > 0
+        mh.write_minhash_index(spark, corpus, "minhash_strm_test_idx", **kw)
+
+        def snap(suffix):
+            root = table_location(
+                spark, f"minhash_strm_test_idx{suffix}"
+            )
+            out = {}
+            for f in os.listdir(root):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        before = {s: snap(s) for s in ("_bands", "_sigs")}
+
+        # delta arrives as 3 staged files, one micro-batch each
+        src = str(tmp_path / "delta_docs")
+        delta.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = []
+
+        def _append(bdf, bid):
+            n = bdf.count()
+            if n == 0:
+                return
+            batches.append(n)
+            mh.append_minhash_index(
+                spark, bdf.select("doc_id", "text"),
+                "minhash_strm_test_idx", **kw,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_append)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(batches) >= 3 and sum(batches) == delta.count()
+        for s, files in before.items():
+            spark.sql(f"REFRESH TABLE minhash_strm_test_idx{s}")
+            after = snap(s)
+            for f, digest in files.items():
+                assert after.get(f) == digest, (s, f)
+
+        # streamed-in index rows == from-scratch full-corpus build
+        mh.write_minhash_index(spark, d, "minhash_strm_ref_idx", **kw)
+        for s in ("_bands", "_sigs"):
+            got = {
+                tuple(r)
+                for r in spark.table(f"minhash_strm_test_idx{s}")
+                .select("doc_id", "band", "band_key")
+                .collect()
+            } if s == "_bands" else {
+                (r.doc_id, tuple(r.sig))
+                for r in spark.table(f"minhash_strm_test_idx{s}").collect()
+            }
+            want = {
+                tuple(r)
+                for r in spark.table(f"minhash_strm_ref_idx{s}")
+                .select("doc_id", "band", "band_key")
+                .collect()
+            } if s == "_bands" else {
+                (r.doc_id, tuple(r.sig))
+                for r in spark.table(f"minhash_strm_ref_idx{s}").collect()
+            }
+            assert got == want and got, s
+
+        # probe parity: streamed index == from-scratch index
+        got_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in _indexed_pairs(
+                spark, SF, "minhash_strm_test_idx"
+            ).collect()
+        }
+        want_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in _indexed_pairs(
+                spark, SF, "minhash_strm_ref_idx"
+            ).collect()
+        }
+        assert got_pairs == want_pairs and got_pairs
