@@ -169,7 +169,10 @@ def publish_replacing(
     (originals intact, manifest dropped)."""
     pending = os.path.join(path, "." + dest_name + ".inprogress")
     manifest = pending + ".manifest"
-    with open(manifest, "w") as f:
+    # manifest write is itself atomic (tmp + same-dir rename): a
+    # crash mid-write must not leave truncated JSON that wedges every
+    # later recover_inprogress (r12 review)
+    with open(manifest + ".tmp", "w") as f:
         json.dump(
             {
                 "dest": dest_name,
@@ -177,7 +180,18 @@ def publish_replacing(
             },
             f,
         )
-    shutil.move(src, pending)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(manifest + ".tmp", manifest)
+    # the pending file must only ever exist COMPLETE: a bare
+    # shutil.move is atomic only same-filesystem — cross-fs it copies,
+    # and a crash mid-copy would leave a partial pending file that
+    # recovery would finalize (silent loss). Stage the copy under a
+    # ".copying" name recovery ignores, then same-dir atomic rename.
+    staging = pending + ".copying"
+    shutil.copy2(src, staging)
+    os.rename(staging, pending)
+    os.remove(src)
     for g in originals:
         os.remove(g)
     os.rename(pending, os.path.join(path, dest_name))
@@ -198,12 +212,33 @@ def recover_inprogress(path: str) -> int:
     number of manifests processed."""
     n = 0
     for name in sorted(os.listdir(path)):
+        # interrupted manifest writes (".manifest.tmp") and staged
+        # cross-fs copies (".inprogress.copying") are pre-publish
+        # garbage by construction — never live, safe to drop
+        if name.endswith(".manifest.tmp") or name.endswith(
+            ".inprogress.copying"
+        ):
+            os.remove(os.path.join(path, name))
+            continue
         if not name.endswith(".inprogress.manifest"):
             continue
         manifest = os.path.join(path, name)
-        with open(manifest) as f:
-            meta = json.load(f)
-        pending = os.path.join(path, "." + meta["dest"] + ".inprogress")
+        # pending name is derivable from the manifest FILE NAME, so
+        # an unreadable manifest (legacy non-atomic write) can still
+        # be classified: no pending file ⇒ pure rollback
+        pending = manifest[: -len(".manifest")]
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+        except (ValueError, OSError):
+            if os.path.exists(pending):
+                raise RuntimeError(
+                    f"unreadable manifest {manifest} with a pending "
+                    "file present — originals unknown; resolve manually"
+                )
+            os.remove(manifest)
+            n += 1
+            continue
         if os.path.exists(pending):
             for g in meta["originals"]:
                 gp = os.path.join(path, g)

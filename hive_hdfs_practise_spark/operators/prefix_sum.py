@@ -53,7 +53,10 @@ def sharded_ntile(
 
     ``shard`` must be monotone non-decreasing in ``value_col``
     (sharded_cumsum's contract); ``tiebreak_col`` must be unique
-    per value."""
+    per value; ``value_col`` must be NON-NULL (the grid join is a
+    plain USING join, so NULL-valued rows would silently drop —
+    whereas a window ntile ranks them NULLS FIRST; every caller
+    ranks a derived non-null key)."""
     grid = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
     below = sharded_cumsum(
         grid, [], value_col, "_cnt", shard, cum_name="_cum", tot_name="_n"

@@ -41,56 +41,56 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    "dedup_minhash_index_compact",  # never sampled
-    "dedup_minhash_index_delete",  # never sampled
-    "knn_ivf_index_compact",  # never sampled
-    "events_change_points",  # never sampled
-    "events_holt_forecast",  # never sampled
-    "text_bigram_greedy_decode",  # never sampled
-    "documents_token_mi",  # never sampled
-    "stream_decontamination_bloom",  # never sampled
-    "events_purchase_attribution",  # never sampled
-    "stream_rate_cusum",  # never sampled
-    "events_bot_detection",  # never sampled
-    "events_anomaly_mad_hist",  # green ['r04']
-    "events_transition_matrix",  # green ['r04']
-    "events_gap_fill",  # green ['r04']
-    "events_scd2_intervals",  # green ['r04']
-    "events_rate_cusum",  # green ['r04']
-    "events_time_weighted_avg",  # green ['r04']
-    "events_error_run_alerts",  # green ['r04']
-    "events_lateness_audit",  # green ['r04']
-    "dedup_jaccard_prefix_join",  # green ['r04']
-    "graph_triangle_count",  # green ['r04']
-    "part_price_skyline",  # green ['r04']
-    "documents_top_phrase",  # green ['r04']
-    "lineitem_zorder_buckets",  # green ['r04']
-    "graph_bfs_levels",  # green ['r04']
-    "dataset_hash_sample",  # green ['r02', 'r04']
-    "dataset_split_counts",  # green ['r02', 'r04']
-    "dataset_stratified_sample",  # green ['r02', 'r04']
-    "orders_reservoir_sample",  # green ['r02', 'r04']
-    "split_decontamination",  # green ['r04']
-    "documents_source_quota",  # green ['r04']
-    "documents_lang_rebalance",  # green ['r04']
-    "dataset_weighted_sample",  # green ['r04']
-    "anonymize_join_preservation",  # green ['r04']
-    "dataset_shuffle_audit",  # green ['r04']
-    "knn_ivf_indexed",  # green ['r05']
-    "embedding_hard_negatives",  # green ['r05']
-    "knn_quantized_int8",  # green ['r05']
-    "embeddings_covariance_topk",  # green ['r05']
-    "embeddings_pca_power",  # green ['r05']
-    "knn_pq_adc",  # green ['r05']
-    "embeddings_matryoshka_audit",  # green ['r05']
-    "knn_ivf_filtered",  # green ['r05']
-    "knn_ivfpq_adc",  # green ['r05']
-    "dedup_embedding_lsh_strict",  # green ['r05']
-    "embeddings_ann_self_join",  # green ['r05']
-    "events_sliding_distinct_kmv",  # green ['r05']
-    "lineitem_correlation_matrix",  # green ['r05']
-    "events_pattern_browse_buy",  # green ['r05']
-    "events_top_paths",  # green ['r05']
+    "knn_ivf_index_delete",  # never sampled
+    "documents_chunk_fuzzy_dedup",  # never sampled
+    "documents_dedup_pipeline_indexed",  # never sampled
+    "stream_minhash_index_append",  # never sampled
+    "graph_label_propagation",  # green ['r05']
+    "documents_containment_join",  # green ['r05']
+    "multimodal_phash_neardup",  # green ['r05']
+    "multimodal_phash_clusters",  # green ['r05']
+    "documents_pii_scrub",  # green ['r05']
+    "text_bpe_merges",  # green ['r05']
+    "text_bpe_apply",  # green ['r05']
+    "documents_boilerplate_ngrams",  # green ['r05']
+    "documents_curriculum_deciles",  # green ['r05']
+    "word_freq_zipf_slope",  # green ['r05']
+    "documents_source_classifier",  # green ['r05']
+    "word_pair_pmi",  # green ['r05']
+    "orders_snapshot_diff",  # green ['r05']
+    "documents_interleave_audit",  # green ['r05']
+    "lineitem_profile",  # green ['r05']
+    "lineitem_checksum",  # green ['r05']
+    "lineitem_ols",  # green ['r05']
+    "stream_session_windows",  # green ['r05']
+    "stream_sliding_rate",  # green ['r05']
+    "stream_pattern_browse_buy",  # green ['r05']
+    "embeddings_quantize_int8",  # green ['r06']
+    "knn_opq_adc",  # green ['r06']
+    "dedup_embedding_cosine",  # green ['r03', 'r06']
+    "dedup_clusters",  # green ['r03', 'r06']
+    "dedup_clusters_lsh",  # green ['r06']
+    "dedup_semdedup",  # green ['r06']
+    "documents_duplicate_spans",  # green ['r06']
+    "documents_winnowing_pairs",  # green ['r06']
+    "dedup_containment_kmv",  # green ['r06']
+    "graph_link_prediction",  # green ['r06']
+    "documents_dsir_weights",  # green ['r06']
+    "embeddings_cluster_balanced_sample",  # green ['r06']
+    "events_asof_join",  # green ['r02', 'r04', 'r06', 'r07']
+    "text_tfidf_topk",  # green ['r02', 'r04', 'r06', 'r07']
+    "documents_bm25_topk",  # green ['r07']
+    "documents_rrf_fusion",  # green ['r07']
+    "sales_cube",  # green ['r02', 'r06', 'r07']
+    "sales_grouping_sets",  # green ['r02', 'r06', 'r07']
+    "graph_pagerank",  # green ['r05', 'r06', 'r07']
+    "part_fuzzy_name_match",  # green ['r05', 'r06', 'r07']
+    "documents_tfidf_similarity",  # green ['r05', 'r06', 'r07']
+    "events_range_join_clicks",  # green ['r05', 'r06', 'r07']
+    "sales_by_year_month",  # green ['r01', 'r06', 'r07']
+    "sales_rollup",  # green ['r01', 'r06', 'r07']
+    "max_monthly_sales",  # green ['r01', 'r06', 'r07']
+    "monthly_sales_ranked",  # green ['r01', 'r06', 'r07']
 ]
 
 

@@ -3647,12 +3647,19 @@ def documents_chunk_fuzzy_dedup(
         .persist()
     )
     pairs = _minhash_lsh_pairs(spark, sf_dir, cd, verify_docs=cd)
-    da = F.expr(f"doc_a div {CHUNK_ID_BASE}")
-    db = F.expr(f"doc_b div {CHUNK_ID_BASE}")
+    # decompose in a PRIOR select: aliasing an output "doc_a" beside
+    # a sibling expression that still reads the raw doc_a would hit
+    # lateral-alias shadowing (the CLAUDE.md class — only
+    # coincidentally benign here because chunk pairs are canonical)
+    decomp = pairs.select(
+        F.expr(f"doc_a div {CHUNK_ID_BASE}").alias("da"),
+        F.expr(f"doc_b div {CHUNK_ID_BASE}").alias("db"),
+        "jaccard",
+    )
     return (
-        pairs.select(
-            F.least(da, db).alias("doc_a"),
-            F.greatest(da, db).alias("doc_b"),
+        decomp.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
             "jaccard",
         )
         .filter(F.col("doc_a") != F.col("doc_b"))

@@ -195,8 +195,21 @@ def delete_from_ivf_index(spark, vec_ids, table_prefix: str) -> None:
     ).saveAsTable(f"{table_prefix}_dels")
 
 
+def _catalog_bucket_count(spark, table: str) -> int:
+    """The bucket count a table was WRITTEN with, from the catalog —
+    maintenance ops must never trust a caller-supplied count (r12
+    review: a mismatched pmod would mark the wrong buckets affected,
+    leave tombstoned rows live, and still drop ``_dels`` — silent
+    resurrection of deleted vectors)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name.strip() == "Num Buckets":
+            return int(r.data_type.strip())
+    raise ValueError(f"{table} is not a bucketed table")
+
+
 def vacuum_ivf_index(
-    spark, table_prefix: str, n_buckets: int = 8, max_parallel: int = 8
+    spark, table_prefix: str, n_buckets: int | None = None,
+    max_parallel: int = 8,
 ) -> int:
     """Fold the tombstones into the index — and, unlike the MinHash
     band index (whose every doc scatters across all 16 bands' buckets,
@@ -246,6 +259,15 @@ def vacuum_ivf_index(
     table = f"{table_prefix}_assign"
     path = table_location(spark, table)
     recover_inprogress(path)
+    # the bucket count comes from the CATALOG (what the index was
+    # written with); a caller-supplied value is validated against it
+    cat_n = _catalog_bucket_count(spark, table)
+    if n_buckets is not None and n_buckets != cat_n:
+        raise ValueError(
+            f"{table} was written with {cat_n} buckets, "
+            f"caller claimed {n_buckets}"
+        )
+    n_buckets = cat_n
     # buckets holding tombstoned rows: pmod(murmur3(cluster_id), n) is
     # exactly HashPartitioning.partitionIdExpression — computed on the
     # table's own cluster_id column so the hash sees the stored type

@@ -187,3 +187,36 @@ class TestInprogressRecovery:
         )
         assert sorted(os.listdir(d)) == ["m.parquet"]
         assert recover_inprogress(d) == 0
+
+    def test_pre_publish_garbage_swept_and_unreadable_manifest(
+        self, tmp_path
+    ):
+        from hive_hdfs_practise_spark.operators.compaction import (
+            recover_inprogress,
+        )
+
+        # staged copies and interrupted manifest writes are garbage
+        d = self._dir_with(
+            tmp_path,
+            {
+                "a.parquet": b"a",
+                ".m.parquet.inprogress.copying": b"partial",
+                ".m.parquet.inprogress.manifest.tmp": b'{"trunc',
+            },
+        )
+        assert recover_inprogress(d) == 0
+        assert sorted(os.listdir(d)) == ["a.parquet"]
+        # unreadable manifest with NO pending file ⇒ rollback
+        p = tmp_path / "t2"
+        p.mkdir()
+        (p / "a.parquet").write_bytes(b"a")
+        (p / ".x.parquet.inprogress.manifest").write_bytes(b'{"bad')
+        assert recover_inprogress(str(p)) == 1
+        assert sorted(os.listdir(str(p))) == ["a.parquet"]
+        # unreadable manifest WITH a pending file ⇒ raise
+        q = tmp_path / "t3"
+        q.mkdir()
+        (q / ".y.parquet.inprogress").write_bytes(b"pending")
+        (q / ".y.parquet.inprogress.manifest").write_bytes(b'{"bad')
+        with pytest.raises(RuntimeError, match="unreadable manifest"):
+            recover_inprogress(str(q))
