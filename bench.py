@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "knn_ivf_index_delete",
     "stream_minhash_index_append",
     "documents_chunk_fuzzy_dedup",
+    "stream_ivf_index_append",
 ]
 
 

@@ -45,6 +45,7 @@ _FRONT = [
     "documents_chunk_fuzzy_dedup",  # never sampled
     "documents_dedup_pipeline_indexed",  # never sampled
     "stream_minhash_index_append",  # never sampled
+    "stream_ivf_index_append",  # never sampled
     "graph_label_propagation",  # green ['r05']
     "documents_containment_join",  # green ['r05']
     "multimodal_phash_neardup",  # green ['r05']
@@ -90,7 +91,6 @@ _FRONT = [
     "sales_by_year_month",  # green ['r01', 'r06', 'r07']
     "sales_rollup",  # green ['r01', 'r06', 'r07']
     "max_monthly_sales",  # green ['r01', 'r06', 'r07']
-    "monthly_sales_ranked",  # green ['r01', 'r06', 'r07']
 ]
 
 

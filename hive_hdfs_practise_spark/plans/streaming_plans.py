@@ -1011,3 +1011,72 @@ def stream_minhash_index_append(
     spark.sql("REFRESH TABLE minhash_stream_idx_sigs")
     spark.sql("REFRESH TABLE minhash_stream_idx_bands")
     return _indexed_pairs(spark, sf_dir, "minhash_stream_idx")
+
+
+def _stream_ivf_append_oracle() -> str:
+    from .similarity import IVF_APPEND_TRAIN_SQL, _ivf_oracle
+
+    return _ivf_oracle(train_pred=IVF_APPEND_TRAIN_SQL)
+
+
+@register(
+    "stream_ivf_index_append", oracle=_stream_ivf_append_oracle()
+)
+def stream_ivf_index_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING IVF index ingestion — the 20th value-checked stream
+    twin, closing the family symmetry stream_minhash_index_append
+    opened: the corpus shard's IVF index is built batch-side (frozen
+    coarse quantizer + bucketed assignment table), the delta shard's
+    vectors then ARRIVE AS A STREAM and every micro-batch appends its
+    frozen-centroid assignments through ``foreachBatch`` → the same
+    JVM ``append_ivf_index`` path the batch maintenance query
+    certifies (bucketed appends add per-bucket files, never rewrite —
+    bucket pruning survives any number of appends). After the bounded
+    stream drains, the bucket-pruned exchange-free probe runs over
+    the streamed-in index; assignment against frozen centroids is
+    per-vector deterministic, so the result equals the from-scratch
+    frozen-centroid build and carries the SAME ``_ivf_oracle``
+    (train_pred) restatement as knn_ivf_index_append — a green row
+    certifies the index the STREAM built. Same cloned-session REFRESH
+    rule as the minhash twin. Runs the stream + writes at plan time:
+    BUILD_EXECUTES."""
+    from ..similarity.knn import (
+        append_ivf_index,
+        knn_ivf_indexed,
+        write_ivf_index,
+    )
+    from ..sources.catalog import wide_table
+    from ..streaming.windows import run_foreach_batch
+    from .similarity import (
+        IVF_ITERS,
+        IVF_NLIST,
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    e = wide_table(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        spark,
+        e.filter(nib != "0"),
+        "ivf_stream_idx",
+        nlist=IVF_NLIST,
+        iters=IVF_ITERS,
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivf_index(
+            spark, batch_df, "ivf_stream_idx", nlist=IVF_NLIST
+        )
+
+    delta_stream = _embeddings_stream(spark, sf_dir).where(nib == "0")
+    run_foreach_batch(delta_stream, _append, "stream_ivf_index_append")
+    spark.sql("REFRESH TABLE ivf_stream_idx_assign")
+    return knn_ivf_indexed(
+        spark, "ivf_stream_idx", QUERY_VEC_ID, TOP_K, nprobe=IVF_NPROBE
+    )

@@ -169,6 +169,8 @@ BUILD_EXECUTES = {
     "documents_chunk_fuzzy_dedup",
     # r12: checkpoints the gated set + writes the index at plan time
     "documents_dedup_pipeline_indexed",
+    # r12: builds the IVF index + runs the append stream at plan time
+    "stream_ivf_index_append",
     # r11: collects grid bounds + runs the stream at plan time
     "stream_rate_cusum",
     # r10: signature/pair checkpoints + iterative CC at plan time

@@ -1463,3 +1463,93 @@ class TestStreamIndexAppend:
             ).collect()
         }
         assert got_pairs == want_pairs and got_pairs
+
+
+class TestStreamIvfIndexAppend:
+    """r12: the 20th twin — streaming IVF ingestion. Multi-trigger
+    frozen-centroid appends must leave pre-existing files untouched
+    and produce exactly the one-shot append's assignment rows."""
+
+    def test_multi_trigger_append_parity_and_byte_stability(
+        self, spark, tmp_path
+    ):
+        import hashlib
+        import os
+
+        from hive_hdfs_practise_spark.operators.compaction import (
+            table_location,
+        )
+        from hive_hdfs_practise_spark.plans.similarity import (
+            IVF_ITERS,
+            IVF_NLIST,
+        )
+        from hive_hdfs_practise_spark.similarity.knn import (
+            append_ivf_index,
+            assign_clusters,
+            write_ivf_index,
+        )
+        from hive_hdfs_practise_spark.sources.catalog import wide_table
+
+        sf = "/root/testdata/sf0.001"
+        e = wide_table(spark, sf, "embeddings")
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        corpus, delta = e.filter(nib != "0"), e.filter(nib == "0")
+        assert delta.count() > 0
+        write_ivf_index(
+            spark, corpus, "ivf_strm_test_idx",
+            nlist=IVF_NLIST, iters=IVF_ITERS,
+        )
+        path = table_location(spark, "ivf_strm_test_idx_assign")
+
+        def snap():
+            out = {}
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(path, f), "rb") as fh:
+                        out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        before = snap()
+        src = str(tmp_path / "delta_vecs")
+        delta.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = []
+
+        def _append(bdf, bid):
+            n = bdf.count()
+            if n == 0:
+                return
+            batches.append(n)
+            append_ivf_index(
+                spark, bdf, "ivf_strm_test_idx", nlist=IVF_NLIST
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_append)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(batches) >= 3 and sum(batches) == delta.count()
+        spark.sql("REFRESH TABLE ivf_strm_test_idx_assign")
+        after = snap()
+        for f, digest in before.items():
+            assert after.get(f) == digest, f
+        # streamed-in assignment == the union assigned against the
+        # SAME frozen centroids
+        cents = spark.table("ivf_strm_test_idx_centroids")
+        want = {
+            r.vec_id: r.cluster_id
+            for r in assign_clusters(e, cents).collect()
+        }
+        got = {
+            r.vec_id: r.cluster_id
+            for r in spark.table("ivf_strm_test_idx_assign")
+            .select("vec_id", "cluster_id")
+            .collect()
+        }
+        assert got == want and got
