@@ -41,6 +41,12 @@ def connected_components(
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
+    # carry the label-mass scalar across rounds (r12 optimization):
+    # round k's "old" sum IS round k-1's "new" sum — the checkpointed
+    # labels cannot change between rounds, so re-aggregating them was
+    # one redundant job per round across every CC consumer (clusters,
+    # survivors, cost report, the three pipelines, phash clusters).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -60,11 +66,11 @@ def connected_components(
         # exponentially) and converge on label mass: labels only
         # ever decrease, so equal sums ⇒ fixpoint.
         new_labels = new_labels.localCheckpoint(eager=True)
-        old_sum = labels.agg(F.sum("label")).collect()[0][0]
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

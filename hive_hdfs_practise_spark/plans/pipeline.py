@@ -185,7 +185,10 @@ def _pipeline_tail(uniq: DataFrame, pairs: DataFrame) -> DataFrame:
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation chain (see module docstring); per-split doc and
     token counts of the surviving corpus."""
-    uniq = _kept_uniq(spark, sf_dir)
+    # checkpoint: uniq feeds the shingle table AND _pipeline_tail —
+    # without it each consumer replays the quality/lang/dedup front
+    # end (the r12 optimization the lsh sibling carries)
+    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
 
     # near-dup pairs (exact Jaccard, lang-blocked) over the deduped
     # set; checkpointed — the self-join would otherwise replay the
@@ -225,7 +228,13 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import minhash as mh
     from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
 
-    uniq = _kept_uniq(spark, sf_dir)
+    # checkpoint ONCE (r12 optimization): uniq feeds the signature
+    # chain, the verify-side shingle table, AND _pipeline_tail — each
+    # of the three consumers otherwise replays the whole quality/
+    # lang/exact-dedup front end (_token_agg corpus explode + window),
+    # exactly the shape the indexed sibling already checkpoints
+    # (measured: 13.4 -> ~8 s best-of-3 at sf0.1)
+    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
 
     # LSH candidates over the deduped set, lang-blocked to mirror the
     # exact pair definition, then exact-verified
