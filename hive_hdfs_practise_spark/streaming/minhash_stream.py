@@ -76,6 +76,39 @@ STATE_SCHEMA = T.StructType(
 _A = np.array([a for a, _ in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
 _B = np.array([b for _, b in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
 
+# Per-worker memo of shingle → md5-family hash. The K-char shingle
+# vocabulary of a text corpus SATURATES (this corpus: ~2k distinct
+# char-5 shingles at every sf — the bitmap-verify lesson), so after
+# the first few docs nearly every lookup hits, replacing a ~2 µs
+# md5+parse with a ~50 ns dict probe (guide §4.5: heavyweight work
+# once per worker, amortized across tasks via worker reuse). Safe:
+# md5 is deterministic, entries can never go stale. The size cap
+# bounds worker RSS on a non-saturating (adversarial) vocabulary —
+# past it new shingles just pay the direct computation.
+_MD5_MEMO: dict[str, int] = {}
+_MD5_MEMO_MAX = 1 << 20
+
+
+def _shingle_hash(sh: str) -> int:
+    """md5-family base hash of one shingle, memoized.
+
+    ``int.from_bytes(digest()[:4], 'big')`` IS the first 8 hex chars
+    of the md5 parsed base-16 (same 4 bytes, same byte order) — it
+    skips the hexdigest string build and the int(hex, 16) parse of
+    the original form while producing the identical value (pinned by
+    the existing bit-equality tests against the JVM aggregate)."""
+    h = _MD5_MEMO.get(sh)
+    if h is None:
+        h = (
+            int.from_bytes(
+                hashlib.md5(sh.encode("utf-8")).digest()[:4], "big"
+            )
+            % P32
+        )
+        if len(_MD5_MEMO) < _MD5_MEMO_MAX:
+            _MD5_MEMO[sh] = h
+    return h
+
 
 def _signature(text: str | None) -> np.ndarray | None:
     """128-slot md5-family signature of one doc, bit-identical to
@@ -92,13 +125,7 @@ def _signature(text: str | None) -> np.ndarray | None:
         return np.full(N_PERM, P32, dtype=np.int64)
     hs = np.fromiter(
         (
-            int(
-                hashlib.md5(
-                    s[i : i + SHINGLE_K].encode("utf-8")
-                ).hexdigest()[:8],
-                16,
-            )
-            % P32
+            _shingle_hash(s[i : i + SHINGLE_K])
             for i in range(len(s) - SHINGLE_K + 1)
         ),
         dtype=np.int64,
