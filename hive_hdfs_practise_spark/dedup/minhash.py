@@ -530,7 +530,12 @@ def append_minhash_index(
         ).alias("band", "band_key"),
     )
     (
+        # bucket-hash clustering before the write: one file per
+        # touched bucket per append instead of partitions×buckets
+        # (see write_bucketed — appends compound the small-file
+        # blowup fastest, one file set per batch forever)
         banded.select("band", "band_key", "doc_id", *extra_cols)
+        .repartition(n_buckets, "band", "band_key")
         .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, "band", "band_key")

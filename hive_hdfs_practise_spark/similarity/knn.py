@@ -171,7 +171,11 @@ def append_ivf_index(
     ``nlist`` must match the original build's bucket count."""
     centroids = spark.table(f"{table_prefix}_centroids")
     (
+        # bucket-hash clustering before the append (see
+        # write_bucketed): one file per touched inverted list per
+        # batch instead of partitions×lists
         assign_clusters(emb, centroids, vec_col)
+        .repartition(nlist, "cluster_id")
         .write.mode("append")
         .format("parquet")
         .bucketBy(nlist, "cluster_id")

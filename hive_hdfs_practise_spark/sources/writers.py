@@ -44,7 +44,22 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    # Cluster rows by the bucket hash BEFORE the write (guide §6
+    # small files / §2.4 one-exchange layout): repartition(n, cols)
+    # is the same Murmur3 HashPartitioning bucketBy assigns files
+    # with, so each write task holds exactly one bucket's rows and
+    # emits ONE file — without it every input partition writes up to
+    # n_buckets files (measured 96 vs 32 files and 1.60 vs 0.86 s
+    # for the sf0.1 minhash bands build; at scale the M×n_buckets
+    # blowup is what compaction exists to undo). Write parallelism
+    # equals n_buckets, which a deployment sizes to the corpus
+    # (the nlist ∝ √n rule) exactly like the probe side.
+    w = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
