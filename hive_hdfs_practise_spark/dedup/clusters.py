@@ -18,6 +18,42 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge-count gate for the driver-side union-find fast path (each edge
+# row is two ids; 2^19 edge rows ≈ 8 MB collected — the repo's
+# metadata-scale driver-state bound, the SEM_MAX_NLIST precedent).
+# Above the gate the distributed min-label loop runs unchanged.
+CC_DRIVER_MAX_EDGES = 1 << 19
+
+
+def _driver_components(rows) -> list[tuple]:
+    """Union-find with min-root unions over collected edge rows:
+    always attaching the LARGER root under the smaller keeps every
+    tree's root equal to the minimum id seen in its component, so
+    after all edges the root IS the component minimum — exactly the
+    fixpoint the iterative min-label propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    verts = set()
+    for u, v in rows:
+        verts.add(u)
+        verts.add(v)
+    return [(x, find(x)) for x in sorted(verts)]
 
 
 def connected_components(
@@ -28,7 +64,17 @@ def connected_components(
 ) -> DataFrame:
     """pairs(src, dst) → (doc_id, cluster_id = min reachable id).
     Only vertices that appear in at least one pair are returned
-    (singletons are trivially their own cluster)."""
+    (singletons are trivially their own cluster).
+
+    Size-adaptive (r12 optimization round): the pair graph of a dedup
+    pipeline is MUCH smaller than the corpus (verified near-dup pairs),
+    and the iterative loop costs ~2 jobs per round regardless of size —
+    pure scheduling overhead on a few-hundred-pair graph. When the
+    materialized edge list is under ``CC_DRIVER_MAX_EDGES`` (a bounded,
+    metadata-scale collect — the repo's existing driver-state rule),
+    components come from one driver union-find with identical output
+    (min id per component; parity pinned in tests). Larger graphs take
+    the distributed min-label loop exactly as before."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -38,6 +84,16 @@ def connected_components(
         # without this every iteration's action replays that lineage.
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= CC_DRIVER_MAX_EDGES:
+        utype = edges.schema["u"].dataType
+        out = _driver_components([(r[0], r[1]) for r in edges.collect()])
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", utype),
+                T.StructField("cluster_id", utype),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )

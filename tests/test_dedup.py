@@ -191,6 +191,38 @@ class TestClusters:
         comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0}
 
+    def test_driver_path_equals_iterative_path(self, spark, monkeypatch):
+        """The r12 size-gated driver union-find must return exactly
+        the iterative min-label fixpoint — pin parity on a random
+        multi-component graph (chains, a clique, reversed-order
+        edges so min-root unions are exercised both ways), plus the
+        gate-off path via a forced zero threshold."""
+        import random
+
+        from hive_hdfs_practise_spark.dedup import clusters as cl
+
+        rng = random.Random(7)
+        # chain depth stays under the iterative path's max_iter=20
+        # contract (the driver union-find is exact at ANY diameter —
+        # a 40-deep chain exposes the iterative cap, not a UF bug)
+        edges = [(i, i + 1) for i in range(0, 16, 1)]
+        edges += [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+        edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        rng.shuffle(edges)
+        pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+
+        fast = {
+            r.doc_id: r.cluster_id
+            for r in cl.connected_components(pairs).collect()
+        }
+        monkeypatch.setattr(cl, "CC_DRIVER_MAX_EDGES", -1)
+        slow = {
+            r.doc_id: r.cluster_id
+            for r in cl.connected_components(pairs).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
 
 class TestClustersLshParity:
     def test_lsh_clusters_equal_exact_clusters(self, spark):
