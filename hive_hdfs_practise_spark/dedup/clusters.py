@@ -49,10 +49,9 @@ def _driver_components(rows) -> list[tuple]:
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    verts = set()
-    for u, v in rows:
-        verts.add(u)
-        verts.add(v)
+    # edge rows are symmetrized upstream (both directions present),
+    # so the u column alone covers every vertex
+    verts = {u for u, _ in rows}
     return [(x, find(x)) for x in sorted(verts)]
 
 
@@ -60,7 +59,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """pairs(src, dst) → (doc_id, cluster_id = min reachable id).
     Only vertices that appear in at least one pair are returned
@@ -74,7 +73,13 @@ def connected_components(
     metadata-scale collect — the repo's existing driver-state rule),
     components come from one driver union-find with identical output
     (min id per component; parity pinned in tests). Larger graphs take
-    the distributed min-label loop exactly as before."""
+    the distributed min-label loop exactly as before.
+
+    ``max_iter=None`` (every current caller) means FULL closure — the
+    fast path is eligible. Passing an explicit max_iter requests
+    bounded-round propagation semantics, which the union-find cannot
+    honor, so it pins the iterative path (review guard: the two paths
+    must never diverge on the same call)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -84,7 +89,7 @@ def connected_components(
         # without this every iteration's action replays that lineage.
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= CC_DRIVER_MAX_EDGES:
+    if max_iter is None and edges.count() <= CC_DRIVER_MAX_EDGES:
         utype = edges.schema["u"].dataType
         out = _driver_components([(r[0], r[1]) for r in edges.collect()])
         schema = T.StructType(
@@ -103,7 +108,7 @@ def connected_components(
     # one redundant job per round across every CC consumer (clusters,
     # survivors, cost report, the three pipelines, phash clusters).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for _ in range(max_iter if max_iter is not None else 20):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")

@@ -3437,7 +3437,7 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson) — the before-plan carried 28 scans / 12 Generates,
     # i.e. BOTH full detector pipelines twice. Pair sets are
     # output-mass-sized (hundreds of rows), so the checkpoint is
-    # free. Measured: 7.6 -> ~4.3 s best-of-3 at sf0.1.
+    # free. Measured: 7.6 -> 6.6 s best-of-3 at sf0.1.
     m = (
         _minhash_lsh_pairs(spark, sf_dir, sdocs.select("doc_id", "text"))
         .select("doc_a", "doc_b")

@@ -185,10 +185,14 @@ def _pipeline_tail(uniq: DataFrame, pairs: DataFrame) -> DataFrame:
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation chain (see module docstring); per-split doc and
     token counts of the surviving corpus."""
-    # checkpoint: uniq feeds the shingle table AND _pipeline_tail —
-    # without it each consumer replays the quality/lang/dedup front
-    # end (the r12 optimization the lsh sibling carries)
-    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
+    # materialize once: uniq feeds the shingle table AND
+    # _pipeline_tail — without it each consumer replays the
+    # quality/lang/dedup front end. persist(), not localCheckpoint:
+    # uniq carries full text, and the big-reused-intermediate rule
+    # (CLAUDE.md) wants compressed columnar storage (~25× smaller
+    # than deserialized rows at the 40× corpus); bench/check_oracle
+    # clearCache between queries as always
+    uniq = _kept_uniq(spark, sf_dir).persist()
 
     # near-dup pairs (exact Jaccard, lang-blocked) over the deduped
     # set; checkpointed — the self-join would otherwise replay the
@@ -232,9 +236,10 @@ def pipeline_training_data_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain, the verify-side shingle table, AND _pipeline_tail — each
     # of the three consumers otherwise replays the whole quality/
     # lang/exact-dedup front end (_token_agg corpus explode + window),
-    # exactly the shape the indexed sibling already checkpoints
-    # (measured: 13.4 -> ~8 s best-of-3 at sf0.1)
-    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
+    # exactly the shape the indexed sibling already materializes
+    # (measured: 13.4 -> 10.9 s best-of-3 at sf0.1). persist(), not
+    # localCheckpoint: uniq carries full text (see the batch sibling)
+    uniq = _kept_uniq(spark, sf_dir).persist()
 
     # LSH candidates over the deduped set, lang-blocked to mirror the
     # exact pair definition, then exact-verified
@@ -296,9 +301,10 @@ def documents_dedup_pipeline_indexed(
     from .constants import N_BANDS, N_PERM, ROWS_PER_BAND
 
     family = mh.minhash_family(sf_dir)
-    # checkpoint: the index write, the verify side, and the tail all
-    # reread the gated+deduped frame
-    uniq = _kept_uniq(spark, sf_dir).localCheckpoint(eager=True)
+    # materialize once: the index write, the verify side, and the
+    # tail all reread the gated+deduped frame. persist(), not
+    # localCheckpoint: uniq carries full text (see the lsh sibling)
+    uniq = _kept_uniq(spark, sf_dir).persist()
     mh.write_minhash_index(
         spark,
         uniq,

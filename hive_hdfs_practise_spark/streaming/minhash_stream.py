@@ -84,9 +84,13 @@ _B = np.array([b for _, b in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
 # once per worker, amortized across tasks via worker reuse). Safe:
 # md5 is deterministic, entries can never go stale. The size cap
 # bounds worker RSS on a non-saturating (adversarial) vocabulary —
-# past it new shingles just pay the direct computation.
+# past it new shingles just pay the direct computation. 2^16 is 32×
+# the natural corpus's saturation point (2041 entries) while keeping
+# the adversarial worst case ≈7 MB per reused worker (review note:
+# 1<<20 would have pinned ~100+ MB × 32 workers on a crafted
+# high-entropy corpus).
 _MD5_MEMO: dict[str, int] = {}
-_MD5_MEMO_MAX = 1 << 20
+_MD5_MEMO_MAX = 1 << 16
 
 
 def _shingle_hash(sh: str) -> int:
