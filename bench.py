@@ -340,17 +340,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The JSON line must be the absolute LAST stdout of the process: a
+    # bounded tail capture of this process's output has to contain the
+    # whole (growing, ~7 KB) line. Stop the session first so any JVM
+    # shutdown chatter lands BEFORE it, flush both streams around it,
+    # and print nothing after.
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,20 @@ def connected_components(
     honor, so it pins the iterative path (review guard: the two paths
     must never diverge on the same call)."""
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # symmetrize in ONE pass: explode of a 2-struct array emits both
+        # directions from a single execution of the pairs lineage. The
+        # union-of-two-selects form ran the (expensive — LSH/verify)
+        # upstream pipeline TWICE under the checkpoint, because AQE does
+        # not dedupe identical heavy subtrees (the r6 lesson).
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         # materialize ONCE: the pair graph may be the output of an
         # expensive upstream pipeline (LSH / brute-force Jaccard);
@@ -90,15 +102,21 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if max_iter is None and edges.count() <= CC_DRIVER_MAX_EDGES:
-        utype = edges.schema["u"].dataType
-        out = _driver_components([(r[0], r[1]) for r in edges.collect()])
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", utype),
-                T.StructField("cluster_id", utype),
-            ]
-        )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        rows = [(r[0], r[1]) for r in edges.collect()]
+        # NULL ids would crash the union-find (None < int in the
+        # min-root union); the iterative path tolerates them via
+        # equi-join semantics, so a NULL-bearing graph falls through
+        # to that path instead of raising (r12 advice).
+        if all(u is not None and v is not None for u, v in rows):
+            utype = edges.schema["u"].dataType
+            out = _driver_components(rows)
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", utype),
+                    T.StructField("cluster_id", utype),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(out, schema)
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )

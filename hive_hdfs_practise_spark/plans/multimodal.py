@@ -269,12 +269,14 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole-exact banded dHash, see multimodal_phash_neardup)
     closed into connected components with survivor marking — the
     image-dedup unit a curation pipeline actually drops on (keep one
-    survivor per visually-duplicate component). Same min-label
-    propagation as the text dedup family (``dedup/clusters.py``,
-    per-round localCheckpoint); the oracle closes the same pair
-    graph with a recursive CTE, so the iterative algorithm stays
-    value-checked end to end. Builder runs jobs at plan time
-    (edge checkpoint): BUILD_EXECUTES."""
+    survivor per visually-duplicate component). Same closure as the
+    text dedup family (``dedup/clusters.py``): small pair graphs —
+    every natural corpus here — take the size-gated driver union-find
+    fast path; at-scale graphs fall back to the iterative min-label
+    loop (per-round localCheckpoint). The oracle closes the same pair
+    graph with a recursive CTE, so the algorithm stays value-checked
+    end to end. Builder runs jobs at plan time (edge checkpoint):
+    BUILD_EXECUTES."""
     from ..dedup.clusters import connected_components, dedup_survivors
 
     pairs = multimodal_phash_neardup(spark, sf_dir).select(

@@ -427,10 +427,12 @@ def _stream_minhash_oracle() -> str:
 @register("stream_dedup_minhash", oracle=_stream_minhash_oracle())
 def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup screen — the 11th value-checked
-    stream twin: per-band bucket state held across micro-batches
-    (see ``streaming/minhash_stream.py`` for the full shape: numpy
+    stream twin: bucket state held across micro-batches under
+    (band, band_key-shard) state groups (see
+    ``streaming/minhash_stream.py`` for the full shape: numpy
     md5-family signatures per batch, applyInPandasWithState bucket
-    collisions with the batch agreement prefilter). The sink stream
+    collisions with the batch agreement prefilter; the shard keying
+    bounds the Python group-dispatch count — r13). The sink stream
     is the CANDIDATE alert stream (duplicates across bands possible,
     exactly like the batch pipeline pre-distinct); downstream the
     candidates dedupe and exact-Jaccard-verify against the static

@@ -7,10 +7,11 @@ Shape: a stateless ``mapInPandas`` computes each arriving doc's
 (vectorized numpy over the SAME md5-nibble base hash, permutation
 coefficients, downsample filter, and band-key text as the batch JVM
 aggregate — bit-identical signatures, pinned by test); then
-``applyInPandasWithState`` keyed by (band, band_key) holds each
-bucket's (doc_id, signature) set across micro-batches and emits a
-candidate pair whenever an arriving doc collides with a stored one
-(or another doc of the same batch), pre-filtered by the batch twin's
+``applyInPandasWithState`` keyed by (band, shard-of-band_key) holds
+the (band_key, doc_id, signature) sets of every bucket hashing into
+the shard across micro-batches and emits a candidate pair whenever
+an arriving doc collides with a stored same-bucket one (or another
+same-bucket doc of the same batch), pre-filtered by the batch twin's
 signature-agreement estimate. Downstream of the sink the candidates
 are exact-Jaccard-verified against the static corpus — identical
 code to the batch twin — so on bounded input the final pair set
@@ -21,11 +22,14 @@ every scale: the python signature builder restates it exactly; a
 deployment would swap a native hash here exactly as the batch
 twin's sf-gated family does.
 
-State per bucket is (ids, signatures) — signatures are needed for
-the agreement prefilter; buckets are near-singleton by construction
-(r=8 rows/band), so state rows stay tiny. Signatures are carried as
-comma-joined strings (the md5 band-key text idiom) to keep the
-state schema flat.
+State per shard is parallel (band_keys, ids, signatures) arrays —
+signatures are needed for the agreement prefilter; buckets are
+near-singleton by construction (r=8 rows/band) and the shard count
+is fixed, so state rows stay bounded and FEW (the r12 verdict's 10×
+finding: per-BUCKET state groups cost one Python dispatch each,
+~800k at 10× — the dispatch count, not the pairing work, was 54.5 s
+of the query). Signatures are carried as comma-joined strings (the
+md5 band-key text idiom) to keep the state schema flat.
 """
 
 from __future__ import annotations
@@ -68,10 +72,25 @@ PAIR_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
+        T.StructField("band_keys", T.ArrayType(T.StringType())),
         T.StructField("ids", T.ArrayType(T.LongType())),
         T.StructField("sigs", T.ArrayType(T.StringType())),
     ]
 )
+
+# State groups are (band, shard-of-band_key-space), NOT (band, band_key):
+# buckets are near-singleton (r=8 rows/band), so keying state by the raw
+# bucket made applyInPandasWithState dispatch one Python call per BUCKET
+# — ~16·n_docs groups (~800k at the 10× corpus), and the per-group
+# Arrow/state-store round-trip dominated the whole query (54.5 s at 10×,
+# guide §4: the boundary crossing count, not the work, was the cost).
+# Sharding the band_key space hashes every bucket of a band into one of
+# N_STATE_SHARDS coarse groups (16×256 = 4096 state rows at ANY corpus
+# size), and the per-bucket pairing happens dict-side inside the group.
+# Bucket membership is a function of (band, band_key) exactly as before,
+# so the candidate set is unchanged. xxhash64 here is internal state
+# partitioning, never an oracle-checked output value.
+N_STATE_SHARDS = 256
 
 _A = np.array([a for a, _ in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
 _B = np.array([b for _, b in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
@@ -182,33 +201,49 @@ def signature_bands(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
 def _collide(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Per-bucket pairing with the batch twin's agreement prefilter:
-    an arriving doc pairs against every doc already in bucket state
-    and every earlier arrival of its own batch; pairs whose
+    """Per-SHARD pairing with the batch twin's agreement prefilter.
+    One state group holds every bucket of its (band, shard); inside
+    it, an arriving doc pairs against every doc already stored under
+    ITS band_key and every earlier same-bucket arrival of its own
+    batch — bucket semantics identical to the per-bucket state shape,
+    just dispatched ~16·n_docs/4096 fewer times. Pairs whose
     signature-agreement estimate clears JACCARD_THRESHOLD - 0.15
     (the batch expression verbatim) emit canonicalized (min, max).
     Cross-band duplicate emissions are deduped downstream, exactly
-    like the batch pipeline's distinct."""
-    ids, sigs = state.get if state.exists else ([], [])
-    ids = list(ids)
-    mats = [np.array(s.split(","), dtype=np.int64) for s in sigs]
-    sig_strs = list(sigs)
+    like the batch pipeline's distinct. Stored signatures parse
+    lazily — only buckets an arrival actually hits pay the split."""
+    bkeys, ids, sigs = state.get if state.exists else ([], [], [])
+    bkeys, ids, sigs = list(bkeys), list(ids), list(sigs)
+    buckets: dict[str, list[int]] = {}
+    for i, bk in enumerate(bkeys):
+        buckets.setdefault(bk, []).append(i)
+    mats: list[np.ndarray | None] = [None] * len(ids)
     cutoff = JACCARD_THRESHOLD - 0.15
     out: list[dict] = []
     for pdf in pdfs:
-        for doc_id, sig_str in zip(pdf["doc_id"], pdf["sig"]):
+        for bk, doc_id, sig_str in zip(
+            pdf["band_key"], pdf["doc_id"], pdf["sig"]
+        ):
             sv = np.array(sig_str.split(","), dtype=np.int64)
-            for other, om in zip(ids, mats):
+            members = buckets.setdefault(bk, [])
+            for i in members:
+                other = ids[i]
                 if other == doc_id:
                     continue
+                om = mats[i]
+                if om is None:
+                    om = np.array(sigs[i].split(","), dtype=np.int64)
+                    mats[i] = om
                 est = int((sv == om).sum()) / N_PERM
                 if est >= cutoff:
                     a, b = sorted((int(other), int(doc_id)))
                     out.append({"doc_a": a, "doc_b": b})
+            members.append(len(ids))
+            bkeys.append(str(bk))
             ids.append(int(doc_id))
+            sigs.append(str(sig_str))
             mats.append(sv)
-            sig_strs.append(str(sig_str))
-    state.update((ids, sig_strs))
+    state.update((bkeys, ids, sigs))
     if out:
         yield pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64"})
 
@@ -224,10 +259,15 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     signature stage at sf0.1 with 32-way spread; at scale an
     ingestion stream is many files wide and the exchange is cheap
     insurance against stragglers)."""
+    from pyspark.sql import functions as F
+
     banded = docs.repartition(32).mapInPandas(
         signature_bands, schema=BANDED_SCHEMA
     )
-    return banded.groupBy("band", "band_key").applyInPandasWithState(
+    sharded = banded.withColumn(
+        "shard", F.pmod(F.xxhash64("band_key"), F.lit(N_STATE_SHARDS))
+    )
+    return sharded.groupBy("band", "shard").applyInPandasWithState(
         _collide,
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,

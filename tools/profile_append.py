@@ -43,7 +43,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     family = mh.minhash_family(sf_dir)
     kw = dict(k=SHINGLE_K, n_perm=N_PERM, n_bands=N_BANDS,
-              rows_per_band=ROWS_PER_BAND, downsample=4, family=family)
+              rows_per_band=ROWS_PER_BAND, downsample=4, family=family,
+              n_buckets=32)
 
     plans.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
     d = wide_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -72,12 +73,18 @@ def main() -> None:
             mh.lsh_bands(F.col("sig"), N_BANDS, ROWS_PER_BAND, family)
         ).alias("band", "band_key"),
     )
+    # mirror append_minhash_index's write shape EXACTLY (r12 advice):
+    # the bucket-hash repartition ahead of bucketBy and the SAME bucket
+    # count the production append uses, so the decomposition keeps
+    # measuring the optimized one-file-per-bucket write.
+    n_buckets = kw["n_buckets"]  # the SAME parameter the production calls get
     timed(
         "bands bucketed append saveAsTable",
         lambda: (
             banded.select("band", "band_key", "doc_id")
+            .repartition(n_buckets, "band", "band_key")
             .write.mode("append").format("parquet")
-            .bucketBy(32, "band", "band_key")
+            .bucketBy(n_buckets, "band", "band_key")
             .saveAsTable("prof_app_bands")
         ),
     )
