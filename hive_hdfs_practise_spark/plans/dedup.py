@@ -1005,23 +1005,58 @@ def exact_jaccard_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     JACCARD_THRESHOLD — the shared verify stage of dedup_minhash_lsh
     and its streaming twin (stream_dedup_minhash), factored out so
     the two cannot drift. Shingle arrays are built only AFTER both
-    text joins, i.e. only for candidate rows."""
+    text joins, i.e. only for candidate rows.
+
+    The shingle arrays and the intersect/size counts are materialized
+    through Generate nodes (explode of a 1-element array — the r7
+    dedup_semdedup trick) BEFORE the threshold filter exists: filtering
+    on an aliased expensive expression gets the expression pushed into
+    the join condition inlined once per reference — the old form
+    re-built each doc's shingle array ~5× per candidate row inside the
+    join condition (plans/r13/dedup_cross_source_matrix_before.txt;
+    measured 6.3 → 3.8 s on the 10× verify stage,
+    tools/probe_verify_inline.py; output parity exact)."""
     txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     sh_a = tx.char_shingles(F.col("text_a"), SHINGLE_K)
     sh_b = tx.char_shingles(F.col("text_b"), SHINGLE_K)
-    n_inter = F.size(F.array_intersect(sh_a, sh_b))
-    n_union = F.size(sh_a) + F.size(sh_b) - n_inter
+    sh = (
+        cand.join(txt_a, "doc_a")
+        .join(txt_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.array(F.struct(sh_a.alias("a"), sh_b.alias("b")))
+            ).alias("_sh"),
+        )
+    )
+    counted = sh.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.size(F.array_intersect("_sh.a", "_sh.b")).alias("ni"),
+                    (F.size("_sh.a") + F.size("_sh.b")).alias("sab"),
+                )
+            )
+        ).alias("_c"),
+    )
     # two sub-shingle-length docs have IDENTICAL (empty-set) minhash
     # signatures, so they band-collide into a candidate pair whose
     # union is 0 — the CASE guard keeps the ANSI-mode division from
     # raising (same hazard the adversarial-corpus test caught on the
-    # brute twin)
-    jac = F.when(n_union > 0, F.round(n_inter.cast("double") / n_union, 6))
+    # brute twin). ni/sab are materialized ints here, so the filter's
+    # re-reference of the jaccard alias inlines only integer math.
+    jac = F.when(
+        (F.col("_c.sab") - F.col("_c.ni")) > 0,
+        F.round(
+            F.col("_c.ni").cast("double") / (F.col("_c.sab") - F.col("_c.ni")), 6
+        ),
+    )
     return (
-        cand.join(txt_a, "doc_a")
-        .join(txt_b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        counted.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -1617,15 +1652,34 @@ def _candidate_jaccard(
     sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    # materialize the counts through a Generate node (the r7
+    # dedup_semdedup trick): downstream threshold filters on ni/nu
+    # aliases otherwise get PUSHED INTO THE JOIN CONDITION with the
+    # array_intersect inlined once per reference — the plan showed 3
+    # intersects per candidate row over the FULL (downsample=1)
+    # shingle arrays (r13; same class as exact_jaccard_pairs).
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            n_inter.cast("bigint").alias("ni"),
-            n_union.cast("bigint").alias("nu"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        n_inter.cast("bigint").alias("ni"),
+                        (F.size("sh_a") + F.size("sh_b")).cast("bigint").alias(
+                            "sab"
+                        ),
+                    )
+                )
+            ).alias("_c"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_c.ni").alias("ni"),
+            (F.col("_c.sab") - F.col("_c.ni")).alias("nu"),
         )
     )
 

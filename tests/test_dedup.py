@@ -1128,10 +1128,14 @@ class TestMinhashIndexed:
         probe's verified (new, corpus) pairs must equal EXACTLY the
         cross-split subset of the full dedup_minhash_lsh pair set.
         (b) Plan pin: the probe must read both index tables and never
-        re-shingle the corpus — the only Generate is the delta
-        banding posexplode (delta signatures hide behind their
-        checkpoint), and documents.parquet appears exactly twice
-        (the candidate-bounded verify text joins)."""
+        re-shingle the corpus as a whole — the Generates are the two
+        candidate-bounded verify materializations (r13: shingle
+        arrays and intersect counts become attributes via
+        explode(array(...)) so the threshold cannot inline them into
+        the join condition) above the delta banding posexplode
+        (delta signatures hide behind their checkpoint), and
+        documents.parquet appears exactly twice (the
+        candidate-bounded verify text joins)."""
         import re
 
         from pyspark.sql import functions as F
@@ -1147,7 +1151,7 @@ class TestMinhashIndexed:
         assert "minhash_probe_idx_bands" in plan
         assert "minhash_probe_idx_sigs" in plan
         gens = re.findall(r"Generate (\w+)", plan)
-        assert gens == ["posexplode"], gens
+        assert gens == ["explode", "explode", "posexplode"], gens
         assert len(re.findall(r"documents\.parquet", plan)) == 2
         got = {(r.doc_new, r.doc_corpus, r.jaccard) for r in df.collect()}
 
