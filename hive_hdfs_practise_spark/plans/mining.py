@@ -1006,7 +1006,18 @@ def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_vocab = vocab.count()
-    post = sh.join(F.broadcast(vocab), "s").select("doc_id", "lang", "vid")
+    # postings persist (r13): FOUR consumers read this frame (the
+    # ranked prefix window, the B-side sizes, the B join side, and the
+    # bitmap aggregate) — each otherwise re-runs the vocab broadcast
+    # join over the persisted shingle table. Narrow (two ints + lang),
+    # compressed columnar; materialized inside the timed query,
+    # bench.py clearCaches between runs.
+    post = (
+        sh.join(F.broadcast(vocab), "s")
+        .select("doc_id", "lang", "vid")
+        .persist()
+    )
+    post.count()
     wd = Window.partitionBy("doc_id")
     ranked = post.select(
         "doc_id",
@@ -1079,7 +1090,18 @@ def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = (
             cand.join(F.broadcast(ba), "doc_a")
             .join(F.broadcast(bb), "doc_b")
-            .select("doc_a", "doc_b", inter_col.alias("n_inter"), "sz_a", "sz_b")
+            # materialize the popcount sum through a Generate (r13):
+            # the downstream threshold filter on the n_inter alias
+            # otherwise gets pushed into this join's condition with
+            # the 32-word popcount chain inlined a second time per
+            # candidate row (the exact_jaccard_pairs class)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.explode(F.array(inter_col)).alias("n_inter"),
+                "sz_a",
+                "sz_b",
+            )
         )
     else:
         arrs = post.groupBy("doc_id").agg(F.collect_list("vid").alias("shingles"))
