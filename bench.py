@@ -353,8 +353,12 @@ def main() -> None:
     # bounded tail capture of this process's output has to contain the
     # whole (growing, ~7 KB) line. Stop the session first so any JVM
     # shutdown chatter lands BEFORE it, flush both streams around it,
-    # and print nothing after.
-    spark.stop()
+    # and print nothing after. A shutdown error must never discard the
+    # finished run's output (review catch).
+    try:
+        spark.stop()
+    except Exception:
+        pass
     sys.stderr.flush()
     sys.stdout.flush()
     print(line, flush=True)

@@ -1018,6 +1018,11 @@ def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     post.count()
+    # nothing downstream reads sh once post is materialized — free the
+    # full-shingle cache before the heavy candidate join (review catch;
+    # an evicted post partition would recompute through the unpersisted
+    # lineage, which is correctness-neutral)
+    sh.unpersist()
     wd = Window.partitionBy("doc_id")
     ranked = post.select(
         "doc_id",
@@ -1115,7 +1120,17 @@ def documents_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = (
             cand.join(F.broadcast(arr_a), "doc_a")
             .join(F.broadcast(arr_b), "doc_b")
-            .select("doc_a", "doc_b", inter.alias("n_inter"), "sz_a", "sz_b")
+            # same Generate materialization as the bitmap branch: the
+            # threshold filter would otherwise inline array_intersect
+            # into the join condition per reference (review catch —
+            # this branch is the declared non-saturating-vocab path)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.explode(F.array(inter)).alias("n_inter"),
+                "sz_a",
+                "sz_b",
+            )
         )
     return (
         scored.filter(10 * F.col("n_inter") >= CONTAIN_TAU_NUM * F.col("sz_a"))

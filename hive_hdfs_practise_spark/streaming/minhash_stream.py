@@ -35,6 +35,7 @@ md5 band-key text idiom) to keep the state schema flat.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterable
 
 import numpy as np
@@ -90,7 +91,18 @@ STATE_SCHEMA = T.StructType(
 # Bucket membership is a function of (band, band_key) exactly as before,
 # so the candidate set is unchanged. xxhash64 here is internal state
 # partitioning, never an oracle-checked output value.
-N_STATE_SHARDS = 256
+#
+# Regime note (review finding): applyInPandasWithState state is
+# per-group MONOLITHIC — a touched shard deserializes and rewrites its
+# WHOLE row each trigger. Coarse shards are right for bulk/availableNow
+# replay (the bench/driver contract: few large batches — the dispatch
+# count dominated, 8× at 10×); a TRICKLE deployment (1-doc triggers
+# against a large accumulated state) pays O(state/shard) per touched
+# shard per trigger and should raise the shard count (env below) toward
+# per-bucket granularity — the trade is dispatch count vs row size.
+N_STATE_SHARDS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_SHARDS", "") or 256
+)
 
 _A = np.array([a for a, _ in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]
 _B = np.array([b for _, b in _COEFFS[:N_PERM]], dtype=np.int64)[:, None]

@@ -2,9 +2,10 @@
 the driver union-find fast path vs the distributed min-label loop on
 synthetic pair graphs near the gate (2^15..2^19 edge rows), one warm
 session, interleaved. The graph shape mimics dup clusters (many
-small components): vertex i pairs with i - (i % span) for span-sized
-chains/cliques, plus md5-derived cross links for a few larger
-components.
+small components): each vertex links to its 4-group's minimum, so
+components are 4-vertex stars of diameter 2 — the near-clique shape
+real dup graphs have (and the regime where the iterative loop
+converges in 2-3 rounds, so its timings are honest).
 
     python tools/probe_cc_gate.py
 """
@@ -25,12 +26,14 @@ from hive_hdfs_practise_spark.session import get_spark  # noqa: E402
 
 
 def pair_graph(spark, n_pairs: int):
-    """n_pairs rows over ~n_pairs vertices in components of ~4."""
+    """n_pairs rows over ~n_pairs vertices in disjoint 4-vertex
+    star components (each vertex → its group minimum; the group-min
+    self-edge is a harmless no-op union)."""
     return (
         spark.range(n_pairs)
         .select(
             F.col("id").alias("doc_a"),
-            (F.col("id") - F.pmod(F.col("id"), F.lit(4)) + 4).alias("doc_b"),
+            (F.col("id") - F.pmod(F.col("id"), F.lit(4))).alias("doc_b"),
         )
         .localCheckpoint(eager=True)  # exclude generation from timings
     )
@@ -55,7 +58,7 @@ def main() -> None:
             rows["iterative"].append(time.time() - t0)
             assert n_uf == n_it, (n_uf, n_it)
         print(
-            f"2^{log2} edge rows: driver-uf best "
+            f"2^{log2} pair rows: driver-uf best "
             f"{min(rows['driver-uf']):6.2f}s  iterative best "
             f"{min(rows['iterative']):6.2f}s   "
             f"({'/'.join(f'{t:.2f}' for t in rows['driver-uf'])} vs "

@@ -1,10 +1,13 @@
-"""Probe (r13): exact_jaccard_pairs' threshold filter is pushed into
+"""Probe (r13): exact_jaccard_pairs' threshold filter was pushed into
 the candidate join CONDITION with the shingle-build expression
 inlined ~5x per side (plans/r13/dedup_cross_source_matrix_before.txt
-line 247). A/B the current form vs a Generate-materialized rewrite
-(explode(array(struct(...))) makes shingle arrays and the intersect
-counts real attributes — the r7 dedup_semdedup trick) in one warm
-session over the dedup_minhash_lsh candidate stream.
+line 247). A/B the OLD inlined form (restated verbatim here — the
+production function has since been rewritten, so both variants live
+in this file, the probe_cc_edges convention) vs the
+Generate-materialized rewrite (explode(array(struct(...))) makes
+shingle arrays and the intersect counts real attributes — the r7
+dedup_semdedup trick) in one warm session over the dedup_minhash_lsh
+candidate stream.
 
     python tools/probe_verify_inline.py [sf_dir] [n_rounds]
 """
@@ -30,10 +33,28 @@ from hive_hdfs_practise_spark.plans.constants import (  # noqa: E402
 )
 from hive_hdfs_practise_spark.plans.dedup import (  # noqa: E402
     _est_prefilter,
-    exact_jaccard_pairs,
 )
 from hive_hdfs_practise_spark.session import get_spark  # noqa: E402
 from hive_hdfs_practise_spark.sources.catalog import wide_table  # noqa: E402
+
+
+def exact_jaccard_pairs_inlined(cand, docs):
+    """The PRE-r13 production form, restated verbatim: jaccard is an
+    alias over the raw shingle expressions, so the threshold filter
+    pushes into the join condition with everything inlined."""
+    txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    sh_a = tx.char_shingles(F.col("text_a"), SHINGLE_K)
+    sh_b = tx.char_shingles(F.col("text_b"), SHINGLE_K)
+    n_inter = F.size(F.array_intersect(sh_a, sh_b))
+    n_union = F.size(sh_a) + F.size(sh_b) - n_inter
+    jac = F.when(n_union > 0, F.round(n_inter.cast("double") / n_union, 6))
+    return (
+        cand.join(txt_a, "doc_a")
+        .join(txt_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 def exact_jaccard_pairs_gen(cand, docs):
@@ -95,14 +116,14 @@ def main() -> None:
 
     # value parity
     cand = cand_stream()
-    a = {(r[0], r[1], r[2]) for r in exact_jaccard_pairs(cand, docs).collect()}
+    a = {(r[0], r[1], r[2]) for r in exact_jaccard_pairs_inlined(cand, docs).collect()}
     b = {(r[0], r[1], r[2]) for r in exact_jaccard_pairs_gen(cand, docs).collect()}
     print(f"parity: {len(a)} pairs current, {len(b)} gen, equal={a == b}")
 
     results: dict[str, list[float]] = {"current": [], "generate": []}
     for _ in range(n_rounds):
         for label, fn in (
-            ("current", exact_jaccard_pairs),
+            ("current", exact_jaccard_pairs_inlined),
             ("generate", exact_jaccard_pairs_gen),
         ):
             c = cand_stream()  # rebuild so both variants pay the same front end
