@@ -41,56 +41,56 @@ from . import tpch  # noqa: F401,E402
 # driver evidence is OLDEST (r01/r02/r03-era), so every name's green
 # stays fresh across rounds. Re-derive each round.
 _FRONT = [
-    "knn_ivf_index_delete",  # never sampled
-    "documents_chunk_fuzzy_dedup",  # never sampled
-    "documents_dedup_pipeline_indexed",  # never sampled
-    "stream_minhash_index_append",  # never sampled
-    "stream_ivf_index_append",  # never sampled
-    "graph_label_propagation",  # green ['r05']
-    "documents_containment_join",  # green ['r05']
-    "multimodal_phash_neardup",  # green ['r05']
-    "multimodal_phash_clusters",  # green ['r05']
-    "documents_pii_scrub",  # green ['r05']
-    "text_bpe_merges",  # green ['r05']
-    "text_bpe_apply",  # green ['r05']
-    "documents_boilerplate_ngrams",  # green ['r05']
-    "documents_curriculum_deciles",  # green ['r05']
-    "word_freq_zipf_slope",  # green ['r05']
-    "documents_source_classifier",  # green ['r05']
-    "word_pair_pmi",  # green ['r05']
-    "orders_snapshot_diff",  # green ['r05']
-    "documents_interleave_audit",  # green ['r05']
-    "lineitem_profile",  # green ['r05']
-    "lineitem_checksum",  # green ['r05']
-    "lineitem_ols",  # green ['r05']
-    "stream_session_windows",  # green ['r05']
-    "stream_sliding_rate",  # green ['r05']
-    "stream_pattern_browse_buy",  # green ['r05']
-    "embeddings_quantize_int8",  # green ['r06']
-    "knn_opq_adc",  # green ['r06']
-    "dedup_embedding_cosine",  # green ['r03', 'r06']
-    "dedup_clusters",  # green ['r03', 'r06']
-    "dedup_clusters_lsh",  # green ['r06']
-    "dedup_semdedup",  # green ['r06']
-    "documents_duplicate_spans",  # green ['r06']
-    "documents_winnowing_pairs",  # green ['r06']
-    "dedup_containment_kmv",  # green ['r06']
-    "graph_link_prediction",  # green ['r06']
-    "documents_dsir_weights",  # green ['r06']
-    "embeddings_cluster_balanced_sample",  # green ['r06']
-    "events_asof_join",  # green ['r02', 'r04', 'r06', 'r07']
-    "text_tfidf_topk",  # green ['r02', 'r04', 'r06', 'r07']
-    "documents_bm25_topk",  # green ['r07']
-    "documents_rrf_fusion",  # green ['r07']
-    "sales_cube",  # green ['r02', 'r06', 'r07']
-    "sales_grouping_sets",  # green ['r02', 'r06', 'r07']
-    "graph_pagerank",  # green ['r05', 'r06', 'r07']
-    "part_fuzzy_name_match",  # green ['r05', 'r06', 'r07']
-    "documents_tfidf_similarity",  # green ['r05', 'r06', 'r07']
-    "events_range_join_clicks",  # green ['r05', 'r06', 'r07']
-    "sales_by_year_month",  # green ['r01', 'r06', 'r07']
-    "sales_rollup",  # green ['r01', 'r06', 'r07']
-    "max_monthly_sales",  # green ['r01', 'r06', 'r07']
+    "monthly_sales_ranked",  # green ['r01', 'r06', 'r07']
+    "sales_pivot_status",  # green ['r01', 'r06', 'r07']
+    "customer_count",  # green ['r01', 'r06', 'r07']
+    "paginate_by_window",  # green ['r01', 'r06', 'r07']
+    "set_ops_status_customers",  # green ['r01', 'r06', 'r07']
+    "semi_anti_join_customers",  # green ['r01', 'r06', 'r07']
+    "customer_value_deciles",  # green ['r01', 'r06', 'r07']
+    "sales_pivot_by_status",  # green ['r05', 'r06', 'r07']
+    "customer_rfm_segments",  # green ['r05', 'r06', 'r07']
+    "orders_frequent_part_pairs",  # green ['r05', 'r06', 'r07']
+    "orders_association_rules",  # green ['r06', 'r07']
+    "sales_mom_growth",  # green ['r05', 'r06', 'r07']
+    "sales_seasonal_decomposition",  # green ['r05', 'r06', 'r07']
+    "sales_incremental_refresh",  # green ['r05', 'r06', 'r07']
+    "supplier_abc_classification",  # green ['r05', 'r06', 'r07']
+    "supplier_top_parts",  # green ['r06', 'r07']
+    "lineitem_measures_unpivot",  # green ['r06', 'r07']
+    "part_similar_items",  # green ['r05', 'r06', 'r07']
+    "chunks_ordered_reassembly",  # green ['r02', 'r06', 'r07']
+    "replication_audit",  # green ['r02', 'r06', 'r07']
+    "placement_balance",  # green ['r02', 'r06', 'r07']
+    "dedup_exact",  # green ['r01', 'r03', 'r06', 'r07']
+    "dedup_exact_normalized",  # green ['r01', 'r03', 'r06', 'r07']
+    "dedup_ngram_jaccard",  # green ['r03', 'r06', 'r07']
+    "dedup_minhash_lsh",  # green ['r06', 'r07']
+    "dedup_simhash",  # green ['r03', 'r06', 'r07']
+    "dedup_simhash_bucketed",  # green ['r03', 'r06', 'r07']
+    "documents_duplicate_spans_summary",  # green ['r07']
+    "documents_winnowing_top_pairs",  # green ['r07']
+    "documents_url_dedup",  # green ['r07']
+    "documents_remove_duplicate_spans",  # green ['r07']
+    "documents_containment_minhash",  # green ['r07']
+    "graph_link_prediction_minhash",  # green ['r07']
+    "documents_kn_perplexity",  # green ['r07']
+    "pipeline_training_data_lsh",  # green ['r07']
+    "split_decontamination_bloom",  # green ['r07']
+    "stream_url_dedup",  # green ['r07']
+    "documents_hybrid_rrf",  # green ['r08']
+    "dedup_minhash_indexed",  # green ['r08']
+    "dedup_cross_source_matrix",  # green ['r08']
+    "knn_brute_cosine",  # green ['r02', 'r03', 'r08']
+    "knn_brute_cosine_vectorized",  # green ['r02', 'r03', 'r08']
+    "knn_lsh_bucketed",  # green ['r03', 'r08']
+    "knn_ivf",  # green ['r03', 'r08']
+    "knn_recall_audit",  # green ['r08']
+    "embedding_centroids",  # green ['r03', 'r08']
+    "embeddings_drift_by_label",  # green ['r08']
+    "json_roundtrip",  # green ['r02', 'r08']
+    "events_salted_agg",  # green ['r02', 'r08']
+    "events_props_map",  # green ['r02', 'r08']
 ]
 
 
